@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Dev-loop oracle check (mimics the driver's t2 gate).
+
+Usage: python3 dev/check.py <sfDir> <verifyOutDir> [key ...]
+
+Runs each oracle_sql.json entry in DuckDB against views over the sfDir
+parquet tables, loads the Spark result parquet the same way the driver
+does, sorts columns by name, and compares cell-for-cell. NOT shipped
+code — Scala library has no python/duckdb dependency.
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for key, sql in sorted(oracle.items()):
+        if only and key not in only:
+            continue
+        try:
+            exp = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {key}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{key}/*.parquet')").fetchdf()
+        except Exception as e:
+            print(f"FAIL {key}: spark result missing: {e}")
+            n_fail += 1
+            continue
+        exp = exp.reindex(sorted(exp.columns), axis=1)
+        got = got.reindex(sorted(got.columns), axis=1)
+        if list(exp.columns) != list(got.columns):
+            print(f"FAIL {key}: columns differ\n  duck : {list(exp.columns)}\n  spark: {list(got.columns)}")
+            n_fail += 1
+            continue
+        if len(exp) != len(got):
+            print(f"FAIL {key}: rows differ duck={len(exp)} spark={len(got)}")
+            n_fail += 1
+            continue
+        bad = None
+        for col in exp.columns:
+            ev, gv = exp[col].tolist(), got[col].tolist()
+            for i, (a, b) in enumerate(zip(ev, gv)):
+                if a is None and b is None:
+                    continue
+                afl = isinstance(a, float)
+                bfl = isinstance(b, float)
+                if afl and bfl and math.isnan(a) and math.isnan(b):
+                    continue
+                eq = (a == b)
+                try:
+                    if not eq and a is not None and b is not None and not (afl or bfl):
+                        eq = (str(a) == str(b))
+                except Exception:
+                    pass
+                if not eq:
+                    bad = (col, i, a, b)
+                    break
+            if bad:
+                break
+        if bad:
+            col, i, a, b = bad
+            diff = ""
+            if isinstance(a, float) and isinstance(b, float):
+                diff = f" (absdiff={abs(a-b):.3e})"
+            print(f"FAIL {key}: first mismatch col={col} row={i}: duck={a!r} spark={b!r}{diff}")
+            n_fail += 1
+        else:
+            print(f"PASS {key} ({len(exp)} rows x {len(exp.columns)} cols)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()

@@ -1,13 +1,29 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see SURVEY.md §2 (operator inventory) and §7
+  * (build plan). Queries live in per-family QueryPacks; this object
+  * only assembles them.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** All operator families. Order is the bench/verify execution order. */
+  val packs: Seq[QueryPack] = Seq(
+    operators.AggQueries,
+    operators.JoinQueries)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    operators.JoinQueries.joinMultiway(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    packs.flatMap(_.queries).toMap
+
+  /** DuckDB-equivalent SQL per oracled key (same column names + ORDER BY
+    * as the Spark query — the driver hash-compares after sorting columns
+    * by name). Keys absent here get a rows-only check. */
+  def oracleSql: Map[String, String] =
+    packs.flatMap(_.oracle).toMap
 }

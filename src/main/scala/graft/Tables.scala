@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Table loaders + schema constants for the 10 driver-generated parquet
+  * tables (see FIXTURES.md). Schemas are declared explicitly so that
+  * streaming file sources and CSV/JSON round-trips (which cannot infer)
+  * share one source of truth with the batch readers.
+  *
+  * Scale note (100 TB): loaders return plain parquet scans — Catalyst
+  * handles column pruning and predicate pushdown, so every downstream
+  * query reads only the row groups and columns it needs. No caching or
+  * driver-side materialization here by design.
+  */
+object Tables {
+
+  val region: StructType = StructType(Seq(
+    StructField("r_regionkey", IntegerType),
+    StructField("r_name", StringType)))
+
+  val nation: StructType = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  val customer: StructType = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  val supplier: StructType = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  val part: StructType = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  val orders: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  val lineitem: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)))
+
+  val events: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val documents: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  val embeddings: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  val schemas: Map[String, StructType] = Map(
+    "region" -> region, "nation" -> nation, "customer" -> customer,
+    "supplier" -> supplier, "part" -> part, "orders" -> orders,
+    "lineitem" -> lineitem, "events" -> events,
+    "documents" -> documents, "embeddings" -> embeddings)
+
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$table.parquet")
+}
+
+/** Cross-engine determinism helpers (SURVEY.md §7.4).
+  *
+  * Every test-data money/value column holds exact 2-decimal values
+  * (verified against the fixtures), so casting to DECIMAL(18,2) is
+  * lossless and makes sums exact — summation order then cannot change
+  * the result, which is what makes the DuckDB hash-compare stable.
+  * Final outputs are cast back to DOUBLE (one deterministic IEEE
+  * conversion) so both engines emit identical 8-byte values.
+  */
+object Det {
+  import org.apache.spark.sql.functions._
+
+  /** Lossless exact representation of a 2-decimal money column. */
+  def money(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact sum of a money column, emitted as a deterministic double. */
+  def dsum(c: Column): Column = sum(money(c)).cast(DoubleType)
+
+  /** Deterministic average: exact decimal sum / count, in double. */
+  def davg(c: Column): Column =
+    sum(money(c)).cast(DoubleType) / count(lit(1))
+}
