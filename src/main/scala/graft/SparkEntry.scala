@@ -10,6 +10,7 @@ object SparkEntry {
 
   /** All operator families. Order is the bench/verify execution order. */
   val packs: Seq[QueryPack] = Seq(
+    operators.FilterQueries,
     operators.AggQueries,
     operators.JoinQueries)
 

@@ -92,8 +92,18 @@ object Tables {
     "lineitem" -> lineitem, "events" -> events,
     "documents" -> documents, "embeddings" -> embeddings)
 
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read as a timestamp. Read it as raw nanos (legacy conf) and
+    * floor-divide to µs — identical truncation to what date_trunc over
+    * the ns value yields in DuckDB, so §7.4 P3 still holds.
+    */
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$table.parquet")
+    if (table == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$table.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(s"$sfDir/$table.parquet")
 }
 
 /** Cross-engine determinism helpers (SURVEY.md §7.4).

@@ -2,15 +2,21 @@ package graft.operators
 
 import graft.{Det, QueryPack, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** 2.C — join operators (SURVEY.md §2.C).
   *
-  * Scale notes: dimension tables (region/nation/part/supplier) are
-  * explicitly `broadcast()` so the big fact side never shuffles for
-  * them; only fact⋈fact joins (lineitem⋈orders) shuffle, and they
-  * shuffle on the join key so AQE can coalesce/skew-split at runtime.
+  * Scale notes:
+  *  - Dimension tables (region/nation/part/supplier) are explicitly
+  *    `broadcast()` so the fact side never shuffles for them.
+  *  - Fact⋈fact joins (lineitem⋈orders) shuffle on the join key and
+  *    rely on AQE for runtime coalescing / skew splitting.
+  *  - The theta/as-of joins always carry an equi key (user_id) so they
+  *    plan as hash/sort-merge joins with a range residual — never a
+  *    nested-loop over the full input. The as-of lookback is bounded
+  *    (1 day) so per-key state stays O(events/day), not O(history).
   */
 object JoinQueries extends QueryPack {
   import Det._
@@ -39,7 +45,126 @@ object JoinQueries extends QueryPack {
   }
 
   def queries: Seq[(String, Q)] = Seq(
-    "join_multiway" -> (joinMultiway _)
+    "join_multiway" -> (joinMultiway _),
+
+    // Broadcast hash equi-join: fact ⋈ small dim.
+    "join_broadcast" -> ((s, dir) => {
+      import s.implicits._
+      val l = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+      l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy($"p_brand")
+    }),
+
+    // Shuffle sort-merge equi-join (merge hint pins the plan).
+    "join_shuffle" -> ((s, dir) => {
+      import s.implicits._
+      val l = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      l.hint("merge").join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus")
+        .agg(dsum($"l_extendedprice").as("sum_price"),
+             count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // Left outer join: customers with and without orders.
+    "join_left_outer" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      c.join(o, $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"),
+             coalesce(sum(money($"o_totalprice")), lit(0))
+               .cast(DoubleType).as("spend"))
+        .orderBy($"c_custkey")
+    }),
+
+    // Full outer join on per-nation aggregates of two tables.
+    "join_full_outer" -> ((s, dir) => {
+      import s.implicits._
+      val su = Tables.load(s, dir, "supplier")
+        .groupBy($"s_nationkey".as("nk_s")).agg(count(lit(1)).as("n_supp"))
+      val cu = Tables.load(s, dir, "customer")
+        .groupBy($"c_nationkey".as("nk_c")).agg(count(lit(1)).as("n_cust"))
+      su.join(cu, $"nk_s" === $"nk_c", "full_outer")
+        .select(coalesce($"nk_s", $"nk_c").as("nationkey"),
+                coalesce($"n_supp", lit(0)).as("n_supp"),
+                coalesce($"n_cust", lit(0)).as("n_cust"))
+        .orderBy($"nationkey")
+    }),
+
+    // Left semi (EXISTS): parts that appear in any lineitem.
+    "join_semi" -> ((s, dir) => {
+      import s.implicits._
+      val p = Tables.load(s, dir, "part")
+      val l = Tables.load(s, dir, "lineitem")
+      p.join(l, $"p_partkey" === $"l_partkey", "left_semi")
+        .select($"p_partkey", $"p_name")
+        .orderBy($"p_partkey")
+    }),
+
+    // Left anti (NOT EXISTS): customers with no orders.
+    "join_anti" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // Cross join over the two tiny dims (BroadcastNestedLoopJoin).
+    "join_cross" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "region")
+        .crossJoin(Tables.load(s, dir, "nation"))
+        .select($"r_name", $"n_name")
+        .orderBy($"r_name", $"n_name")
+    }),
+
+    // Theta/range join: same-user event pairs within one hour.
+    // Equi key user_id keeps this a hash join with a range residual.
+    // ts truncated to seconds on both engines (SURVEY.md §7.4 P3).
+    "join_theta_range" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+      val a = e.select($"event_id".as("a_id"), $"user_id".as("a_user"),
+                       date_trunc("second", $"ts").as("a_ts"))
+      val b = e.select($"event_id".as("b_id"), $"user_id".as("b_user"),
+                       date_trunc("second", $"ts").as("b_ts"))
+      a.join(b, $"a_user" === $"b_user" && $"a_ts" < $"b_ts" &&
+                $"b_ts" <= $"a_ts" + expr("INTERVAL 1 HOUR"))
+        .select($"a_id", $"b_id")
+        .orderBy($"a_id", $"b_id")
+    }),
+
+    // As-of join: for each purchase, the latest click of the same user
+    // at-or-before it, looking back at most 1 day (bounded state at
+    // scale). Spark has no native as-of; range join + window row_number
+    // is the idiomatic mapping.
+    "join_asof" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"user_id".as("p_user"),
+                date_trunc("second", $"ts").as("p_ts"))
+      val clicks = e.filter($"event_type" === "click")
+        .select($"event_id".as("c_id"), $"user_id".as("c_user"),
+                date_trunc("second", $"ts").as("c_ts"), $"value".as("c_value"))
+      val w = Window.partitionBy($"p_id")
+        .orderBy($"c_ts".desc, $"c_id".desc)
+      purchases
+        .join(clicks, $"p_user" === $"c_user" && $"c_ts" <= $"p_ts" &&
+                      $"c_ts" > $"p_ts" - expr("INTERVAL 1 DAY"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"p_id", $"c_id", $"c_value")
+        .orderBy($"p_id")
+    })
   )
 
   def oracle: Seq[(String, String)] = Seq(
@@ -55,6 +180,74 @@ object JoinQueries extends QueryPack {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate <  TIMESTAMP '1997-01-01'
         |GROUP BY r_name, n_name
-        |ORDER BY r_name, n_name""".stripMargin
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "join_broadcast" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "join_shuffle" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "join_left_outer" ->
+      """SELECT c_custkey,
+        |  COUNT(o_orderkey) AS n_orders,
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "join_full_outer" ->
+      """SELECT COALESCE(nk_s, nk_c) AS nationkey,
+        |       COALESCE(n_supp, 0) AS n_supp,
+        |       COALESCE(n_cust, 0) AS n_cust
+        |FROM (SELECT s_nationkey AS nk_s, COUNT(*) AS n_supp
+        |      FROM supplier GROUP BY s_nationkey) su
+        |FULL OUTER JOIN
+        |     (SELECT c_nationkey AS nk_c, COUNT(*) AS n_cust
+        |      FROM customer GROUP BY c_nationkey) cu
+        |ON nk_s = nk_c
+        |ORDER BY nationkey""".stripMargin,
+
+    "join_semi" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "join_theta_range" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND date_trunc('second', a.ts) < date_trunc('second', b.ts)
+        | AND date_trunc('second', b.ts) <= date_trunc('second', a.ts) + INTERVAL 1 HOUR
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "join_asof" ->
+      """SELECT p_id, c_id, c_value FROM (
+        |  SELECT p.event_id AS p_id, c.event_id AS c_id, c.value AS c_value,
+        |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |           ORDER BY date_trunc('second', c.ts) DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id
+        |   AND date_trunc('second', c.ts) <= date_trunc('second', p.ts)
+        |   AND date_trunc('second', c.ts) >  date_trunc('second', p.ts) - INTERVAL 1 DAY
+        |) t WHERE rn = 1
+        |ORDER BY p_id""".stripMargin
   )
 }
