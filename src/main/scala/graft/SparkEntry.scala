@@ -12,7 +12,8 @@ object SparkEntry {
   val packs: Seq[QueryPack] = Seq(
     operators.FilterQueries,
     operators.AggQueries,
-    operators.JoinQueries)
+    operators.JoinQueries,
+    operators.SortSetQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,16 +1,19 @@
 package graft.operators
 
 import graft.{Det, QueryPack, Tables}
+import graft.functions.WeightedMeanAgg
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** 2.D — aggregation operators (SURVEY.md §2.D).
   *
-  * Scale notes: every query here is a groupBy over a declarative plan, so
-  * Spark plans a two-phase HashAggregate (partial map-side combine, then
-  * final after a shuffle on the grouping keys). At 100 TB the shuffle
-  * volume is bounded by the distinct-key cardinality per partition, not
-  * the input size — the right shape for a 1000-executor cluster.
+  * Scale notes: every groupBy here plans as two-phase HashAggregate
+  * (map-side partial combine, then final after a shuffle on the group
+  * keys), so shuffle volume is bounded by key cardinality, not input
+  * size. Statistical moments are computed from exact decimal power
+  * sums — associative/commutative, so partial aggregation stays exact
+  * at any partition count (required for the cross-engine hash-match).
   */
 object AggQueries extends QueryPack {
   import Det._
@@ -32,6 +35,164 @@ object AggQueries extends QueryPack {
           davg($"l_discount").as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // Exact distinct aggregation (expand + two-phase under the hood).
+    "agg_distinct" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("n_users"),
+             count(lit(1)).as("n_events"))
+        .orderBy($"event_type")
+    }),
+
+    // HLL++ sketch distinct — engine-specific, rows-only check
+    // (approx result has no cross-engine oracle; SURVEY.md §2.D).
+    "agg_approx_distinct" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"),
+             count(lit(1)).as("n_events"))
+        .orderBy($"event_type")
+    }),
+
+    // Statistical aggregates from exact decimal power sums: mean,
+    // var/stddev (sample), corr — deterministic at any parallelism.
+    "agg_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(money($"l_quantity")).cast(DoubleType).as("sx"),
+          sum(money($"l_quantity") * money($"l_quantity"))
+            .cast(DoubleType).as("sxx"),
+          sum(money($"l_extendedprice")).cast(DoubleType).as("sy"),
+          sum(money($"l_extendedprice") * money($"l_extendedprice"))
+            .cast(DoubleType).as("syy"),
+          sum(money($"l_quantity") * money($"l_extendedprice"))
+            .cast(DoubleType).as("sxy"))
+        .select($"l_returnflag", $"n", $"sx", $"sxx", $"sy", $"syy", $"sxy",
+          ($"sx" / $"n").as("mean_qty"),
+          (($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("var_qty"),
+          sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("std_qty"),
+          (($"n" * $"sxy" - $"sx" * $"sy") /
+            (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
+             sqrt($"n" * $"syy" - $"sy" * $"sy"))).as("corr_qty_price"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // Discrete percentiles (median, p90) via window positions — exact
+    // and interpolation-free, so both engines pick the same element.
+    "agg_percentile" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val j = o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .select($"c_mktsegment".as("seg"), $"o_totalprice".as("price"),
+                $"o_orderkey")
+      val wOrd = Window.partitionBy($"seg").orderBy($"price", $"o_orderkey")
+      val wAll = Window.partitionBy($"seg")
+      j.withColumn("rn", row_number().over(wOrd))
+        .withColumn("cnt", count(lit(1)).over(wAll))
+        .groupBy($"seg")
+        .agg(
+          max(when($"rn" === expr("(cnt+1) div 2"), $"price"))
+            .as("median_disc"),
+          max(when($"rn" === ceil($"cnt" * 0.9).cast(LongType), $"price"))
+            .as("p90_disc"),
+          max($"cnt").as("n"))
+        .orderBy($"seg")
+    }),
+
+    // ROLLUP with subtotals + grand total, grouping() disambiguated.
+    "agg_rollup" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"),
+             grouping($"o_orderstatus").as("g1"),
+             grouping($"o_orderpriority").as("g2"))
+        .select(
+          when($"g1" === 1, "(all)").otherwise($"o_orderstatus").as("status_g"),
+          when($"g2" === 1, "(all)").otherwise($"o_orderpriority").as("prio_g"),
+          $"n", $"total")
+        .orderBy($"status_g", $"prio_g")
+    }),
+
+    // CUBE: all grouping combos + grouping id.
+    "agg_cube" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"),
+             grouping($"o_orderstatus").as("g1"),
+             grouping($"o_orderpriority").as("g2"))
+        .select(
+          when($"g1" === 1, "(all)").otherwise($"o_orderstatus").as("status_g"),
+          when($"g2" === 1, "(all)").otherwise($"o_orderpriority").as("prio_g"),
+          ($"g1" * 2 + $"g2").as("gid"), $"n", $"total")
+        .orderBy($"status_g", $"prio_g")
+    }),
+
+    // GROUPING SETS — SQL entry point (no DF-API equivalent).
+    "agg_grouping_sets" -> ((s, dir) => {
+      s.sql(
+        s"""SELECT
+           |  CASE WHEN GROUPING(o_orderstatus)=1 THEN '(all)'
+           |       ELSE o_orderstatus END AS status_g,
+           |  CASE WHEN GROUPING(o_orderpriority)=1 THEN '(all)'
+           |       ELSE o_orderpriority END AS prio_g,
+           |  COUNT(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM parquet.`$dir/orders.parquet`
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           |ORDER BY status_g, prio_g""".stripMargin)
+    }),
+
+    // Collection aggregates, canonicalized to sorted CSV strings so
+    // the cross-engine compare is list-representation-agnostic.
+    "agg_collect" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(
+          array_join(array_sort(collect_set($"event_type")), ",")
+            .as("types_csv"),
+          array_join(
+            slice(array_sort(collect_list(money($"value").cast(StringType))),
+                  1, 3), ",").as("low3_csv"),
+          count(lit(1)).as("n"))
+        .orderBy($"user_id")
+    }),
+
+    // Deterministic first/last by unique ordering key (min_by/max_by).
+    "agg_first_last" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(min_by($"value", $"event_id").as("first_value"),
+             max_by($"value", $"event_id").as("last_value"),
+             min_by($"event_type", $"event_id").as("first_type"),
+             max_by($"event_type", $"event_id").as("last_type"))
+        .orderBy($"user_id")
+    }),
+
+    // Custom typed UDAF (Aggregator): weighted mean of value by
+    // props.k — exact integer-cents arithmetic inside the buffer.
+    "agg_udaf" -> ((s, dir) => {
+      import s.implicits._
+      val wmean = udaf(WeightedMeanAgg)
+      Tables.load(s, dir, "events")
+        .select($"event_type",
+          (money($"value") * 100).cast(LongType).as("cents"),
+          get_json_object($"props", "$.k").cast(LongType).as("w"))
+        .groupBy($"event_type")
+        .agg(wmean($"cents", $"w").as("wmean"),
+             sum($"w").as("sum_w"))
+        .orderBy($"event_type")
     })
   )
 
@@ -48,6 +209,93 @@ object AggQueries extends QueryPack {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        |       COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_stats" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n, sx, sxx, sy, syy, sxy,
+        |  sx / n AS mean_qty,
+        |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
+        |  sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty,
+        |  (n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+        |FROM g ORDER BY l_returnflag""".stripMargin,
+
+    "agg_percentile" ->
+      """SELECT seg,
+        |  MAX(CASE WHEN rn = (cnt+1)//2 THEN price END) AS median_disc,
+        |  MAX(CASE WHEN rn = CAST(CEIL(cnt*0.9) AS BIGINT) THEN price END) AS p90_disc,
+        |  MAX(cnt) AS n
+        |FROM (
+        |  SELECT c_mktsegment AS seg, o_totalprice AS price,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS cnt
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |GROUP BY seg ORDER BY seg""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT
+        |  CASE WHEN GROUPING(o_orderstatus)=1 THEN '(all)' ELSE o_orderstatus END AS status_g,
+        |  CASE WHEN GROUPING(o_orderpriority)=1 THEN '(all)' ELSE o_orderpriority END AS prio_g,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status_g, prio_g""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT
+        |  CASE WHEN GROUPING(o_orderstatus)=1 THEN '(all)' ELSE o_orderstatus END AS status_g,
+        |  CASE WHEN GROUPING(o_orderpriority)=1 THEN '(all)' ELSE o_orderpriority END AS prio_g,
+        |  GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status_g, prio_g""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT
+        |  CASE WHEN GROUPING(o_orderstatus)=1 THEN '(all)' ELSE o_orderstatus END AS status_g,
+        |  CASE WHEN GROUPING(o_orderpriority)=1 THEN '(all)' ELSE o_orderpriority END AS prio_g,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status_g, prio_g""".stripMargin,
+
+    "agg_collect" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv,
+        |  array_to_string(list_sort(list(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)))[1:3], ',') AS low3_csv,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "agg_first_last" ->
+      """SELECT user_id,
+        |  arg_min(value, event_id) AS first_value,
+        |  arg_max(value, event_id) AS last_value,
+        |  arg_min(event_type, event_id) AS first_type,
+        |  arg_max(event_type, event_id) AS last_type
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "agg_udaf" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           * CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+        |  / (100.0 * CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)) AS wmean,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_w
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

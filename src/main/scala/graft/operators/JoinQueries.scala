@@ -107,11 +107,12 @@ object JoinQueries extends QueryPack {
         .orderBy($"p_partkey")
     }),
 
-    // Left anti (NOT EXISTS): customers with no orders.
+    // Left anti (NOT EXISTS): customers with no URGENT orders.
     "join_anti" -> ((s, dir) => {
       import s.implicits._
       val c = Tables.load(s, dir, "customer")
       val o = Tables.load(s, dir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
       c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
         .select($"c_custkey", $"c_name")
         .orderBy($"c_custkey")
@@ -222,7 +223,8 @@ object JoinQueries extends QueryPack {
 
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
 
     "join_cross" ->
