@@ -48,6 +48,16 @@ def main():
             print(f"FAIL {key}: rows differ duck={len(exp)} spark={len(got)}")
             n_fail += 1
             continue
+        # The driver hash-compares physical values, so an int64 vs
+        # float64 column (e.g. DuckDB HUGEINT fetched as float) must
+        # fail here too even when Python == would say the cells match.
+        dt_bad = [(c, str(exp[c].dtype), str(got[c].dtype))
+                  for c in exp.columns
+                  if str(exp[c].dtype) != str(got[c].dtype)]
+        if dt_bad:
+            print(f"FAIL {key}: dtypes differ (duck vs spark): {dt_bad}")
+            n_fail += 1
+            continue
         bad = None
         for col in exp.columns:
             ev, gv = exp[col].tolist(), got[col].tolist()

@@ -92,14 +92,25 @@ object Tables {
     "lineitem" -> lineitem, "events" -> events,
     "documents" -> documents, "embeddings" -> embeddings)
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp. Read it as raw nanos (legacy conf) and
-    * floor-divide to µs — identical truncation to what date_trunc over
-    * the ns value yields in DuckDB, so §7.4 P3 still holds.
+  /** Session conf every graft session needs. `nanosAsLong` lets Spark 4
+    * read events.ts (parquet TIMESTAMP(NANOS), otherwise refused); set
+    * once at session build (Verify/Bench/tests) rather than per-load so
+    * concurrent queries never race on session state.
+    */
+  val sessionConfs: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  /** events.ts is read as raw nanos (see sessionConfs) and
+    * floor-divided to µs — identical truncation to what date_trunc over
+    * the ns value yields in DuckDB, so §7.4 P3 still holds. `div` (not
+    * floating floor) because 2024-era nanos exceed double's 53-bit
+    * mantissa; truncation == floor for the post-1970 fixture range.
+    * The conf re-set here is an idempotent guard for driver-owned
+    * sessions (e.g. the smoke check) that didn't go through our mains.
     */
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
     if (table == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      sessionConfs.foreach { case (k, v) => spark.conf.set(k, v) }
       spark.read.parquet(s"$sfDir/$table.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -84,8 +84,15 @@ object AggQueries extends QueryPack {
         .orderBy($"l_returnflag")
     }),
 
-    // Discrete percentiles (median, p90) via window positions — exact
-    // and interpolation-free, so both engines pick the same element.
+    // Discrete percentiles (median, p90), exact and interpolation-free.
+    // Scale-safe distributed selection: c_mktsegment has only 5 values,
+    // so a window partitioned by segment alone would funnel the whole
+    // table through 5 sort tasks at 100 TB. Instead: (1) histogram per
+    // (segment, price bucket) — a plain two-phase hash aggregate;
+    // (2) cumulative counts over the tiny bucket table locate which
+    // bucket holds each target rank; (3) only rows in those ~2 buckets
+    // per segment are ranked, via a window partitioned by
+    // (segment, bucket). The big table is never globally sorted.
     "agg_percentile" -> ((s, dir) => {
       import s.implicits._
       val o = Tables.load(s, dir, "orders")
@@ -93,16 +100,28 @@ object AggQueries extends QueryPack {
       val j = o.join(broadcast(c), $"o_custkey" === $"c_custkey")
         .select($"c_mktsegment".as("seg"), $"o_totalprice".as("price"),
                 $"o_orderkey")
-      val wOrd = Window.partitionBy($"seg").orderBy($"price", $"o_orderkey")
-      val wAll = Window.partitionBy($"seg")
-      j.withColumn("rn", row_number().over(wOrd))
-        .withColumn("cnt", count(lit(1)).over(wAll))
+        .withColumn("b", floor($"price" / 1000.0).cast(LongType))
+      val bCounts = j.groupBy($"seg", $"b").agg(count(lit(1)).as("c"))
+      val wb = Window.partitionBy($"seg").orderBy($"b")
+      val bCum = bCounts
+        .withColumn("cum_hi", sum($"c").over(wb))
+        .withColumn("cum_lo", $"cum_hi" - $"c")
+      val ranks = bCounts.groupBy($"seg").agg(sum($"c").as("cnt"))
+        .select($"seg", $"cnt",
+          expr("(cnt+1) div 2").as("r_med"),
+          ceil($"cnt" * 0.9).cast(LongType).as("r_p90"))
+      val hot = bCum.join(broadcast(ranks), "seg")
+        .filter(($"cum_lo" < $"r_med" && $"r_med" <= $"cum_hi") ||
+                ($"cum_lo" < $"r_p90" && $"r_p90" <= $"cum_hi"))
+        .select($"seg", $"b", $"cum_lo", $"cnt", $"r_med", $"r_p90")
+      val wr = Window.partitionBy($"seg", $"b")
+        .orderBy($"price", $"o_orderkey")
+      j.join(broadcast(hot), Seq("seg", "b"))
+        .withColumn("rn", row_number().over(wr) + $"cum_lo")
         .groupBy($"seg")
         .agg(
-          max(when($"rn" === expr("(cnt+1) div 2"), $"price"))
-            .as("median_disc"),
-          max(when($"rn" === ceil($"cnt" * 0.9).cast(LongType), $"price"))
-            .as("p90_disc"),
+          max(when($"rn" === $"r_med", $"price")).as("median_disc"),
+          max(when($"rn" === $"r_p90", $"price")).as("p90_disc"),
           max($"cnt").as("n"))
         .orderBy($"seg")
     }),
@@ -133,7 +152,7 @@ object AggQueries extends QueryPack {
         .select(
           when($"g1" === 1, "(all)").otherwise($"o_orderstatus").as("status_g"),
           when($"g2" === 1, "(all)").otherwise($"o_orderpriority").as("prio_g"),
-          ($"g1" * 2 + $"g2").as("gid"), $"n", $"total")
+          ($"g1" * 2 + $"g2").cast(LongType).as("gid"), $"n", $"total")
         .orderBy($"status_g", $"prio_g")
     }),
 
@@ -154,16 +173,26 @@ object AggQueries extends QueryPack {
 
     // Collection aggregates, canonicalized to sorted CSV strings so
     // the cross-engine compare is list-representation-agnostic.
+    // Scale note: per-user event counts are unbounded, so collecting
+    // every value before slicing 3 risks executor OOM at 100 TB. A
+    // window row_number (partitioned by the high-cardinality user_id)
+    // pre-filters to rank<=3 so collect_list only ever sees <=3 rows
+    // per group; collect_set(event_type) is bounded by the 5-value
+    // event_type domain.
     "agg_collect" -> ((s, dir) => {
       import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"v", $"event_id")
       Tables.load(s, dir, "events")
+        .select($"user_id", $"event_type", $"event_id",
+          money($"value").cast(StringType).as("v"))
+        .withColumn("rn", row_number().over(w))
         .groupBy($"user_id")
         .agg(
           array_join(array_sort(collect_set($"event_type")), ",")
             .as("types_csv"),
-          array_join(
-            slice(array_sort(collect_list(money($"value").cast(StringType))),
-                  1, 3), ",").as("low3_csv"),
+          array_join(array_sort(collect_list(when($"rn" <= 3, $"v"))), ",")
+            .as("low3_csv"),
           count(lit(1)).as("n"))
         .orderBy($"user_id")
     }),
@@ -295,7 +324,7 @@ object AggQueries extends QueryPack {
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
         |           * CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
         |  / (100.0 * CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)) AS wmean,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_w
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_w
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
