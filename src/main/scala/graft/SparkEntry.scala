@@ -13,7 +13,8 @@ object SparkEntry {
     operators.FilterQueries,
     operators.AggQueries,
     operators.JoinQueries,
-    operators.SortSetQueries)
+    operators.SortSetQueries,
+    operators.WindowQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

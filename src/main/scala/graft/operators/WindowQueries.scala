@@ -1,0 +1,232 @@
+package graft.operators
+
+import graft.{Det, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** 2.E — window functions (SURVEY.md §2.E, rows win_*).
+  *
+  * Determinism (SURVEY.md §7.4 P5): every ORDER BY that feeds
+  * row_number/ntile/frame navigation carries a unique tiebreaker key.
+  * rank/dense_rank/percent_rank/cume_dist are tie-stable (equal inputs
+  * get equal outputs), so they may order by the value alone.
+  *
+  * Scale notes (100 TB): windows here are either partitioned by a
+  * high-cardinality key (user-day, custkey, nation×salt) or run over a
+  * pre-aggregated input whose cardinality is bounded (days × types),
+  * never over the raw fact table with a handful of partitions. Top-k
+  * per group is two-phase: partial top-k per salted bucket, then final
+  * top-k over the tiny candidate set — no single-nation sort task ever
+  * sees more than 1/64th of a nation's customers.
+  */
+object WindowQueries extends QueryPack {
+  import Det._
+
+  def queries: Seq[(String, Q)] = Seq(
+    // row_number / rank / dense_rank / ntile(4). Partitioned by
+    // (status, year) so partition count grows with the time range
+    // rather than pinning the whole table onto 3 status sort tasks.
+    "win_ranking" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus",
+                year($"o_orderdate").as("yr"), $"o_totalprice")
+      val wTies = Window.partitionBy($"o_orderstatus", $"yr")
+        .orderBy($"o_totalprice".desc)
+      val wUniq = Window.partitionBy($"o_orderstatus", $"yr")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      o.select($"o_orderstatus", $"yr", $"o_orderkey", $"o_totalprice",
+          row_number().over(wUniq).cast(LongType).as("rn"),
+          rank().over(wTies).cast(LongType).as("rk"),
+          dense_rank().over(wTies).cast(LongType).as("drk"),
+          ntile(4).over(wUniq).cast(LongType).as("quartile"))
+        .orderBy($"o_orderstatus", $"yr", $"rn")
+    }),
+
+    // Top-3 spend customers per nation, two-phase (see scale note).
+    "win_topk_pergroup" -> ((s, dir) => {
+      import s.implicits._
+      val spend = Tables.load(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(sum(money($"o_totalprice")).as("spend_d"))
+        .join(Tables.load(s, dir, "customer")
+                .select($"c_custkey", $"c_nationkey"),
+              $"o_custkey" === $"c_custkey")
+      val wLocal = Window
+        .partitionBy($"c_nationkey", pmod($"c_custkey", lit(64)))
+        .orderBy($"spend_d".desc, $"c_custkey")
+      val wFinal = Window.partitionBy($"c_nationkey")
+        .orderBy($"spend_d".desc, $"c_custkey")
+      spend
+        .withColumn("lrn", row_number().over(wLocal)).filter($"lrn" <= 3)
+        .withColumn("rn", row_number().over(wFinal)).filter($"rn" <= 3)
+        .join(broadcast(Tables.load(s, dir, "nation")),
+              $"c_nationkey" === $"n_nationkey")
+        .select($"n_name", $"c_custkey",
+                $"spend_d".cast(DoubleType).as("spend"),
+                $"rn".cast(LongType).as("rn"))
+        .orderBy($"n_name", $"rn")
+    }),
+
+    // lag / lead / percent_rank / cume_dist over the daily event-count
+    // series. Window input is the (day × event_type) aggregate — its
+    // cardinality is bounded by the calendar, not the fact table.
+    "win_analytic" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val wSeq = Window.partitionBy($"event_type").orderBy($"day")
+      val wVal = Window.partitionBy($"event_type").orderBy($"n", $"day")
+      daily.select($"event_type", $"day", $"n",
+          lag($"n", 1).over(wSeq).as("prev_n"),
+          lead($"n", 1).over(wSeq).as("next_n"),
+          ($"n" - lag($"n", 1).over(wSeq)).as("delta"),
+          percent_rank().over(wVal).as("pr"),
+          cume_dist().over(wVal).as("cd"))
+        .orderBy($"event_type", $"day")
+    }),
+
+    // ROWS frames: running total + trailing-7-row moving average over
+    // daily revenue. Moving average is computed as exact decimal sum
+    // cast to double, divided by the frame row count — both engines do
+    // one IEEE division on identical operands.
+    "win_frame_rows" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.load(s, dir, "orders")
+        .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+        .agg(sum(money($"o_totalprice")).as("rev_d"))
+      val w7 = Window.orderBy($"day").rowsBetween(-6, 0)
+      val wRun = Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.select($"day",
+          $"rev_d".cast(DoubleType).as("rev"),
+          sum($"rev_d").over(wRun).cast(DoubleType).as("run_rev"),
+          (sum($"rev_d").over(w7).cast(DoubleType) /
+            count(lit(1)).over(w7)).as("ma7"),
+          count(lit(1)).over(w7).as("n7"))
+        .orderBy($"day")
+    }),
+
+    // RANGE frame: per customer, revenue from their orders priced
+    // within 100k below the current order. Partitioned by custkey —
+    // high cardinality, no skew.
+    "win_frame_range" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice")
+        .rangeBetween(-100000, 0)
+      Tables.load(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+          sum(money($"o_totalprice")).over(w).cast(DoubleType)
+            .as("range_rev"),
+          count(lit(1)).over(w).as("range_n"))
+        .orderBy($"o_custkey", $"o_totalprice", $"o_orderkey")
+    }),
+
+    // first_value / last_value / nth_value over the full user-day
+    // frame. events.ts is ns in parquet but µs in Spark (§7.4 P3), so
+    // the oracle orders by date_trunc('microseconds', ts) — identical
+    // keys on both engines — with event_id as the unique tiebreaker.
+    "win_first_last_value" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", date_trunc("day", $"ts"))
+        .orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, dir, "events")
+        .select($"user_id", date_trunc("day", $"ts").as("day"), $"event_id",
+          first_value($"value").over(w).as("first_v"),
+          last_value($"value").over(w).as("last_v"),
+          nth_value($"value", 2).over(w).as("second_v"))
+        .orderBy($"user_id", $"day", $"event_id")
+    })
+  )
+
+  def oracle: Seq[(String, String)] = Seq(
+    "win_ranking" ->
+      """SELECT o_orderstatus, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  o_orderkey, o_totalprice,
+        |  row_number() OVER wu AS rn,
+        |  rank() OVER wt AS rk,
+        |  dense_rank() OVER wt AS drk,
+        |  ntile(4) OVER wu AS quartile
+        |FROM orders
+        |WINDOW
+        |  wt AS (PARTITION BY o_orderstatus, year(o_orderdate)
+        |         ORDER BY o_totalprice DESC),
+        |  wu AS (PARTITION BY o_orderstatus, year(o_orderdate)
+        |         ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderstatus, yr, rn""".stripMargin,
+
+    "win_topk_pergroup" ->
+      """WITH spend AS (
+        |  SELECT c_nationkey, c_custkey,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_d
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT c_nationkey, c_custkey, spend_d,
+        |         row_number() OVER (PARTITION BY c_nationkey
+        |                            ORDER BY spend_d DESC, c_custkey) AS rn
+        |  FROM spend)
+        |SELECT n_name, c_custkey, CAST(spend_d AS DOUBLE) AS spend, rn
+        |FROM ranked JOIN nation ON n_nationkey = c_nationkey
+        |WHERE rn <= 3
+        |ORDER BY n_name, rn""".stripMargin,
+
+    "win_analytic" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n,
+        |  lag(n, 1) OVER w AS prev_n,
+        |  lead(n, 1) OVER w AS next_n,
+        |  n - lag(n, 1) OVER w AS delta,
+        |  percent_rank() OVER wv AS pr,
+        |  cume_dist() OVER wv AS cd
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day),
+        |       wv AS (PARTITION BY event_type ORDER BY n, day)
+        |ORDER BY event_type, day""".stripMargin,
+
+    "win_frame_rows" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
+        |  FROM orders GROUP BY 1)
+        |SELECT day,
+        |  CAST(rev_d AS DOUBLE) AS rev,
+        |  CAST(SUM(rev_d) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS run_rev,
+        |  CAST(SUM(rev_d) OVER w7 AS DOUBLE) / COUNT(*) OVER w7 AS ma7,
+        |  COUNT(*) OVER w7 AS n7
+        |FROM daily
+        |WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
+
+    "win_frame_range" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS range_rev,
+        |  COUNT(*) OVER w AS range_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+        |             RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_totalprice, o_orderkey""".stripMargin,
+
+    "win_first_last_value" ->
+      """SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  event_id,
+        |  first_value(value) OVER w AS first_v,
+        |  last_value(value) OVER w AS last_v,
+        |  nth_value(value, 2) OVER w AS second_v
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id, date_trunc('day', ts)
+        |             ORDER BY date_trunc('microseconds', ts), event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING
+        |                      AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, day, event_id""".stripMargin
+  )
+}
