@@ -14,7 +14,8 @@ object SparkEntry {
     operators.AggQueries,
     operators.JoinQueries,
     operators.SortSetQueries,
-    operators.WindowQueries)
+    operators.WindowQueries,
+    operators.FnQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
