@@ -15,7 +15,8 @@ object SparkEntry {
     operators.JoinQueries,
     operators.SortSetQueries,
     operators.WindowQueries,
-    operators.FnQueries)
+    operators.FnQueries,
+    operators.SourceSinkQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.{Det, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** 2.A — scans / sources / sinks (SURVEY.md §2.A).
+  *
+  * Round-trip keys (`source_csv`, `source_json`, `sink_parquet_part`)
+  * write a table to `target/roundtrip/` in the exercised format and
+  * read it back through an explicit schema; because the trip is
+  * lossless for the projected columns, the oracle SQL computes the
+  * same result straight from the parquet view. The write happens on
+  * every invocation (overwrite mode) — deliberately, so the sink path
+  * is actually exercised by verify AND bench, not just once.
+  *
+  * Scale notes (100 TB):
+  * - `scan_parquet`/`scan_pruned` are the pushdown proof points: the
+  *   physical scan must show PushedFilters + a pruned ReadSchema
+  *   (asserted in PlanShapeSpec). Count/sum aggregate two-phase with
+  *   no wide shuffle.
+  * - `sink_parquet_part` partitions by a low-cardinality column
+  *   (5 event types) — the layout that enables partition pruning on
+  *   read-back. At real scale you'd add a second time-bucket partition
+  *   key and size files via maxRecordsPerFile; the read-back groupBy
+  *   aggregates partially within each partition before one 5-key
+  *   shuffle.
+  */
+object SourceSinkQueries extends QueryPack {
+  import Det._
+
+  /** Per-sf-dir scratch dir inside the repo's target/ (never touches
+    * the read-only testdata). */
+  private def tmp(dir: String, leaf: String): String = {
+    val sf = new java.io.File(dir).getName
+    s"target/roundtrip/${sf}_$leaf"
+  }
+
+  def queries: Seq[(String, Q)] = Seq(
+    // Full parquet scan: count + exact decimal sum over lineitem.
+    "scan_parquet" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("sum_price"))
+    }),
+
+    // Projection + predicate pushdown: 3 columns, pushable filter.
+    // PlanShapeSpec asserts PushedFilters + pruned ReadSchema.
+    "scan_pruned" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .where($"l_extendedprice" > 90000.0)
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // CSV round-trip of region with explicit schema (no inference).
+    "source_csv" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp(dir, "region_csv")
+      Tables.load(s, dir, "region")
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read.schema(Tables.region).option("header", "true").csv(path)
+        .orderBy($"r_regionkey")
+    }),
+
+    // JSON-lines round-trip of nation with explicit schema.
+    "source_json" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp(dir, "nation_json")
+      Tables.load(s, dir, "nation")
+        .write.mode("overwrite").json(path)
+      s.read.schema(Tables.nation).json(path)
+        .orderBy($"n_nationkey")
+    }),
+
+    // Partitioned parquet sink: write events partitioned by
+    // event_type, read back, aggregate per partition value.
+    "sink_parquet_part" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp(dir, "events_part")
+      Tables.load(s, dir, "events")
+        .write.mode("overwrite").partitionBy("event_type").parquet(path)
+      s.read.parquet(path)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+             dsum($"value").as("sum_v"),
+             min($"event_id").as("min_id"),
+             max($"event_id").as("max_id"))
+        .orderBy($"event_type")
+    }))
+
+  def oracle: Seq[(String, String)] = Seq(
+    "scan_parquet" ->
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem""".stripMargin,
+
+    "scan_pruned" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem WHERE l_extendedprice > 90000.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "source_csv" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "source_json" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "sink_parquet_part" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}
