@@ -16,7 +16,8 @@ object SparkEntry {
     operators.SortSetQueries,
     operators.WindowQueries,
     operators.FnQueries,
-    operators.SourceSinkQueries)
+    operators.SourceSinkQueries,
+    operators.LlmQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

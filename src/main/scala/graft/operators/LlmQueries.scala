@@ -1,0 +1,329 @@
+package graft.operators
+
+import graft.{Det, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** 2.H — LLM-data-pipeline operators (SURVEY.md §2.H).
+  *
+  * Cross-engine determinism strategy (§7.4):
+  * - No libm transcendentals in any oracled output. TF-IDF uses the
+  *   log-free rational envelope idf=(N+1)/(df+1) scaled to an exact
+  *   integer score: every intermediate (tf·1e6·(N+1)) is an integer
+  *   < 2^53, exactly representable in double; the single division is
+  *   IEEE-correctly-rounded identically in both engines; floor of an
+  *   identical double is identical.
+  * - Vector folds (sum of squares, dot products, distances) run
+  *   **sequentially over the array in element order** in BOTH engines
+  *   (Spark `aggregate` HOF ↔ DuckDB `list_reduce`), with float→double
+  *   cast before any arithmetic — bit-identical doubles, so even
+  *   ORDER BY on a raw cosine agrees.
+  * - Group-level float reductions (mean norm) go through round(x,6)
+  *   first: both engines round the same binary double away-from-zero,
+  *   and DECIMAL(18,6) summation is order-independent.
+  *
+  * Scale design (100 TB):
+  * - `text_*`: explode → two-phase hash agg; vocabulary table joins are
+  *   broadcast. No windows over low-cardinality partitions.
+  * - `dedup_near`: candidate generation is a single shuffle on a
+  *   64-bit token-set fingerprint (perfect blocking — docs only meet
+  *   if their token SETS are identical), then in-group pair join
+  *   bounded by group size. The fixture vocabulary is 31 terms with
+  *   min doc-frequency 25/500, so SURVEY §2.H's rare-token blocking
+  *   has zero candidates BY CONSTRUCTION on this data; the fingerprint
+  *   block is the correct fixture-shaped stage, and the general
+  *   τ<1 MinHash-LSH path ships as `dedup_minhash` (TrainQueries).
+  * - `vec_knn`: query side bounded to 10 vectors and broadcast; one
+  *   scan of the candidate side, top-k per query via window. The
+  *   unbounded-scale path is IVF/LSH pruning (see `dedup_embed`).
+  * - `vec_centroid`: per-dimension integer-quantized sums (exact,
+  *   order-free, mergeable) — the same two-phase shape a 1000-executor
+  *   cluster needs; never collects vectors to the driver.
+  */
+object LlmQueries extends QueryPack {
+
+  /** Distinct (doc_id, term) pairs, lowercased whitespace tokens. */
+  private def tokens(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+      .filter($"term" =!= "")
+      .distinct()
+  }
+
+  def queries: Seq[(String, Q)] = Seq(
+    // Top-50 terms over the English subset; total ORDER BY (cnt desc,
+    // term) so the k-boundary is deterministic. TakeOrderedAndProject.
+    "text_wordcount" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .filter($"lang" === "en")
+        .select(explode(split(lower($"text"), " ")).as("term"))
+        .filter($"term" =!= "")
+        .groupBy($"term").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"term")
+        .limit(50)
+    }),
+
+    // Corpus stats per (lang, source): counts are exact integers; the
+    // two averages are single divisions of exact integer sums.
+    "text_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .withColumn("n_tok", size(split($"text", " ")).cast(LongType))
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum($"n_chars").as("sum_chars"),
+             (sum($"n_chars").cast(DoubleType) / count(lit(1)))
+               .as("avg_chars"),
+             sum($"n_tok").as("sum_tok"),
+             (sum($"n_tok").cast(DoubleType) / count(lit(1)))
+               .as("avg_tok"),
+             max($"n_tok").as("max_tok"))
+        .orderBy($"lang", $"source")
+    }),
+
+    // TF-IDF with the log-free rational idf envelope (header note):
+    // score = floor(tf * 1e6 * (N+1) / (df+1)); top term per doc.
+    // df and N are tiny → broadcast joins, no extra shuffle.
+    "text_tfidf" -> ((s, dir) => {
+      import s.implicits._
+      val en = Tables.load(s, dir, "documents").filter($"lang" === "en")
+      val tok = en
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+        .filter($"term" =!= "")
+      val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfreq = tok.distinct().groupBy($"term")
+        .agg(count(lit(1)).as("df"))
+      val n = en.agg(count(lit(1)).as("n_docs"))
+      val scored = tf
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          floor((($"tf" * lit(1000000.0)) * ($"n_docs" + 1)) / ($"df" + 1)))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"term".as("top_term"), $"tf", $"df", $"score")
+        .orderBy($"doc_id")
+    }),
+
+    // Near-dup pairs: identical token SETS (order/multiplicity
+    // insensitive ⇒ Jaccard = 1.0) via 64-bit set-fingerprint
+    // blocking; see scale note in the header.
+    "dedup_near" -> ((s, dir) => {
+      import s.implicits._
+      val tok = tokens(s, dir)
+      // Deterministic dictionary: term → 1..V (V=31 on the fixtures).
+      val dict = tok.select($"term").distinct()
+        .withColumn("tid", row_number().over(Window.orderBy($"term")))
+      val mask = tok.join(broadcast(dict), "term")
+        .groupBy($"doc_id")
+        .agg(sum(expr("shiftleft(1L, tid - 1)")).as("mask"),
+             count(lit(1)).cast(LongType).as("n_tokens"))
+      val a = mask.select($"doc_id".as("da"), $"mask", $"n_tokens")
+      val b = mask.select($"doc_id".as("db"), $"mask")
+      a.join(b, Seq("mask")).filter($"da" < $"db")
+        .select($"da", $"db", $"n_tokens")
+        .orderBy($"da", $"db")
+    }),
+
+    // L2 norm per embedding (sequential fold), per-label stats over
+    // 6-decimal-rounded norms (order-free decimal summation).
+    "vec_norm" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "embeddings")
+        .withColumn("norm", sqrt(aggregate(
+          $"embedding", lit(0.0),
+          (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))))
+        .withColumn("norm_r", round($"norm", 6).cast(DecimalType(18, 6)))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"),
+             (sum($"norm_r").cast(DoubleType) / count(lit(1)))
+               .as("mean_norm"),
+             min($"norm_r").cast(DoubleType).as("min_norm"),
+             max($"norm_r").cast(DoubleType).as("max_norm"))
+        .orderBy($"label")
+    }),
+
+    // Brute-force cosine top-5 for a BOUNDED query side (vec_id < 10,
+    // broadcast) against all candidates — one candidate scan, window
+    // top-k per query. Folds are sequential ⇒ cosines bit-identical
+    // cross-engine, so ranking on the raw double is safe.
+    "vec_knn" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "embeddings")
+        .withColumn("ss", aggregate(
+          $"embedding", lit(0.0),
+          (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+      val q = e.select($"vec_id".as("q_id"), $"embedding".as("qe"),
+                       $"ss".as("qss")).filter($"q_id" < 10)
+      val c = e.select($"vec_id".as("c_id"), $"embedding".as("ce"),
+                       $"ss".as("css"))
+      val pairs = broadcast(q).crossJoin(c).filter($"q_id" =!= $"c_id")
+        .withColumn("dot", aggregate(
+          zip_with($"qe", $"ce",
+            (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+          lit(0.0), (acc, x) => acc + x))
+        .withColumn("cos", $"dot" / sqrt($"qss" * $"css"))
+      pairs
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"cos".desc, $"c_id"))
+          .cast(LongType))
+        .filter($"rank" <= 5)
+        .select($"q_id", $"rank", $"c_id",
+                round($"cos", 6).as("cos_r"))
+        .orderBy($"q_id", $"rank")
+    }),
+
+    // Per-label centroids from integer-quantized (1e-7) per-dimension
+    // sums — exact, order-free, mergeable — plus the fraction of each
+    // label's vectors whose nearest centroid is their own label.
+    "vec_centroid" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "embeddings")
+      val flat = e.select($"vec_id", $"label",
+          posexplode($"embedding").as(Seq("pos", "x")))
+        .withColumn("xq", floor($"x".cast(DoubleType) * 1e7))
+      val cent = flat.groupBy($"label", $"pos")
+        .agg((sum($"xq").cast(DoubleType) / count(lit(1))).as("cq"))
+      // Re-assemble each centroid as an array ordered by dimension.
+      val centArr = cent.groupBy($"label")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"cq"))),
+          t => t.getField("cq")).as("carr"))
+        .select($"label".as("clabel"), $"carr")
+      val assigned = e.crossJoin(broadcast(centArr))
+        .withColumn("dist", aggregate(
+          zip_with($"embedding", $"carr",
+            (x, cc) => (x.cast(DoubleType) - cc) * (x.cast(DoubleType) - cc)),
+          lit(0.0), (acc, x) => acc + x))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"dist", $"clabel")))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"label", $"clabel")
+      val frac = assigned.groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"),
+             (sum(when($"clabel" === $"label", 1L).otherwise(0L))
+               .cast(DoubleType) / count(lit(1))).as("frac_own"))
+      cent.join(frac, "label")
+        .select($"label", $"pos".cast(LongType).as("pos"), $"cq",
+                $"n_vecs", $"frac_own")
+        .orderBy($"label", $"pos")
+    }))
+
+  def oracle: Seq[(String, String)] = Seq(
+    "text_wordcount" ->
+      """SELECT term, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents WHERE lang = 'en') t
+        |WHERE term <> '' GROUP BY term
+        |ORDER BY cnt DESC, term LIMIT 50""".stripMargin,
+
+    "text_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+        |  CAST(sum(n_tok) AS DOUBLE) / count(*) AS avg_tok,
+        |  max(n_tok) AS max_tok
+        |FROM (SELECT lang, source, n_chars,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |      FROM documents) t
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH en AS (SELECT * FROM documents WHERE lang = 'en'),
+        |tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |        FROM en),
+        |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df
+        |          FROM (SELECT DISTINCT doc_id, term FROM tok2) GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM en),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    CAST(floor(((tf.tf * 1000000.0) * (n.n_docs + 1)) / (dfreq.df + 1))
+        |         AS BIGINT) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rn FROM scored)
+        |SELECT doc_id, term AS top_term, tf, df, score
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "dedup_near" ->
+      """WITH tok AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |dict AS (SELECT term, row_number() OVER (ORDER BY term) AS tid
+        |         FROM (SELECT DISTINCT term FROM tok2)),
+        |m AS (SELECT doc_id,
+        |        CAST(sum(CAST(1 AS BIGINT) << (tid - 1)) AS BIGINT) AS mask,
+        |        count(*) AS n_tokens
+        |      FROM tok2 JOIN dict USING (term) GROUP BY doc_id)
+        |SELECT a.doc_id AS da, b.doc_id AS db, a.n_tokens
+        |FROM m a JOIN m b ON a.mask = b.mask AND a.doc_id < b.doc_id
+        |ORDER BY da, db""".stripMargin,
+
+    "vec_norm" ->
+      """WITH v AS (SELECT label,
+        |  CAST(round(sqrt(list_reduce(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |    (a, b) -> a + b)), 6) AS DECIMAL(18,6)) AS norm_r
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        |  CAST(sum(norm_r) AS DOUBLE) / count(*) AS mean_norm,
+        |  CAST(min(norm_r) AS DOUBLE) AS min_norm,
+        |  CAST(max(norm_r) AS DOUBLE) AS max_norm
+        |FROM v GROUP BY label ORDER BY label""".stripMargin,
+
+    "vec_knn" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |  list_reduce(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |    (a, b) -> a + b) AS ss FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+        |      (a, b) -> a + b) / sqrt(q.ss * c.ss) AS cos
+        |  FROM e q CROSS JOIN e c
+        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |  ORDER BY cos DESC, c_id) AS rank FROM pairs)
+        |SELECT q_id, rank, c_id, round(cos, 6) AS cos_r
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "vec_centroid" ->
+      """WITH flat AS (
+        |  SELECT vec_id, label, i - 1 AS pos,
+        |    floor(CAST(embedding[i] AS DOUBLE) * 1e7) AS xq
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)),
+        |cent AS (
+        |  SELECT label, pos,
+        |    CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*) AS cq
+        |  FROM flat GROUP BY label, pos),
+        |centarr AS (
+        |  SELECT label AS clabel, list(cq ORDER BY pos) AS carr
+        |  FROM cent GROUP BY label),
+        |assigned AS (
+        |  SELECT vec_id, label, clabel, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY dist, clabel) AS rn
+        |  FROM (
+        |    SELECT e.vec_id, e.label, ca.clabel,
+        |      list_reduce(list_transform(list_zip(e.embedding, ca.carr),
+        |        p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])),
+        |        (a, b) -> a + b) AS dist
+        |    FROM embeddings e CROSS JOIN centarr ca)),
+        |frac AS (
+        |  SELECT label, count(*) AS n_vecs,
+        |    CAST(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*) AS frac_own
+        |  FROM assigned WHERE rn = 1 GROUP BY label)
+        |SELECT cent.label, CAST(cent.pos AS BIGINT) AS pos, cent.cq,
+        |  frac.n_vecs, frac.frac_own
+        |FROM cent JOIN frac ON cent.label = frac.label
+        |ORDER BY cent.label, pos""".stripMargin)
+}
