@@ -17,7 +17,8 @@ object SparkEntry {
     operators.WindowQueries,
     operators.FnQueries,
     operators.SourceSinkQueries,
-    operators.LlmQueries)
+    operators.LlmQueries,
+    operators.TrainQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,366 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data-pipeline operators beyond SURVEY.md §2.H: sketch-based
+  * dedup (MinHash-LSH, SimHash, sign-LSH over embeddings), text
+  * analysis (language-ID, quality scoring, token counting, document
+  * fingerprinting), and multimodal binary-column plumbing.
+  *
+  * Every key is DuckDB-oracled. Determinism comes from pure integer
+  * arithmetic everywhere a sketch is computed: hashes are affine maps
+  * over a deterministic term dictionary (`(a·tid + b) mod p`), char
+  * fingerprints are sequential polynomial folds mod 1e9+7, and the
+  * only floating-point ops are single IEEE divisions / sequential
+  * array folds that are bit-identical cross-engine (see LlmQueries).
+  *
+  * Scale design (100 TB):
+  * - MinHash/SimHash signatures are per-row map-side computations plus
+  *   one bounded agg per doc — embarrassingly parallel, no shuffle
+  *   wider than the doc table itself; LSH banding turns near-dup
+  *   search into an equi-join on band keys (each band a shuffle key),
+  *   never an all-pairs product.
+  * - `dedup_embed` joins only within 8-bit sign-LSH buckets (≈n²/256
+  *   pairs instead of n²), the standard recall/cost trade; at real
+  *   scale add more hyperplanes per band + multiple bands.
+  * - Language-ID trains its unigram→language table from a corpus agg
+  *   the size of the vocabulary and broadcasts it back — the model
+  *   side never shuffles with the data side.
+  */
+object TrainQueries extends QueryPack {
+
+  private val P = 1000000007L
+  /** Affine MinHash constants (k=8). */
+  private val MA = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
+  private val MB = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
+  private val STOP = Seq("the", "a", "data", "key", "value")
+
+  def queries: Seq[(String, Q)] = Seq(
+    // MinHash signature (k=8, affine hashes over the term dictionary)
+    // + 4 LSH band keys (r=2). Banding docs into buckets by b1..b4 is
+    // the scale path to near-dup candidate pairs.
+    "dedup_minhash" -> ((s, dir) => {
+      import s.implicits._
+      val tok = Tables.load(s, dir, "documents")
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+        .filter($"term" =!= "").distinct()
+      val dict = tok.select($"term").distinct()
+        .withColumn("tid", row_number().over(Window.orderBy($"term"))
+          .cast(LongType))
+      val hashed = tok.join(broadcast(dict), "term")
+      val mins = MA.zip(MB).zipWithIndex.map { case ((a, b), i) =>
+        min(pmod($"tid" * a + b, lit(10007L))).as(s"m${i + 1}")
+      }
+      hashed.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+        .select($"doc_id",
+          $"m1", $"m2", $"m3", $"m4", $"m5", $"m6", $"m7", $"m8",
+          ($"m1" * 10007 + $"m2").as("band1"),
+          ($"m3" * 10007 + $"m4").as("band2"),
+          ($"m5" * 10007 + $"m6").as("band3"),
+          ($"m7" * 10007 + $"m8").as("band4"))
+        .orderBy($"doc_id")
+    }),
+
+    // 16-bit SimHash over tf-weighted token hashes; docs sharing a
+    // signature (n_mates > 1) are near-dup candidates.
+    "dedup_simhash" -> ((s, dir) => {
+      import s.implicits._
+      val tf = Tables.load(s, dir, "documents")
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+        .filter($"term" =!= "")
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dict = tf.select($"term").distinct()
+        .withColumn("tid", row_number().over(Window.orderBy($"term"))
+          .cast(LongType))
+      val h = tf.join(broadcast(dict), "term")
+        .withColumn("h", pmod($"tid" * 2654435761L + 104729L, lit(65536L)))
+      val bits = h.select($"doc_id", $"tf", $"h",
+          explode(sequence(lit(0), lit(15))).as("j"))
+        .withColumn("w",
+          when(expr("(h div shiftleft(1L, j)) % 2") === 1, $"tf")
+            .otherwise(-$"tf"))
+      val sig = bits.groupBy($"doc_id", $"j").agg(sum($"w").as("sw"))
+        .withColumn("bit",
+          when($"sw" >= 0, expr("shiftleft(1L, j)")).otherwise(0L))
+        .groupBy($"doc_id").agg(sum($"bit").as("simhash"))
+      sig.withColumn("n_mates",
+          count(lit(1)).over(Window.partitionBy($"simhash")))
+        .select($"doc_id", $"simhash", $"n_mates")
+        .orderBy($"doc_id")
+    }),
+
+    // Embedding near-dup: sign-LSH bucket on the first 8 dimensions,
+    // exact cosine (sequential fold) within buckets, keep cos >= 0.3.
+    "dedup_embed" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "embeddings")
+        .withColumn("bucket",
+          (0 until 8).map(i =>
+            when(element_at($"embedding", i + 1) >= 0f, lit(1L << i))
+              .otherwise(lit(0L))).reduce(_ + _))
+        .withColumn("ss", aggregate(
+          $"embedding", lit(0.0),
+          (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+      val a = e.select($"bucket", $"vec_id".as("da"),
+                       $"embedding".as("ea"), $"ss".as("ssa"))
+      val b = e.select($"bucket", $"vec_id".as("db"),
+                       $"embedding".as("eb"), $"ss".as("ssb"))
+      a.join(b, Seq("bucket")).filter($"da" < $"db")
+        .withColumn("cos", aggregate(
+          zip_with($"ea", $"eb",
+            (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+          lit(0.0), (acc, x) => acc + x) / sqrt($"ssa" * $"ssb"))
+        .filter($"cos" >= 0.3)
+        .select($"da", $"db", $"bucket", round($"cos", 6).as("cos_r"))
+        .orderBy($"da", $"db")
+    }),
+
+    // Unigram language-ID: learn term→majority-language from the
+    // corpus (vocabulary-sized, broadcast), predict each doc by
+    // tf-weighted vote. Pure integer counts; ties break on lang asc.
+    "text_langid" -> ((s, dir) => {
+      import s.implicits._
+      val tf = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          explode(split(lower($"text"), " ")).as("term"))
+        .filter($"term" =!= "")
+        .groupBy($"doc_id", $"lang", $"term").agg(count(lit(1)).as("tf"))
+      val termLang = tf.groupBy($"term", $"lang")
+        .agg(sum($"tf").as("w"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"term").orderBy($"w".desc, $"lang")))
+        .filter($"rn" === 1)
+        .select($"term", $"lang".as("mlang"))
+      val votes = tf.join(broadcast(termLang), "term")
+        .groupBy($"doc_id", $"lang", $"mlang")
+        .agg(sum($"tf").as("score"))
+      votes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"score".desc, $"mlang")))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"lang", $"mlang".as("pred"),
+                ($"lang" === $"mlang").as("correct"))
+        .orderBy($"doc_id")
+    }),
+
+    // Quality scoring: type-token ratio, mean token length, stopword
+    // ratio, composite integer score. Single divisions of exact ints.
+    "text_quality" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .withColumn("n_tok",
+          size(split(lower($"text"), " ")).cast(LongType))
+        .withColumn("n_types",
+          size(array_distinct(split(lower($"text"), " "))).cast(LongType))
+        .withColumn("stop_cnt",
+          size(filter(split(lower($"text"), " "),
+            t => t.isInCollection(STOP))).cast(LongType))
+        .withColumn("ttr", $"n_types".cast(DoubleType) / $"n_tok")
+        .withColumn("avg_len",
+          ($"n_chars" - ($"n_tok" - 1)).cast(DoubleType) / $"n_tok")
+        .withColumn("stop_ratio", $"stop_cnt".cast(DoubleType) / $"n_tok")
+        .withColumn("score",
+          floor($"ttr" * 1000.0) + floor((lit(1.0) - $"stop_ratio") * 100.0)
+            + least($"n_tok", lit(50L)))
+        .select($"doc_id", $"n_tok", $"n_types", $"stop_cnt",
+                $"ttr", $"avg_len", $"stop_ratio", $"score")
+        .orderBy($"doc_id")
+    }),
+
+    // Token counting: whitespace tokens vs a BPE-ish regex lexer
+    // ([a-z]+ | digit runs | single punctuation), bytes and chars.
+    "text_tokens" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .withColumn("ws_tok",
+          size(split($"text", " ")).cast(LongType))
+        .withColumn("re_tok",
+          size(regexp_extract_all(lower($"text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast(LongType))
+        .withColumn("n_bytes", octet_length($"text").cast(LongType))
+        .withColumn("chars_per_tok",
+          $"n_chars".cast(DoubleType) / $"re_tok")
+        .select($"doc_id", $"ws_tok", $"re_tok", $"n_bytes",
+                $"chars_per_tok")
+        .orderBy($"doc_id")
+    }),
+
+    // Rolling polynomial fingerprint over the full character stream
+    // (order- and multiplicity-sensitive, unlike the token-set mask in
+    // dedup_near): h = fold(chars, h*131 + ascii(c) mod 1e9+7).
+    // n_dups > 1 ⇔ byte-identical text — distributed exact dedup
+    // without shuffling the text column itself (64-bit key instead).
+    "text_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .withColumn("fp", aggregate(
+          split($"text", ""), lit(0L),
+          (h, c) => pmod(h * 131L + ascii(c), lit(P))))
+        .withColumn("n_dups",
+          count(lit(1)).over(Window.partitionBy($"fp")))
+        .select($"doc_id", $"fp", $"n_dups")
+        .orderBy($"doc_id")
+    }),
+
+    // Multimodal binary-column plumbing: treat text bytes as an opaque
+    // payload (stand-in for image/audio bytes — no codec libs in this
+    // container), derive typed metadata: byte length, md5 digest, and
+    // STUB "decode" outputs (fake_w/fake_h/n_frames) that are
+    // deterministic functions of the payload size — the schema and
+    // partition-parallel shape are real, the codec is not. The typed
+    // Dataset/mapPartitions decode path lives in
+    // graft.functions.Multimodal (unit-tested, not oracle-able).
+    "mm_binary" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .withColumn("payload", $"text".cast(BinaryType))
+        .withColumn("n_bytes", octet_length($"payload").cast(LongType))
+        .select($"doc_id", $"n_bytes",
+          md5($"payload").as("digest"),
+          (pmod($"n_bytes", lit(640L)) + 1L).as("fake_w"),
+          (pmod($"n_bytes" * 7L, lit(480L)) + 1L).as("fake_h"),
+          (pmod($"doc_id", lit(24L)) + 1L).as("n_frames"))
+        .orderBy($"doc_id")
+    }))
+
+  def oracle: Seq[(String, String)] = Seq(
+    "dedup_minhash" ->
+      """WITH tok AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |dict AS (SELECT term,
+        |    CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS tid
+        |  FROM (SELECT DISTINCT term FROM tok2)),
+        |sig AS (SELECT doc_id,
+        |    min((tid * 7 + 3) % 10007) AS m1,
+        |    min((tid * 11 + 5) % 10007) AS m2,
+        |    min((tid * 13 + 7) % 10007) AS m3,
+        |    min((tid * 17 + 11) % 10007) AS m4,
+        |    min((tid * 19 + 13) % 10007) AS m5,
+        |    min((tid * 23 + 17) % 10007) AS m6,
+        |    min((tid * 29 + 19) % 10007) AS m7,
+        |    min((tid * 31 + 23) % 10007) AS m8
+        |  FROM tok2 JOIN dict USING (term) GROUP BY doc_id)
+        |SELECT doc_id, m1, m2, m3, m4, m5, m6, m7, m8,
+        |  m1 * 10007 + m2 AS band1, m3 * 10007 + m4 AS band2,
+        |  m5 * 10007 + m6 AS band3, m7 * 10007 + m8 AS band4
+        |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash" ->
+      """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |    FROM documents) t WHERE term <> '' GROUP BY doc_id, term),
+        |dict AS (SELECT term,
+        |    CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS tid
+        |  FROM (SELECT DISTINCT term FROM tf)),
+        |h AS (SELECT doc_id, tf, (tid * 2654435761 + 104729) % 65536 AS h
+        |  FROM tf JOIN dict USING (term)),
+        |bits AS (SELECT doc_id, j,
+        |    sum(CASE WHEN (h // (CAST(1 AS BIGINT) << j)) % 2 = 1
+        |             THEN tf ELSE -tf END) AS sw
+        |  FROM h CROSS JOIN generate_series(0, 15) AS g(j)
+        |  GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN sw >= 0 THEN CAST(1 AS BIGINT) << j
+        |                  ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT doc_id, simhash,
+        |  count(*) OVER (PARTITION BY simhash) AS n_mates
+        |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "dedup_embed" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+        |  + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+        |  + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+        |  + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+        |  + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+        |  + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+        |  + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END)
+        |    AS bucket,
+        |    list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |      (a, b) -> a + b) AS ss
+        |  FROM embeddings)
+        |SELECT a.vec_id AS da, b.vec_id AS db,
+        |  CAST(a.bucket AS BIGINT) AS bucket,
+        |  round(list_reduce(list_transform(
+        |      list_zip(a.embedding, b.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+        |      (x, y) -> x + y) / sqrt(a.ss * b.ss), 6) AS cos_r
+        |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE list_reduce(list_transform(
+        |      list_zip(a.embedding, b.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+        |      (x, y) -> x + y) / sqrt(a.ss * b.ss) >= 0.3
+        |ORDER BY da, db""".stripMargin,
+
+    "text_langid" ->
+      """WITH tf AS (SELECT doc_id, lang, term, count(*) AS tf FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(string_split(lower(text), ' ')) AS term
+        |    FROM documents) t WHERE term <> '' GROUP BY doc_id, lang, term),
+        |termlang AS (SELECT term, lang AS mlang FROM (
+        |    SELECT term, lang, row_number() OVER (PARTITION BY term
+        |      ORDER BY sum(tf) DESC, lang) AS rn
+        |    FROM tf GROUP BY term, lang) r WHERE rn = 1),
+        |votes AS (SELECT doc_id, lang, mlang, sum(tf) AS score
+        |  FROM tf JOIN termlang USING (term)
+        |  GROUP BY doc_id, lang, mlang),
+        |pred AS (SELECT doc_id, lang, mlang, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, mlang) AS rn
+        |  FROM votes)
+        |SELECT doc_id, lang, mlang AS pred, lang = mlang AS correct
+        |FROM pred WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id, n_tok, n_types, stop_cnt,
+        |  CAST(n_types AS DOUBLE) / n_tok AS ttr,
+        |  CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok AS avg_len,
+        |  CAST(stop_cnt AS DOUBLE) / n_tok AS stop_ratio,
+        |  CAST(floor((CAST(n_types AS DOUBLE) / n_tok) * 1000.0)
+        |     + floor((1.0 - CAST(stop_cnt AS DOUBLE) / n_tok) * 100.0)
+        |     AS BIGINT) + least(n_tok, 50) AS score
+        |FROM (SELECT doc_id, n_chars,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(string_split(lower(text), ' ')))
+        |      AS BIGINT) AS n_types,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      t -> t IN ('the', 'a', 'data', 'key', 'value')))
+        |      AS BIGINT) AS stop_cnt
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tok,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tok,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(n_chars AS DOUBLE)
+        |    / len(regexp_extract_all(lower(text),
+        |        '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS chars_per_tok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """WITH fp AS (SELECT doc_id,
+        |    list_reduce(list_transform(string_split(text, ''),
+        |      c -> CAST(ascii(c) AS BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 1000000007) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_dups
+        |FROM fp ORDER BY doc_id""".stripMargin,
+
+    "mm_binary" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest,
+        |  octet_length(encode(text)) % 640 + 1 AS fake_w,
+        |  (octet_length(encode(text)) * 7) % 480 + 1 AS fake_h,
+        |  doc_id % 24 + 1 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
