@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming source/sink plumbing (SURVEY.md §2.I st1, st10).
+  *
+  * The namesake pipeline of the reference genre — sensor events in,
+  * durable partitioned files out — maps to: parquet file stream source
+  * with an explicit schema (st1) → event-time transforms → parquet
+  * `FileStreamSink` with a checkpoint and `_spark_metadata` commit log
+  * (st10, exactly-once per file).
+  *
+  * Scale notes: the file source lists + replays files per trigger
+  * (`maxFilesPerTrigger` bounds batch size); state stores and the sink
+  * commit log live on the checkpoint FS (HDFS-compatible at scale);
+  * the sink partitions by event_type — at 100 TB add a time-bucket
+  * partition key so file counts per directory stay bounded.
+  */
+object EventStreams {
+
+  /** st1 — parquet file stream source over a replay directory, with
+    * the explicit events schema (file sources cannot infer). */
+  def readEventStream(spark: SparkSession, dir: String,
+                      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(Tables.events)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Stage the batch events table as an ordered sequence of chunk
+    * files under `replayDir`, so the file source replays it as a
+    * stream in event-time order. Optionally append a far-future
+    * sentinel event (event_type "wmflush") whose only job is to push
+    * the watermark past every real event so append-mode windows all
+    * emit before the query stops.
+    */
+  def stageReplay(spark: SparkSession, sfDir: String, replayDir: String,
+                  chunks: Int, sentinel: Boolean): Unit = {
+    import spark.implicits._
+    val fs = new java.io.File(replayDir)
+    if (fs.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(fs)
+    }
+    val ev = Tables.load(spark, sfDir, "events").orderBy($"ts", $"event_id")
+    val rows = ev.count()
+    val per = math.max(1, (rows + chunks - 1) / chunks)
+    // Deterministic time-ordered chunks: orderBy + coalesce(1) keeps
+    // one ordered partition, so monotonic ids follow event time.
+    val withChunk = ev.coalesce(1)
+      .withColumn("rn", monotonically_increasing_id())
+      .withColumn("chunk", (col("rn") / per).cast("int"))
+      .drop("rn")
+      .cache()
+    try {
+      val n = withChunk.agg(max($"chunk")).head().getInt(0)
+      (0 to n).foreach { i =>
+        withChunk.filter($"chunk" === i).drop("chunk")
+          .coalesce(1).write.mode("append").parquet(replayDir)
+      }
+    } finally withChunk.unpersist()
+    if (sentinel) {
+      val maxTs = Tables.load(spark, sfDir, "events")
+        .agg(max($"ts")).head().getTimestamp(0)
+      val far = new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000)
+      val row = Seq((Long.MaxValue, far, -1L, "wmflush", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      row.coalesce(1).write.mode("append").parquet(replayDir)
+    }
+  }
+
+  /** st10 — checkpointed, partitioned parquet sink (the namesake op).
+    * `_spark_metadata` in outDir makes re-reads exactly-once per file.
+    */
+  def parquetSink(df: DataFrame, outDir: String, checkpointDir: String)
+      : DataStreamWriter[Row] =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+
+  /** Run any streaming writer to completion over all currently
+    * available input (Trigger.AvailableNow), honoring
+    * maxFilesPerTrigger chunking — the replay harness used by the
+    * batch-equivalence suite and the demo main. */
+  def runToCompletion(w: DataStreamWriter[Row]): Unit = {
+    val q: StreamingQuery = w.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,190 @@
+package graft.streaming
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.types._
+
+/** 2.I — event-time transforms over the event stream (SURVEY.md §2.I
+  * st2–st9, st11). Each function takes a (streaming or batch)
+  * DataFrame with the events schema and returns the transformed frame —
+  * the SAME code path runs incrementally under `readStream` and as a
+  * plain batch query, which is exactly what the batch-equivalence
+  * suite (§5.5) asserts.
+  *
+  * Scale notes: all aggregations are keyed by (window, low-cardinality
+  * key) so state partitions evenly; watermarks bound state (expired
+  * windows are dropped from the store); stream–stream join state is
+  * watermark-trimmed on both sides; `mapGroupsWithState` state is one
+  * tiny case class per user, never a collection.
+  */
+object StreamQueries {
+
+  /** st2 — 1-hour tumbling window: count + exact-decimal value sum per
+    * event_type. */
+  def tumbling(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), Det.dsum($"value").as("sum_v"))
+      .select($"window.start".as("ws"), $"event_type", $"n", $"sum_v")
+  }
+
+  /** st3 — 1-hour window sliding every 15 minutes. */
+  def sliding(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), Det.dsum($"value").as("sum_v"))
+      .select($"window.start".as("ws"), $"event_type", $"n", $"sum_v")
+  }
+
+  /** st4 — per-user session windows with a 30-minute gap. */
+  def sessions(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"), Det.dsum($"value").as("sum_v"))
+      .select($"session_window.start".as("ss"),
+              $"session_window.end".as("se"), $"user_id", $"n", $"sum_v")
+  }
+
+  /** st5 — tumbling window behind a 1-hour watermark: in append mode
+    * a window emits once the watermark passes its end, and events
+    * arriving later than (max event time − 1h) are dropped. */
+  def tumblingWatermarked(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    tumbling(events.withWatermark("ts", "1 hour"))
+  }
+
+  /** st6 — streaming dedup on event_id within the watermark. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame = {
+    val deduped =
+      if (events.isStreaming)
+        events.withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+      else events.dropDuplicates("event_id")
+    import events.sparkSession.implicits._
+    deduped.select($"event_id", $"user_id", $"event_type", $"value")
+  }
+
+  case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                      event_type: String, value: Double, props: String)
+  case class UserState(n: Long, sumCents: Long, lastId: Long)
+  case class UserSummary(user_id: Long, n: Long, sum_cents: Long,
+                         last_id: Long)
+
+  /** Exact cents for a fixture value (2-decimal doubles) — matches
+    * Det.money * 100 in the batch analogue. */
+  private[streaming] def cents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP)
+      .movePointRight(2).longValueExact()
+
+  /** st7 — arbitrary stateful op (`mapGroupsWithState`): running
+    * per-user summary (count, exact value cents, latest event id),
+    * emitted in update mode each micro-batch. The genre's
+    * `updateStateByKey`, modernized. State is O(1) per user. */
+  def userRunningSummary(events: Dataset[EventRow]): Dataset[UserSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
+        (uid: Long, it: Iterator[EventRow],
+         state: org.apache.spark.sql.streaming.GroupState[UserState]) => {
+          var s = state.getOption.getOrElse(UserState(0L, 0L, -1L))
+          it.foreach { e =>
+            val lid = if (e.event_id > s.lastId) e.event_id else s.lastId
+            s = UserState(s.n + 1, s.sumCents + cents(e.value), lid)
+          }
+          state.update(s)
+          UserSummary(uid, s.n, s.sumCents, s.lastId)
+        })
+  }
+
+  /** Batch analogue of st7's FINAL state per user. */
+  def userSummaryBatch(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+           sum((Det.money($"value") * 100).cast(LongType)).as("sum_cents"),
+           max($"event_id").as("last_id"))
+  }
+
+  /** st8 — stream–static join: enrich events with a user dimension
+    * derived from customer (user_id → segment), broadcast per batch. */
+  def enrichWithUserDim(events: DataFrame, spark: SparkSession,
+                        sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Tables.load(spark, sfDir, "customer")
+      .select($"c_custkey".as("user_id"), $"c_mktsegment".as("segment"),
+              $"c_nationkey".as("nationkey"))
+    events.join(broadcast(dim), "user_id")
+      .select($"event_id", $"user_id", $"event_type", $"segment",
+              $"nationkey")
+  }
+
+  /** st9 — stream–stream interval join: purchases ⋈ clicks of the
+    * same user within ±30 minutes, both sides watermarked so join
+    * state is bounded. */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", "1 hour")
+      else events
+    val purchases = withWm.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+    val clicks = (if (events.isStreaming)
+        events.withWatermark("ts", "1 hour") else events)
+      .filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id".as("c_user"),
+              $"ts".as("c_ts"))
+    purchases.join(clicks,
+      $"user_id" === $"c_user" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES") &&
+        $"c_ts" <= $"p_ts" + expr("INTERVAL 30 MINUTES"))
+      .select($"p_id", $"c_id", $"user_id")
+  }
+
+  /** st11 — foreachBatch upsert sink: maintain latest-event-per-user
+    * in a parquet target by merging each micro-batch (read current →
+    * union → keep max event_id per user → overwrite). Idempotent per
+    * batch — reprocessing a batch converges to the same target. */
+  def foreachBatchUpsert(events: DataFrame, targetDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        upsertLatest(batch, targetDir)
+    }
+  }
+
+  /** Merge one micro-batch into the latest-per-user target table. */
+  def upsertLatest(batch: DataFrame, targetDir: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val incoming = batch
+      .select($"user_id", $"event_id", $"event_type", $"value")
+    val existing =
+      try spark.read.parquet(targetDir)
+      catch { case _: Exception => spark.emptyDataFrame }
+    val all =
+      if (existing.columns.sameElements(incoming.columns))
+        incoming.unionByName(existing)
+      else incoming
+    val latest = all
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"event_id".desc)))
+      .filter($"rn" === 1).drop("rn")
+    // Stage-then-swap so the target is never half-written while the
+    // next batch reads it back. (At real scale this merge is a
+    // transactional-table MERGE INTO; plain parquet needs the swap.)
+    val stage = targetDir + "_stage"
+    latest.write.mode("overwrite").parquet(stage)
+    def rm(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(targetDir))
+    new java.io.File(stage).renameTo(new java.io.File(targetDir))
+  }
+}

@@ -1,0 +1,170 @@
+package graft.streaming
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** §5.5 batch-equivalence harness: every 2.I streaming op replayed via
+  * the file source (chunked, AvailableNow) must end in the same state
+  * as its batch analogue on the same data. Substitutes for the missing
+  * SQL oracle on streaming (SURVEY.md §2.I).
+  */
+class StreamingEquivalenceSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  /** Batch events for the equivalence side. */
+  private def batchEvents: DataFrame = Tables.load(spark, sf, "events")
+
+  /** Stage the sf0.001 events as a 5-chunk replay (plus watermark
+    * sentinel when append-mode emission needs flushing). */
+  private def replayDir(name: String, sentinel: Boolean): String = {
+    val dir = scratch(s"replay_$name")
+    EventStreams.stageReplay(spark, sf, dir, chunks = 5, sentinel)
+    dir
+  }
+
+  private def runToMemory(df: DataFrame, name: String, mode: String)
+      : DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  test("st1+st2: tumbling window over file stream == batch (complete)") {
+    val stream = EventStreams.readEventStream(
+      spark, replayDir("st2", sentinel = false))
+    val got = runToMemory(StreamQueries.tumbling(stream), "st2_out",
+      "complete")
+    assertSameRows(got, StreamQueries.tumbling(batchEvents), "st2")
+  }
+
+  test("st3: sliding window == batch (complete)") {
+    val stream = EventStreams.readEventStream(
+      spark, replayDir("st3", sentinel = false))
+    val got = runToMemory(StreamQueries.sliding(stream), "st3_out",
+      "complete")
+    assertSameRows(got, StreamQueries.sliding(batchEvents), "st3")
+  }
+
+  test("st4: session windows (append + watermark sentinel) == batch") {
+    val stream = EventStreams.readEventStream(
+      spark, replayDir("st4", sentinel = true))
+    val got = runToMemory(
+      StreamQueries.sessions(stream.withWatermark("ts", "1 hour")),
+      "st4_out", "append")
+    // Sentinel session (user -1) is never emitted: the watermark stops
+    // 1h before it. Everything real must match the batch analogue.
+    assertSameRows(got, StreamQueries.sessions(batchEvents), "st4")
+  }
+
+  test("st5: watermarked tumbling emits all real windows, drops late data") {
+    val dir = replayDir("st5", sentinel = true)
+    // Append one LATE file after the sentinel: an event 48h before the
+    // sentinel-advanced watermark — must be dropped, not re-open its
+    // window.
+    val minTs = batchEvents.agg(min($"ts")).head().getTimestamp(0)
+    Seq((999999L, minTs, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stream = EventStreams.readEventStream(spark, dir)
+    val got = runToMemory(StreamQueries.tumblingWatermarked(stream),
+      "st5_out", "append")
+    // == batch over the ORIGINAL events only: sentinel window unemitted,
+    // late row dropped.
+    assertSameRows(got, StreamQueries.tumbling(batchEvents), "st5")
+  }
+
+  test("st6: dropDuplicatesWithinWatermark == batch distinct") {
+    val dir = scratch("replay_st6")
+    val ev = batchEvents.orderBy($"ts", $"event_id").limit(400)
+    ev.coalesce(1).write.mode("append").parquet(dir)
+    // Second chunk repeats 200 of the same events (duplicate ids).
+    ev.limit(200).coalesce(1).write.mode("append").parquet(dir)
+    val stream = EventStreams.readEventStream(spark, dir)
+    val got = runToMemory(StreamQueries.dedupWithinWatermark(stream),
+      "st6_out", "append")
+    assertSameRows(got, StreamQueries.dedupWithinWatermark(ev), "st6")
+  }
+
+  test("st7: mapGroupsWithState running summary converges to batch agg") {
+    val stream = EventStreams.readEventStream(
+      spark, replayDir("st7", sentinel = false))
+    val got = runToMemory(
+      StreamQueries.userRunningSummary(
+        stream.as[StreamQueries.EventRow]).toDF(),
+      "st7_out", "update")
+    // Update mode emits one row per user per touching batch; the LAST
+    // row per user is the final state.
+    val lastPerUser = got
+      .withColumn("rid", monotonically_increasing_id())
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"rid".desc)))
+      .filter($"rn" === 1)
+      .select($"user_id", $"n", $"sum_cents", $"last_id")
+    assertSameRows(lastPerUser,
+      StreamQueries.userSummaryBatch(batchEvents), "st7")
+  }
+
+  test("st8: stream-static join == batch join") {
+    val stream = EventStreams.readEventStream(
+      spark, replayDir("st8", sentinel = false))
+    val got = runToMemory(
+      StreamQueries.enrichWithUserDim(stream, spark, sf),
+      "st8_out", "append")
+    assertSameRows(got,
+      StreamQueries.enrichWithUserDim(batchEvents, spark, sf), "st8")
+  }
+
+  test("st9: stream-stream interval join == batch join") {
+    val stream = EventStreams.readEventStream(
+      spark, replayDir("st9", sentinel = false))
+    val got = runToMemory(StreamQueries.purchaseClickJoin(stream),
+      "st9_out", "append")
+    assertSameRows(got, StreamQueries.purchaseClickJoin(batchEvents),
+      "st9")
+  }
+
+  test("st10: checkpointed partitioned parquet sink is exactly-once") {
+    val dir = replayDir("st10", sentinel = true)
+    val out = scratch("st10_out")
+    val chk = scratch("st10_chk")
+    def runOnce(): Unit = EventStreams.runToCompletion(
+      EventStreams.parquetSink(
+        StreamQueries.tumblingWatermarked(
+          EventStreams.readEventStream(spark, dir)),
+        out, chk).partitionBy("event_type"))
+    runOnce()
+    val first = spark.read.parquet(out)
+    // Partitioned read-back moves event_type to the end; realign.
+    val cols = Seq("ws", "event_type", "n", "sum_v").map(col)
+    assertSameRows(first.select(cols: _*),
+      StreamQueries.tumbling(batchEvents), "st10 first run")
+    // Restart on the same checkpoint with no new input: the commit log
+    // must prevent any re-emission.
+    runOnce()
+    val second = spark.read.parquet(out)
+    assertSameRows(second.select(cols: _*),
+      StreamQueries.tumbling(batchEvents), "st10 after restart")
+  }
+
+  test("st11: foreachBatch upsert target == batch latest-per-user") {
+    val target = scratch("st11_target")
+    val stream = EventStreams.readEventStream(
+      spark, replayDir("st11", sentinel = false))
+    val q = StreamQueries.foreachBatchUpsert(stream, target)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(target)
+    val want = batchEvents
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"event_id".desc)))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"event_type", $"value")
+    assertSameRows(got, want, "st11")
+  }
+}
