@@ -77,7 +77,7 @@ object StreamQueries {
 
   /** Exact cents for a fixture value (2-decimal doubles) — matches
     * Det.money * 100 in the batch analogue. */
-  private[streaming] def cents(v: Double): Long =
+  def cents(v: Double): Long =
     java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP)
       .movePointRight(2).longValueExact()
 

@@ -1,0 +1,85 @@
+package graft
+
+/** Physical-plan shape assertions (SURVEY.md §5.3): the point is not
+  * that a query returns rows but that Catalyst picked the plan the
+  * 100-TB design requires — broadcast vs shuffle join, top-k instead
+  * of global sort, scan-level filter/column pushdown, rank-limit
+  * pushdown into windows.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def planOf(key: String): String = {
+    val df = SparkEntry.queries(key)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("join_broadcast plans a BroadcastHashJoin") {
+    assert(planOf("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("join_shuffle plans a SortMergeJoin (broadcast pinned off)") {
+    assert(planOf("join_shuffle").contains("SortMergeJoin"))
+  }
+
+  test("join_anti plans a LeftAnti join") {
+    assert(planOf("join_anti").contains("LeftAnti"))
+  }
+
+  test("sort_limit_topk plans TakeOrderedAndProject, not a global sort") {
+    assert(planOf("sort_limit_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("win_topk_pergroup pushes the rank limit into the window") {
+    // Spark 3.5+/4.x WindowGroupLimit stops per-partition work at k
+    // rows instead of ranking the whole partition then filtering.
+    assert(planOf("win_topk_pergroup").contains("WindowGroupLimit"))
+  }
+
+  test("scan_pruned pushes filter and prunes columns at the scan") {
+    val p = planOf("scan_pruned")
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThan(l_extendedprice"),
+      s"filter not pushed to scan:\n$p")
+    assert(p.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+        "l_extendedprice:double>"),
+      s"scan reads more than the 3 projected columns:\n$p")
+  }
+
+  test("agg_hash is a two-phase HashAggregate inside codegen") {
+    val df = SparkEntry.queries("agg_hash")(spark, sf)
+    df.collect() // execute THIS plan so AQE finalizes codegen stages
+                 // (count() would build its own QueryExecution)
+    val p = df.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "partial+final aggregate split missing")
+    // simpleString marks whole-stage-codegen pipelines as "*(n) Op".
+    assert(p.contains("*("), "no whole-stage-codegen span in final plan")
+  }
+
+  test("fn_explode plans a Generate (UDTF surface)") {
+    assert(planOf("fn_explode").contains("Generate"))
+  }
+
+  test("vec_knn broadcasts the bounded query side") {
+    val p = planOf("vec_knn")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), s"query side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "unbounded cartesian product in knn plan")
+  }
+
+  test("dedup_near joins on the fingerprint, no cartesian product") {
+    val p = planOf("dedup_near")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup degenerated to all-pairs:\n$p")
+  }
+
+  test("join_multiway broadcasts every dimension table") {
+    val p = planOf("join_multiway")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"star-join dimensions not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+}

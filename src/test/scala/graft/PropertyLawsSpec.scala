@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Algebraic-law property tests (SURVEY.md §5.4) over scalacheck
+  * generators with fixed seeds (deterministic CI). Generators feed
+  * tiny literal DataFrames through the same operator definitions the
+  * oracled queries use.
+  */
+class PropertyLawsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  /** Deterministic sample of `n` values from a Gen. */
+  private def sample[T](g: Gen[T], n: Int, seed: Long = 42L): Seq[T] = {
+    val p = Gen.Parameters.default
+    Iterator.iterate(Seed(seed))(_.next)
+      .map(s => g.apply(p, s))
+      .flatten.take(n).toSeq
+  }
+
+  private val wordGen = Gen.oneOf("join", "hash", "scan", "row", "batch",
+    "filter", "merge", "sort", "the", "a", "data")
+  private val docGen: Gen[String] =
+    Gen.chooseNum(3, 20).flatMap(n => Gen.listOfN(n, wordGen))
+      .map(_.mkString(" "))
+
+  /** The deterministic dedup form used by dedup_exact: keep lowest id
+    * per text. */
+  private def dedup(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("rn", row_number().over(
+        Window.partitionBy($"text").orderBy($"id")))
+      .filter($"rn" === 1).drop("rn")
+  }
+
+  test("dedup is idempotent and keeps one row per distinct text") {
+    val docs = sample(docGen, 80).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val once = dedup(docs)
+    assertSameRows(dedup(once), once, "idempotence")
+    assert(once.count() == docs.select($"text").distinct().count())
+  }
+
+  test("union-all counts are additive; intersect is a lower bound") {
+    val a = sample(docGen, 60, 1L).toDF("text")
+    val b = sample(docGen, 40, 2L).toDF("text")
+    assert(a.unionAll(b).count() == a.count() + b.count())
+    val i = a.intersect(b)
+    assert(i.count() <= math.min(
+      a.distinct().count(), b.distinct().count()))
+    assert(i.exceptAll(a.distinct()).count() == 0)
+  }
+
+  test("global sort is permutation-invariant") {
+    val rows = sample(Gen.zip(Gen.chooseNum(0L, 50L),
+      Gen.chooseNum(-1000.0, 1000.0).map(v => math.round(v * 100) / 100.0)),
+      200).zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+    val df = rows.toDF("k", "v", "id")
+    val shuffled = df.repartition(7, $"v")
+    val s1 = df.orderBy($"k", $"v", $"id").collect().toSeq
+    val s2 = shuffled.orderBy($"k", $"v", $"id").collect().toSeq
+    assert(s1 == s2)
+  }
+
+  test("cosine(v, v) == 1 exactly for the knn fold on nonzero vectors") {
+    val vecGen = Gen.listOfN(16,
+      Gen.chooseNum(-100, 100).map(_ / 64.0f)).suchThat(_.exists(_ != 0f))
+    val vs = sample(vecGen, 30).map(v => Tuple1(v.toArray)).toDF("v")
+    val ss = aggregate($"v", lit(0.0),
+      (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
+    // Same formula as vec_knn: dot / sqrt(ss_a * ss_b).
+    val cos = vs.select((aggregate(
+        zip_with($"v", $"v",
+          (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+        lit(0.0), (acc, x) => acc + x) / sqrt(ss * ss))
+      .as("c")).collect().map(_.getDouble(0))
+    // dot(v,v) ≡ ss(v) bit-exactly (identical fold); the ±2-ulp slack
+    // is the sqrt(ss²) normalization — the reason the oracled query
+    // rounds cosines to 6 decimals before emitting them.
+    assert(cos.forall(c => math.abs(c - 1.0) < 1e-12), cos.mkString(","))
+  }
+
+  test("polynomial fingerprint: equal text ⇒ equal fp; injective on sample") {
+    val texts = sample(docGen, 100).distinct
+    val df = (texts ++ texts).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .withColumn("fp", aggregate(split($"text", ""), lit(0L),
+        (h, c) => pmod(h * 131L + ascii(c), lit(1000000007L))))
+    val perText = df.groupBy($"text")
+      .agg(countDistinct($"fp").as("nfp")).collect()
+    assert(perText.forall(_.getLong(1) == 1L), "same text, differing fp")
+    val collisions = df.select($"text", $"fp").distinct()
+      .groupBy($"fp").count().filter($"count" > 1).count()
+    assert(collisions == 0, "fingerprint collision on tiny sample")
+  }
+
+  test("streaming cents() matches the batch decimal-cents expression") {
+    val vals = sample(Gen.chooseNum(0, 1000000)
+      .map(_ / 100.0), 300)
+    val batch = vals.toDF("v")
+      .select((Det.money($"v") * 100).cast(LongType).as("c"))
+      .collect().map(_.getLong(0)).toSeq
+    val typed = vals.map(graft.streaming.StreamQueries.cents)
+    assert(batch == typed)
+  }
+
+  test("multimodal feature extraction preserves rows and dedups by checksum") {
+    import graft.functions.Multimodal
+    val ds = Multimodal.fromDocuments(spark, sf)
+    val feats = Multimodal.extractFeatures(ds).cache()
+    try {
+      assert(feats.count() == ds.count())
+      // checksum-distinct == payload-distinct (FNV-1a faithful on sample)
+      val nPayload = ds.select(md5($"payload")).distinct().count()
+      val nChecksum = feats.select($"checksum").distinct().count()
+      assert(nChecksum == nPayload)
+      // stub decoder is deterministic + kind-consistent
+      val bad = feats.filter(
+        ($"kind" === "image" && ($"width" <= 0 || $"duration_ms" =!= 0)) ||
+        ($"kind" === "audio" && ($"width" =!= 0 || $"duration_ms" <= 0)) ||
+        ($"kind" === "video" && ($"width" <= 0 || $"duration_ms" <= 0)))
+      assert(bad.count() == 0)
+    } finally feats.unpersist()
+  }
+}
