@@ -130,14 +130,14 @@ object LlmQueries extends QueryPack {
         .orderBy($"da", $"db")
     }),
 
-    // L2 norm per embedding (sequential fold), per-label stats over
-    // 6-decimal-rounded norms (order-free decimal summation).
+    // L2 norm per embedding (fused codegen fnorm2 — same sequential
+    // fold as the HOF form, see functions/VectorExpressions), per-label
+    // stats over 6-decimal-rounded norms (order-free decimal summation).
     "vec_norm" -> ((s, dir) => {
       import s.implicits._
+      graft.functions.VectorExpressions.register(s)
       Tables.load(s, dir, "embeddings")
-        .withColumn("norm", sqrt(aggregate(
-          $"embedding", lit(0.0),
-          (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))))
+        .withColumn("norm", sqrt(expr("fnorm2(embedding)")))
         .withColumn("norm_r", round($"norm", 6).cast(DecimalType(18, 6)))
         .groupBy($"label")
         .agg(count(lit(1)).as("n_vecs"),
@@ -154,19 +154,15 @@ object LlmQueries extends QueryPack {
     // cross-engine, so ranking on the raw double is safe.
     "vec_knn" -> ((s, dir) => {
       import s.implicits._
+      graft.functions.VectorExpressions.register(s)
       val e = Tables.load(s, dir, "embeddings")
-        .withColumn("ss", aggregate(
-          $"embedding", lit(0.0),
-          (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+        .withColumn("ss", expr("fnorm2(embedding)"))
       val q = e.select($"vec_id".as("q_id"), $"embedding".as("qe"),
                        $"ss".as("qss")).filter($"q_id" < 10)
       val c = e.select($"vec_id".as("c_id"), $"embedding".as("ce"),
                        $"ss".as("css"))
       val pairs = broadcast(q).crossJoin(c).filter($"q_id" =!= $"c_id")
-        .withColumn("dot", aggregate(
-          zip_with($"qe", $"ce",
-            (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-          lit(0.0), (acc, x) => acc + x))
+        .withColumn("dot", expr("fdot(qe, ce)"))
         .withColumn("cos", $"dot" / sqrt($"qss" * $"css"))
       pairs
         .withColumn("rank", row_number().over(

@@ -96,23 +96,19 @@ object TrainQueries extends QueryPack {
     // exact cosine (sequential fold) within buckets, keep cos >= 0.3.
     "dedup_embed" -> ((s, dir) => {
       import s.implicits._
+      graft.functions.VectorExpressions.register(s)
       val e = Tables.load(s, dir, "embeddings")
         .withColumn("bucket",
           (0 until 8).map(i =>
             when(element_at($"embedding", i + 1) >= 0f, lit(1L << i))
               .otherwise(lit(0L))).reduce(_ + _))
-        .withColumn("ss", aggregate(
-          $"embedding", lit(0.0),
-          (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+        .withColumn("ss", expr("fnorm2(embedding)"))
       val a = e.select($"bucket", $"vec_id".as("da"),
                        $"embedding".as("ea"), $"ss".as("ssa"))
       val b = e.select($"bucket", $"vec_id".as("db"),
                        $"embedding".as("eb"), $"ss".as("ssb"))
       a.join(b, Seq("bucket")).filter($"da" < $"db")
-        .withColumn("cos", aggregate(
-          zip_with($"ea", $"eb",
-            (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-          lit(0.0), (acc, x) => acc + x) / sqrt($"ssa" * $"ssb"))
+        .withColumn("cos", expr("fdot(ea, eb)") / sqrt($"ssa" * $"ssb"))
         .filter($"cos" >= 0.3)
         .select($"da", $"db", $"bucket", round($"cos", 6).as("cos_r"))
         .orderBy($"da", $"db")
