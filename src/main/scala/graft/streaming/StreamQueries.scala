@@ -102,6 +102,43 @@ object StreamQueries {
         })
   }
 
+  /** st7 (Spark 4 API) — the same running summary via
+    * `transformWithState`: explicit `ValueState` on the new
+    * StatefulProcessor surface (requires the RocksDB state store
+    * provider). Kept alongside `mapGroupsWithState` per SURVEY.md §7.3
+    * so either API carries the operator if the other bites. */
+  class UserSummaryProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventRow, UserSummary] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var state: ValueState[UserState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserState]("summary",
+        org.apache.spark.sql.Encoders.product[UserState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserSummary] = {
+      var s = if (state.exists()) state.get() else UserState(0L, 0L, -1L)
+      rows.foreach { e =>
+        val lid = if (e.event_id > s.lastId) e.event_id else s.lastId
+        s = UserState(s.n + 1, s.sumCents + cents(e.value), lid)
+      }
+      state.update(s)
+      Iterator.single(UserSummary(key, s.n, s.sumCents, s.lastId))
+    }
+  }
+
+  def userRunningSummaryTws(events: Dataset[EventRow])
+      : Dataset[UserSummary] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserSummaryProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Batch analogue of st7's FINAL state per user. */
   def userSummaryBatch(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._

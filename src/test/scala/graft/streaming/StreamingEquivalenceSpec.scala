@@ -109,6 +109,38 @@ class StreamingEquivalenceSpec extends SparkTestBase {
       StreamQueries.userSummaryBatch(batchEvents), "st7")
   }
 
+  test("st7b: transformWithState (RocksDB) matches mapGroupsWithState") {
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val stream = EventStreams.readEventStream(
+        spark, replayDir("st7b", sentinel = false))
+      val got = runToMemory(
+        StreamQueries.userRunningSummaryTws(
+          stream.as[StreamQueries.EventRow]).toDF(),
+        "st7b_out", "update")
+      val lastPerUser = got
+        .withColumn("rid", monotonically_increasing_id())
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"user_id").orderBy($"rid".desc)))
+        .filter($"rn" === 1)
+        .select($"user_id", $"n", $"sum_cents", $"last_id")
+      assertSameRows(lastPerUser,
+        StreamQueries.userSummaryBatch(batchEvents), "st7b")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("st8: stream-static join == batch join") {
     val stream = EventStreams.readEventStream(
       spark, replayDir("st8", sentinel = false))
