@@ -174,6 +174,59 @@ object LlmQueries extends QueryPack {
         .orderBy($"q_id", $"rank")
     }),
 
+    // IVF-style approximate kNN — the 100-TB scale path for
+    // similarity search: a coarse quantizer (the deterministic
+    // integer-quantized label centroids; a k-means codebook in a real
+    // pipeline) partitions the candidate side; each query probes only
+    // its 3 nearest cells, so search cost is (probed fraction) × N
+    // instead of N. Same bounded query side and sequential-fold
+    // cosine arithmetic as vec_knn, so the result is exactly
+    // reproducible in the DuckDB mirror.
+    "vec_knn_ivf" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.VectorExpressions.register(s)
+      val e = Tables.load(s, dir, "embeddings")
+        .withColumn("ss", expr("fnorm2(embedding)"))
+      // Codebook: per-label centroid arrays (as in vec_centroid).
+      val cent = e.select($"label", posexplode($"embedding")
+          .as(Seq("pos", "x")))
+        .withColumn("xq", floor($"x".cast(DoubleType) * 1e7))
+        .groupBy($"label", $"pos")
+        .agg((sum($"xq").cast(DoubleType) / count(lit(1))).as("cq"))
+      val centArr = cent.groupBy($"label")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"cq"))),
+          t => t.getField("cq")).as("carr"))
+        .select($"label".as("cl"), $"carr")
+      def sqdist = aggregate(
+        zip_with($"embedding", $"carr",
+          (x, cc) => (x.cast(DoubleType) - cc) * (x.cast(DoubleType) - cc)),
+        lit(0.0), (acc, x) => acc + x)
+      // Assign every candidate to its nearest cell (one scan).
+      val cand = e.crossJoin(broadcast(centArr))
+        .withColumn("d", sqdist)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"d", $"cl")))
+        .filter($"rn" === 1)
+        .select($"cl".as("cell"), $"vec_id".as("c_id"),
+                $"embedding".as("ce"), $"ss".as("css"))
+      // Each query probes its 3 nearest cells.
+      val probe = e.filter($"vec_id" < 10).crossJoin(broadcast(centArr))
+        .withColumn("d", sqdist)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"d", $"cl")))
+        .filter($"rn" <= 3)
+        .select($"vec_id".as("q_id"), $"embedding".as("qe"),
+                $"ss".as("qss"), $"cl".as("cell"))
+      broadcast(probe).join(cand, "cell").filter($"q_id" =!= $"c_id")
+        .withColumn("cos", expr("fdot(qe, ce)") / sqrt($"qss" * $"css"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"cos".desc, $"c_id"))
+          .cast(LongType))
+        .filter($"rank" <= 5)
+        .select($"q_id", $"rank", $"c_id", round($"cos", 6).as("cos_r"))
+        .orderBy($"q_id", $"rank")
+    }),
+
     // Per-label centroids from integer-quantized (1e-7) per-dimension
     // sums — exact, order-free, mergeable — plus the fraction of each
     // label's vectors whose nearest centroid is their own label.
@@ -287,6 +340,48 @@ object LlmQueries extends QueryPack {
         |      (a, b) -> a + b) / sqrt(q.ss * c.ss) AS cos
         |  FROM e q CROSS JOIN e c
         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |  ORDER BY cos DESC, c_id) AS rank FROM pairs)
+        |SELECT q_id, rank, c_id, round(cos, 6) AS cos_r
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "vec_knn_ivf" ->
+      """WITH e AS (SELECT vec_id, label, embedding,
+        |    list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |      (a, b) -> a + b) AS ss FROM embeddings),
+        |flat AS (
+        |  SELECT label, i - 1 AS pos,
+        |    floor(CAST(embedding[i] AS DOUBLE) * 1e7) AS xq
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)),
+        |cent AS (
+        |  SELECT label, pos,
+        |    CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*) AS cq
+        |  FROM flat GROUP BY label, pos),
+        |centarr AS (
+        |  SELECT label AS cl, list(cq ORDER BY pos) AS carr
+        |  FROM cent GROUP BY label),
+        |dists AS (
+        |  SELECT e.vec_id, e.embedding, e.ss, ca.cl,
+        |    list_reduce(list_transform(list_zip(e.embedding, ca.carr),
+        |      p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])),
+        |      (a, b) -> a + b) AS d
+        |  FROM e CROSS JOIN centarr ca),
+        |cand AS (
+        |  SELECT cl AS cell, vec_id AS c_id, embedding AS ce, ss AS css
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY d, cl) AS rn FROM dists) WHERE rn = 1),
+        |probe AS (
+        |  SELECT vec_id AS q_id, embedding AS qe, ss AS qss, cl AS cell
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY d, cl) AS rn FROM dists WHERE vec_id < 10)
+        |  WHERE rn <= 3),
+        |pairs AS (
+        |  SELECT q_id, c_id,
+        |    list_reduce(list_transform(list_zip(qe, ce),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+        |      (a, b) -> a + b) / sqrt(qss * css) AS cos
+        |  FROM probe JOIN cand USING (cell) WHERE q_id <> c_id),
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
         |  ORDER BY cos DESC, c_id) AS rank FROM pairs)
         |SELECT q_id, rank, c_id, round(cos, 6) AS cos_r

@@ -109,6 +109,18 @@ class PropertyLawsSpec extends SparkTestBase {
     assert(batch == typed)
   }
 
+  test("IVF kNN: cosines bounded by brute force, recall >= 0.6") {
+    val brute = SparkEntry.queries("vec_knn")(spark, sf)
+      .select($"q_id", $"c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("vec_knn_ivf")(spark, sf)
+      .select($"q_id", $"c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.size == brute.size)
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall $recall vs brute force")
+  }
+
   test("multimodal feature extraction preserves rows and dedups by checksum") {
     import graft.functions.Multimodal
     val ds = Multimodal.fromDocuments(spark, sf)
