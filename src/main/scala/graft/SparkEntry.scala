@@ -18,7 +18,8 @@ object SparkEntry {
     operators.FnQueries,
     operators.SourceSinkQueries,
     operators.LlmQueries,
-    operators.TrainQueries)
+    operators.TrainQueries,
+    operators.SqlQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** EP2 SQL-surface operators (SURVEY.md §3 EP2): pivot and the
+  * subquery family. Subqueries exercise Catalyst's decorrelation
+  * rewrites (`RewriteCorrelatedScalarSubquery`, semi/anti conversion
+  * of EXISTS/IN) — the same physical plans as the DF-API joins, which
+  * is exactly the point: EP1 and EP2 converge on one IR.
+  *
+  * Determinism: counts are integers; the one scalar threshold is an
+  * exact decimal sum divided once (both engines produce the identical
+  * double, so the comparison filters identical rows).
+  *
+  * Scale: pivot is a single two-phase aggregate over a FIXED value
+  * list (never an implicit distinct-scan of the pivot column at
+  * planning time); correlated counts decorrelate to one shuffled
+  * aggregate + join, not per-row subquery execution.
+  */
+object SqlQueries extends QueryPack {
+
+  def queries: Seq[(String, Q)] = Seq(
+    // Pivot events into per-user counts per event_type, value list
+    // pinned (5 types) so the plan needs no pre-scan.
+    "agg_pivot" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy($"user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .select($"user_id",
+          coalesce($"click", lit(0L)).as("click"),
+          coalesce($"error", lit(0L)).as("error"),
+          coalesce($"purchase", lit(0L)).as("purchase"),
+          coalesce($"signup", lit(0L)).as("signup"),
+          coalesce($"view", lit(0L)).as("view"))
+        .orderBy($"user_id")
+    }),
+
+    // Uncorrelated scalar subquery: orders above 1.5× the global
+    // average order value (exact-decimal average → identical double).
+    "sub_scalar" -> ((s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("sq_orders")
+      s.sql("""
+        SELECT o_orderkey, o_totalprice FROM sq_orders
+        WHERE o_totalprice > (
+          SELECT 1.5 * (CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                             AS DOUBLE) / count(*))
+          FROM sq_orders)
+        ORDER BY o_orderkey""")
+    }),
+
+    // Correlated scalar subquery: per-customer order count
+    // (decorrelates to an aggregate + left outer join).
+    "sub_correlated" -> ((s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("sq_orders")
+      Tables.load(s, dir, "customer").createOrReplaceTempView("sq_cust")
+      s.sql("""
+        SELECT c_custkey,
+          (SELECT count(*) FROM sq_orders WHERE o_custkey = c_custkey)
+            AS n_orders
+        FROM sq_cust ORDER BY c_custkey""")
+    }),
+
+    // EXISTS + IN subqueries (plan: left-semi joins).
+    "sub_exists_in" -> ((s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("sq_orders")
+      Tables.load(s, dir, "customer").createOrReplaceTempView("sq_cust")
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("sq_li")
+      s.sql("""
+        SELECT o_orderkey FROM sq_orders
+        WHERE EXISTS (SELECT 1 FROM sq_li
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+          AND o_custkey IN (SELECT c_custkey FROM sq_cust
+                            WHERE c_mktsegment = 'BUILDING')
+        ORDER BY o_orderkey""")
+    }))
+
+  def oracle: Seq[(String, String)] = Seq(
+    "agg_pivot" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    :: BIGINT AS click,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    :: BIGINT AS error,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    :: BIGINT AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    :: BIGINT AS signup,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    :: BIGINT AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "sub_scalar" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT 1.5 * (CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |                     AS DOUBLE) / count(*))
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "sub_correlated" ->
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey)
+        |    AS n_orders
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "sub_exists_in" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin)
+}
