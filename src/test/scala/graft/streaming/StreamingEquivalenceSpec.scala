@@ -183,6 +183,41 @@ class StreamingEquivalenceSpec extends SparkTestBase {
       StreamQueries.tumbling(batchEvents), "st10 after restart")
   }
 
+  test("st10b: checkpoint recovery — restart picks up NEW files exactly once") {
+    val dir = scratch("replay_st10b")
+    val out = scratch("st10b_out")
+    val chk = scratch("st10b_chk")
+    import org.apache.spark.sql.functions.{max => fmax}
+    val ev = batchEvents.orderBy($"ts", $"event_id")
+    val half = (ev.count() / 2).toInt
+    def sentinelFile(): Unit = {
+      val maxTs = batchEvents.agg(fmax($"ts")).head().getTimestamp(0)
+      val far = new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000)
+      Seq((Long.MaxValue, far, -1L, "wmflush", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    def runOnce(): Unit = EventStreams.runToCompletion(
+      EventStreams.parquetSink(
+        StreamQueries.tumblingWatermarked(
+          EventStreams.readEventStream(spark, dir)),
+        out, chk))
+    // First run: only the first half of the events.
+    ev.limit(half).coalesce(1).write.mode("append").parquet(dir)
+    runOnce()
+    val afterFirst = spark.read.parquet(out).count()
+    // Second run, SAME checkpoint: the rest + watermark sentinel.
+    ev.exceptAll(ev.limit(half)).coalesce(1)
+      .write.mode("append").parquet(dir)
+    sentinelFile()
+    runOnce()
+    val cols = Seq("ws", "event_type", "n", "sum_v").map(col)
+    assertSameRows(spark.read.parquet(out).select(cols: _*),
+      StreamQueries.tumbling(batchEvents), "st10b recovered total")
+    assert(afterFirst < spark.read.parquet(out).count(),
+      "second run emitted nothing")
+  }
+
   test("st11: foreachBatch upsert target == batch latest-per-user") {
     val target = scratch("st11_target")
     val stream = EventStreams.readEventStream(
