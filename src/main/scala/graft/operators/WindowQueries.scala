@@ -139,6 +139,31 @@ object WindowQueries extends QueryPack {
           last_value($"value").over(w).as("last_v"),
           nth_value($"value", 2).over(w).as("second_v"))
         .orderBy($"user_id", $"day", $"event_id")
+    }),
+
+    // Batch sessionization — the batch analogue of the streaming
+    // session_window (st4): a session breaks after a 30-minute gap.
+    // lag → gap flag → running sum = session id; then one agg per
+    // (user, session). Epoch-second integers throughout (§7.4 P3).
+    // Scale: both windows partition by user_id (high cardinality),
+    // never by a low-cardinality key; state per task is one row.
+    "win_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_s", $"event_id")
+      Tables.load(s, dir, "events")
+        .select($"user_id", $"event_id",
+          unix_timestamp(date_trunc("second", $"ts")).as("ts_s"))
+        .withColumn("gap",
+          when(lag($"ts_s", 1).over(w).isNull ||
+               $"ts_s" - lag($"ts_s", 1).over(w) > 1800L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum($"gap").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"sid")
+        .agg(count(lit(1)).as("n_events"),
+             min($"ts_s").as("start_s"),
+             (max($"ts_s") - min($"ts_s")).as("dur_s"))
+        .orderBy($"user_id", $"sid")
     })
   )
 
@@ -227,6 +252,29 @@ object WindowQueries extends QueryPack {
         |             ORDER BY date_trunc('microseconds', ts), event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING
         |                      AND UNBOUNDED FOLLOWING)
-        |ORDER BY user_id, day, event_id""".stripMargin
+        |ORDER BY user_id, day, event_id""".stripMargin,
+
+    "win_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, ts_s,
+        |    CASE WHEN lag(ts_s, 1) OVER w IS NULL
+        |           OR ts_s - lag(ts_s, 1) OVER w > 1800 THEN 1
+        |         ELSE 0 END AS gap
+        |  FROM t
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, ts_s,
+        |    CAST(sum(gap) OVER (PARTITION BY user_id
+        |      ORDER BY ts_s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS sid
+        |  FROM g)
+        |SELECT user_id, sid, count(*) AS n_events,
+        |  min(ts_s) AS start_s, max(ts_s) - min(ts_s) AS dur_s
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
   )
 }

@@ -121,6 +121,17 @@ class PropertyLawsSpec extends SparkTestBase {
     assert(recall >= 0.6, s"IVF recall $recall vs brute force")
   }
 
+  test("batch sessionization agrees with native session_window") {
+    val ours = SparkEntry.queries("win_sessionize")(spark, sf)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_sessions"),
+        sum($"n_events").as("n_events"))
+    val native = graft.streaming.StreamQueries.sessions(
+        Tables.load(spark, sf, "events"))
+      .groupBy($"user_id").agg(count(lit(1)).as("n_sessions"),
+        sum($"n").as("n_events"))
+    assertSameRows(ours, native, "lag/cumsum vs session_window")
+  }
+
   test("multimodal feature extraction preserves rows and dedups by checksum") {
     import graft.functions.Multimodal
     val ds = Multimodal.fromDocuments(spark, sf)
