@@ -114,6 +114,46 @@ object TrainQueries extends QueryPack {
         .orderBy($"da", $"db")
     }),
 
+    // n-gram Jaccard re-rank: char-trigram set similarity for the
+    // candidate pairs produced by token-set fingerprint blocking
+    // (dedup_near's stage 1). Identical token SETS can still differ in
+    // order/multiplicity — trigram Jaccard discriminates those at the
+    // character level. Exact integer ratio (floor-scaled ×1e6).
+    // Scale: pair list is block-bounded; the shingle join shuffles on
+    // (pair, shingle) — never all-pairs.
+    "dedup_ngram" -> ((s, dir) => {
+      import s.implicits._
+      val tok = Tables.load(s, dir, "documents")
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+        .filter($"term" =!= "").distinct()
+      val dict = tok.select($"term").distinct()
+        .withColumn("tid", row_number().over(Window.orderBy($"term")))
+      val mask = tok.join(broadcast(dict), "term")
+        .groupBy($"doc_id")
+        .agg(sum(expr("shiftleft(1L, tid - 1)")).as("mask"))
+      val cand = mask.select($"doc_id".as("da"), $"mask")
+        .join(mask.select($"doc_id".as("db"), $"mask"), Seq("mask"))
+        .filter($"da" < $"db").select($"da", $"db")
+      val sh = Tables.load(s, dir, "documents")
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+          .as("sh"))
+        .distinct()
+      val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+      val inter = cand
+        .join(sh.select($"doc_id".as("da"), $"sh"), "da")
+        .join(sh.select($"doc_id".as("db"), $"sh"), Seq("db", "sh"))
+        .groupBy($"da", $"db").agg(count(lit(1)).as("i"))
+      cand.join(inter, Seq("da", "db"), "left")
+        .na.fill(0L, Seq("i"))
+        .join(counts.select($"doc_id".as("da"), $"nsh".as("na")), "da")
+        .join(counts.select($"doc_id".as("db"), $"nsh".as("nb")), "db")
+        .withColumn("jac_m",
+          floor(($"i" * lit(1000000.0)) / ($"na" + $"nb" - $"i")))
+        .select($"da", $"db", $"i", $"na", $"nb", $"jac_m")
+        .orderBy($"da", $"db")
+    }),
+
     // Unigram language-ID: learn term→majority-language from the
     // corpus (vocabulary-sized, broadcast), predict each doc by
     // tf-weighted vote. Pure integer counts; ties break on lang asc.
@@ -294,6 +334,39 @@ object TrainQueries extends QueryPack {
         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
         |      (x, y) -> x + y) / sqrt(a.ss * b.ss) >= 0.3
         |ORDER BY da, db""".stripMargin,
+
+    "dedup_ngram" ->
+      """WITH tok AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |dict AS (SELECT term, row_number() OVER (ORDER BY term) AS tid
+        |         FROM (SELECT DISTINCT term FROM tok2)),
+        |m AS (SELECT doc_id,
+        |        CAST(sum(CAST(1 AS BIGINT) << (tid - 1)) AS BIGINT) AS mask
+        |      FROM tok2 JOIN dict USING (term) GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM m a JOIN m b ON a.mask = b.mask AND a.doc_id < b.doc_id),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(text) - 2),
+        |      i -> substring(text, i, 3))) AS sh
+        |  FROM documents),
+        |counts AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.da, c.db, count(*) AS i
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.da
+        |  JOIN sh b ON b.doc_id = c.db AND b.sh = a.sh
+        |  GROUP BY c.da, c.db)
+        |SELECT c.da, c.db, COALESCE(inter.i, 0) AS i,
+        |  ca.nsh AS na, cb.nsh AS nb,
+        |  CAST(floor((COALESCE(inter.i, 0) * 1000000.0)
+        |       / (ca.nsh + cb.nsh - COALESCE(inter.i, 0))) AS BIGINT)
+        |    AS jac_m
+        |FROM cand c
+        |LEFT JOIN inter ON inter.da = c.da AND inter.db = c.db
+        |JOIN counts ca ON ca.doc_id = c.da
+        |JOIN counts cb ON cb.doc_id = c.db
+        |ORDER BY c.da, c.db""".stripMargin,
 
     "text_langid" ->
       """WITH tf AS (SELECT doc_id, lang, term, count(*) AS tf FROM (
