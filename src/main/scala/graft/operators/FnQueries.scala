@@ -297,7 +297,9 @@ object FnQueries extends QueryPack {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k1,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k2,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k3,
-        |  '{"k":' || json_extract_string(props, '$.k') || '}' AS j
+        |  CASE WHEN json_extract_string(props, '$.k') IS NULL THEN '{}'
+        |       ELSE '{"k":' || json_extract_string(props, '$.k') || '}'
+        |  END AS j
         |FROM events ORDER BY event_id""".stripMargin,
 
     "fn_struct" ->

@@ -52,6 +52,36 @@ object LlmQueries extends QueryPack {
       .distinct()
   }
 
+  /** (label, pos, cq): per-label per-dimension centroid from
+    * integer-quantized (1e-7) sums — exact, order-free, mergeable.
+    * Shared by vec_centroid (output) and vec_knn_ivf (codebook). */
+  private def quantCentroids(e: org.apache.spark.sql.DataFrame) = {
+    import e.sparkSession.implicits._
+    e.select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+      .withColumn("xq", floor($"x".cast(DoubleType) * 1e7))
+      .groupBy($"label", $"pos")
+      .agg((sum($"xq").cast(DoubleType) / count(lit(1))).as("cq"))
+  }
+
+  /** (cl, carr): each centroid re-assembled as an array ordered by
+    * dimension. */
+  private def centroidArrays(cent: org.apache.spark.sql.DataFrame) = {
+    import cent.sparkSession.implicits._
+    cent.groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"cq"))),
+        t => t.getField("cq")).as("carr"))
+      .select($"label".as("cl"), $"carr")
+  }
+
+  /** Sequential-fold squared distance from `embedding` to `carr`. */
+  private def sqdistToCentroid: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{aggregate, col, lit, zip_with}
+    aggregate(
+      zip_with(col("embedding"), col("carr"),
+        (x, cc) => (x.cast(DoubleType) - cc) * (x.cast(DoubleType) - cc)),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
   def queries: Seq[(String, Q)] = Seq(
     // Top-50 terms over the English subset; total ORDER BY (cnt desc,
     // term) so the k-boundary is deterministic. TakeOrderedAndProject.
@@ -115,17 +145,7 @@ object LlmQueries extends QueryPack {
     // blocking; see scale note in the header.
     "dedup_near" -> ((s, dir) => {
       import s.implicits._
-      val tok = tokens(s, dir)
-      // Deterministic dictionary: term → 1..V (V=31 on the fixtures).
-      val dict = tok.select($"term").distinct()
-        .withColumn("tid", row_number().over(Window.orderBy($"term")))
-      val mask = tok.join(broadcast(dict), "term")
-        .groupBy($"doc_id")
-        .agg(sum(expr("shiftleft(1L, tid - 1)")).as("mask"),
-             count(lit(1)).cast(LongType).as("n_tokens"))
-      val a = mask.select($"doc_id".as("da"), $"mask", $"n_tokens")
-      val b = mask.select($"doc_id".as("db"), $"mask")
-      a.join(b, Seq("mask")).filter($"da" < $"db")
+      TextBlocking.maskPairs(s, dir)
         .select($"da", $"db", $"n_tokens")
         .orderBy($"da", $"db")
     }),
@@ -187,23 +207,12 @@ object LlmQueries extends QueryPack {
       graft.functions.VectorExpressions.register(s)
       val e = Tables.load(s, dir, "embeddings")
         .withColumn("ss", expr("fnorm2(embedding)"))
-      // Codebook: per-label centroid arrays (as in vec_centroid).
-      val cent = e.select($"label", posexplode($"embedding")
-          .as(Seq("pos", "x")))
-        .withColumn("xq", floor($"x".cast(DoubleType) * 1e7))
-        .groupBy($"label", $"pos")
-        .agg((sum($"xq").cast(DoubleType) / count(lit(1))).as("cq"))
-      val centArr = cent.groupBy($"label")
-        .agg(transform(array_sort(collect_list(struct($"pos", $"cq"))),
-          t => t.getField("cq")).as("carr"))
-        .select($"label".as("cl"), $"carr")
-      def sqdist = aggregate(
-        zip_with($"embedding", $"carr",
-          (x, cc) => (x.cast(DoubleType) - cc) * (x.cast(DoubleType) - cc)),
-        lit(0.0), (acc, x) => acc + x)
+      // Codebook: the shared quantized centroids (same construction
+      // vec_centroid emits, enforced by using one helper).
+      val centArr = centroidArrays(quantCentroids(e))
       // Assign every candidate to its nearest cell (one scan).
       val cand = e.crossJoin(broadcast(centArr))
-        .withColumn("d", sqdist)
+        .withColumn("d", sqdistToCentroid)
         .withColumn("rn", row_number().over(
           Window.partitionBy($"vec_id").orderBy($"d", $"cl")))
         .filter($"rn" === 1)
@@ -211,7 +220,7 @@ object LlmQueries extends QueryPack {
                 $"embedding".as("ce"), $"ss".as("css"))
       // Each query probes its 3 nearest cells.
       val probe = e.filter($"vec_id" < 10).crossJoin(broadcast(centArr))
-        .withColumn("d", sqdist)
+        .withColumn("d", sqdistToCentroid)
         .withColumn("rn", row_number().over(
           Window.partitionBy($"vec_id").orderBy($"d", $"cl")))
         .filter($"rn" <= 3)
@@ -233,28 +242,16 @@ object LlmQueries extends QueryPack {
     "vec_centroid" -> ((s, dir) => {
       import s.implicits._
       val e = Tables.load(s, dir, "embeddings")
-      val flat = e.select($"vec_id", $"label",
-          posexplode($"embedding").as(Seq("pos", "x")))
-        .withColumn("xq", floor($"x".cast(DoubleType) * 1e7))
-      val cent = flat.groupBy($"label", $"pos")
-        .agg((sum($"xq").cast(DoubleType) / count(lit(1))).as("cq"))
-      // Re-assemble each centroid as an array ordered by dimension.
-      val centArr = cent.groupBy($"label")
-        .agg(transform(array_sort(collect_list(struct($"pos", $"cq"))),
-          t => t.getField("cq")).as("carr"))
-        .select($"label".as("clabel"), $"carr")
-      val assigned = e.crossJoin(broadcast(centArr))
-        .withColumn("dist", aggregate(
-          zip_with($"embedding", $"carr",
-            (x, cc) => (x.cast(DoubleType) - cc) * (x.cast(DoubleType) - cc)),
-          lit(0.0), (acc, x) => acc + x))
+      val cent = quantCentroids(e)
+      val assigned = e.crossJoin(broadcast(centroidArrays(cent)))
+        .withColumn("dist", sqdistToCentroid)
         .withColumn("rn", row_number().over(
-          Window.partitionBy($"vec_id").orderBy($"dist", $"clabel")))
+          Window.partitionBy($"vec_id").orderBy($"dist", $"cl")))
         .filter($"rn" === 1)
-        .select($"vec_id", $"label", $"clabel")
+        .select($"vec_id", $"label", $"cl")
       val frac = assigned.groupBy($"label")
         .agg(count(lit(1)).as("n_vecs"),
-             (sum(when($"clabel" === $"label", 1L).otherwise(0L))
+             (sum(when($"cl" === $"label", 1L).otherwise(0L))
                .cast(DoubleType) / count(lit(1))).as("frac_own"))
       cent.join(frac, "label")
         .select($"label", $"pos".cast(LongType).as("pos"), $"cq",

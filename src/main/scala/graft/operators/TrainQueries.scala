@@ -44,13 +44,8 @@ object TrainQueries extends QueryPack {
     // the scale path to near-dup candidate pairs.
     "dedup_minhash" -> ((s, dir) => {
       import s.implicits._
-      val tok = Tables.load(s, dir, "documents")
-        .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
-        .filter($"term" =!= "").distinct()
-      val dict = tok.select($"term").distinct()
-        .withColumn("tid", row_number().over(Window.orderBy($"term"))
-          .cast(LongType))
-      val hashed = tok.join(broadcast(dict), "term")
+      val tok = TextBlocking.tokens(s, dir)
+      val hashed = tok.join(broadcast(TextBlocking.dict(tok)), "term")
       val mins = MA.zip(MB).zipWithIndex.map { case ((a, b), i) =>
         min(pmod($"tid" * a + b, lit(10007L))).as(s"m${i + 1}")
       }
@@ -72,10 +67,7 @@ object TrainQueries extends QueryPack {
         .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
         .filter($"term" =!= "")
         .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val dict = tf.select($"term").distinct()
-        .withColumn("tid", row_number().over(Window.orderBy($"term"))
-          .cast(LongType))
-      val h = tf.join(broadcast(dict), "term")
+      val h = tf.join(broadcast(TextBlocking.dict(tf)), "term")
         .withColumn("h", pmod($"tid" * 2654435761L + 104729L, lit(65536L)))
       val bits = h.select($"doc_id", $"tf", $"h",
           explode(sequence(lit(0), lit(15))).as("j"))
@@ -123,20 +115,15 @@ object TrainQueries extends QueryPack {
     // (pair, shingle) — never all-pairs.
     "dedup_ngram" -> ((s, dir) => {
       import s.implicits._
-      val tok = Tables.load(s, dir, "documents")
-        .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
-        .filter($"term" =!= "").distinct()
-      val dict = tok.select($"term").distinct()
-        .withColumn("tid", row_number().over(Window.orderBy($"term")))
-      val mask = tok.join(broadcast(dict), "term")
-        .groupBy($"doc_id")
-        .agg(sum(expr("shiftleft(1L, tid - 1)")).as("mask"))
-      val cand = mask.select($"doc_id".as("da"), $"mask")
-        .join(mask.select($"doc_id".as("db"), $"mask"), Seq("mask"))
-        .filter($"da" < $"db").select($"da", $"db")
+      val cand = TextBlocking.maskPairs(s, dir).select($"da", $"db")
+      // Guard length<3: Spark's sequence(1, 0) counts DOWN ([1,0]),
+      // unlike DuckDB's empty generate_series — short docs must yield
+      // zero shingles in both engines.
       val sh = Tables.load(s, dir, "documents")
         .select($"doc_id", explode(expr(
-          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+          "CASE WHEN length(text) < 3 THEN array() " +
+            "ELSE transform(sequence(1, length(text) - 2), " +
+            "i -> substring(text, i, 3)) END"))
           .as("sh"))
         .distinct()
       val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))

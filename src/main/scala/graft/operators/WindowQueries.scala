@@ -142,7 +142,8 @@ object WindowQueries extends QueryPack {
     }),
 
     // Batch sessionization — the batch analogue of the streaming
-    // session_window (st4): a session breaks after a 30-minute gap.
+    // session_window (st4): a session breaks at gap >= 30 min,
+    // matching session_window's half-open [start, start+gap) windows.
     // lag → gap flag → running sum = session id; then one agg per
     // (user, session). Epoch-second integers throughout (§7.4 P3).
     // Scale: both windows partition by user_id (high cardinality),
@@ -155,7 +156,7 @@ object WindowQueries extends QueryPack {
           unix_timestamp(date_trunc("second", $"ts")).as("ts_s"))
         .withColumn("gap",
           when(lag($"ts_s", 1).over(w).isNull ||
-               $"ts_s" - lag($"ts_s", 1).over(w) > 1800L, 1L)
+               $"ts_s" - lag($"ts_s", 1).over(w) >= 1800L, 1L)
             .otherwise(0L))
         .withColumn("sid", sum($"gap").over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -262,7 +263,7 @@ object WindowQueries extends QueryPack {
         |g AS (
         |  SELECT user_id, event_id, ts_s,
         |    CASE WHEN lag(ts_s, 1) OVER w IS NULL
-        |           OR ts_s - lag(ts_s, 1) OVER w > 1800 THEN 1
+        |           OR ts_s - lag(ts_s, 1) OVER w >= 1800 THEN 1
         |         ELSE 0 END AS gap
         |  FROM t
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),

@@ -41,13 +41,7 @@ object EventStreams {
   def stageReplay(spark: SparkSession, sfDir: String, replayDir: String,
                   chunks: Int, sentinel: Boolean): Unit = {
     import spark.implicits._
-    val fs = new java.io.File(replayDir)
-    if (fs.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-      }
-      rm(fs)
-    }
+    graft.Util.deleteRecursively(new java.io.File(replayDir))
     val ev = Tables.load(spark, sfDir, "events").orderBy($"ts", $"event_id")
     val rows = ev.count()
     val per = math.max(1, (rows + chunks - 1) / chunks)

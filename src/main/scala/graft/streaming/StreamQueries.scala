@@ -218,10 +218,9 @@ object StreamQueries {
     // transactional-table MERGE INTO; plain parquet needs the swap.)
     val stage = targetDir + "_stage"
     latest.write.mode("overwrite").parquet(stage)
-    def rm(f: java.io.File): Unit = if (f.exists()) {
-      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-    }
-    rm(new java.io.File(targetDir))
-    new java.io.File(stage).renameTo(new java.io.File(targetDir))
+    graft.Util.deleteRecursively(new java.io.File(targetDir))
+    if (!new java.io.File(stage).renameTo(new java.io.File(targetDir)))
+      throw new java.io.IOException(
+        s"upsert swap failed: could not rename $stage to $targetDir")
   }
 }

@@ -35,10 +35,8 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
   /** Fresh scratch dir under target/ for a test. */
   def scratch(name: String): String = {
     val dir = new java.io.File(s"target/testwork/$name")
-    def rm(f: java.io.File): Unit = if (f.exists()) {
-      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-    }
-    rm(dir); dir.mkdirs()
+    Util.deleteRecursively(dir)
+    dir.mkdirs()
     dir.getPath
   }
 }
