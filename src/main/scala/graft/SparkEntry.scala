@@ -19,7 +19,8 @@ object SparkEntry {
     operators.SourceSinkQueries,
     operators.LlmQueries,
     operators.TrainQueries,
-    operators.SqlQueries)
+    operators.SqlQueries,
+    operators.MiscQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
