@@ -195,15 +195,35 @@ object StreamQueries {
     }
   }
 
-  /** Merge one micro-batch into the latest-per-user target table. */
+  /** Merge one micro-batch into the latest-per-user target table.
+    *
+    * Crash-safe swap: write the merged result to `_stage`, move the
+    * current target aside to `_old`, promote the stage, then drop
+    * `_old`. A crash between the two renames leaves `_old` intact, and
+    * the next batch recovers it — accumulated state is never lost. Only
+    * a genuinely absent target reads as empty; any other read failure
+    * (corrupt files, permissions) propagates instead of silently
+    * restarting state from one batch. (At real scale this merge is a
+    * transactional-table MERGE INTO; plain parquet needs the swap.)
+    */
   def upsertLatest(batch: DataFrame, targetDir: String): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    val target = new java.io.File(targetDir)
+    val backup = new java.io.File(targetDir + "_old")
+    // Recover from a crash that happened between the two renames of a
+    // previous batch (target moved aside, stage never promoted).
+    if (!target.exists() && backup.exists() && !backup.renameTo(target))
+      throw new java.io.IOException(
+        s"upsert recovery failed: could not rename $backup to $target")
     val incoming = batch
       .select($"user_id", $"event_id", $"event_type", $"value")
+    // An absent or still-empty target dir reads as empty; any other
+    // read failure (corrupt files, permissions) propagates.
+    val hasData = Option(target.listFiles()).exists(_.nonEmpty)
     val existing =
-      try spark.read.parquet(targetDir)
-      catch { case _: Exception => spark.emptyDataFrame }
+      if (hasData) spark.read.parquet(targetDir)
+      else spark.emptyDataFrame
     val all =
       if (existing.columns.sameElements(incoming.columns))
         incoming.unionByName(existing)
@@ -213,14 +233,17 @@ object StreamQueries {
         org.apache.spark.sql.expressions.Window
           .partitionBy($"user_id").orderBy($"event_id".desc)))
       .filter($"rn" === 1).drop("rn")
-    // Stage-then-swap so the target is never half-written while the
-    // next batch reads it back. (At real scale this merge is a
-    // transactional-table MERGE INTO; plain parquet needs the swap.)
-    val stage = targetDir + "_stage"
-    latest.write.mode("overwrite").parquet(stage)
-    graft.Util.deleteRecursively(new java.io.File(targetDir))
-    if (!new java.io.File(stage).renameTo(new java.io.File(targetDir)))
+    val stage = new java.io.File(targetDir + "_stage")
+    latest.write.mode("overwrite").parquet(stage.getPath)
+    if (target.exists()) {
+      graft.Util.deleteRecursively(backup)
+      if (!target.renameTo(backup))
+        throw new java.io.IOException(
+          s"upsert swap failed: could not move $target aside to $backup")
+    }
+    if (!stage.renameTo(target))
       throw new java.io.IOException(
-        s"upsert swap failed: could not rename $stage to $targetDir")
+        s"upsert swap failed: could not rename $stage to $target")
+    graft.Util.deleteRecursively(backup)
   }
 }

@@ -25,6 +25,17 @@ class StreamingEquivalenceSpec extends SparkTestBase {
     dir
   }
 
+  /** Pick the final st7-state row per user: `n` (the state's running
+    * event count) strictly increases with every update a user receives,
+    * so max-n per user is the last emitted state regardless of how the
+    * memory sink ordered the batches. */
+  private def finalStatePerUser(updates: DataFrame): DataFrame = updates
+    .withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"n".desc)))
+    .filter($"rn" === 1)
+    .select($"user_id", $"n", $"sum_cents", $"last_id")
+
   private def runToMemory(df: DataFrame, name: String, mode: String)
       : DataFrame = {
     val q = df.writeStream.format("memory").queryName(name)
@@ -96,16 +107,11 @@ class StreamingEquivalenceSpec extends SparkTestBase {
       StreamQueries.userRunningSummary(
         stream.as[StreamQueries.EventRow]).toDF(),
       "st7_out", "update")
-    // Update mode emits one row per user per touching batch; the LAST
-    // row per user is the final state.
-    val lastPerUser = got
-      .withColumn("rid", monotonically_increasing_id())
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy($"user_id").orderBy($"rid".desc)))
-      .filter($"rn" === 1)
-      .select($"user_id", $"n", $"sum_cents", $"last_id")
-    assertSameRows(lastPerUser,
+    // Update mode emits one row per user per touching batch; `n` is the
+    // state's own event count, strictly increasing per update, so the
+    // max-n row per user IS the final state — no reliance on memory-sink
+    // row order.
+    assertSameRows(finalStatePerUser(got),
       StreamQueries.userSummaryBatch(batchEvents), "st7")
   }
 
@@ -122,14 +128,7 @@ class StreamingEquivalenceSpec extends SparkTestBase {
         StreamQueries.userRunningSummaryTws(
           stream.as[StreamQueries.EventRow]).toDF(),
         "st7b_out", "update")
-      val lastPerUser = got
-        .withColumn("rid", monotonically_increasing_id())
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy($"user_id").orderBy($"rid".desc)))
-        .filter($"rn" === 1)
-        .select($"user_id", $"n", $"sum_cents", $"last_id")
-      assertSameRows(lastPerUser,
+      assertSameRows(finalStatePerUser(got),
         StreamQueries.userSummaryBatch(batchEvents), "st7b")
     } finally {
       prev match {
