@@ -128,17 +128,29 @@ object JoinQueries extends QueryPack {
     }),
 
     // Theta/range join: same-user event pairs within one hour.
-    // Equi key user_id keeps this a hash join with a range residual.
-    // ts truncated to seconds on both engines (SURVEY.md §7.4 P3).
+    // Time-bucketed equi-join: the range condition is covered by
+    // joining on (user, hour-bucket), with the left side exploded into
+    // its own bucket and the next one — every qualifying pair lands in
+    // exactly one bucket pair, so output has no duplicates. The join
+    // key (user, bucket) bounds per-key fanout to one hour of one
+    // user's events, where a bare user_id key would go quadratic in a
+    // user's full history at 100 TB. Residual filter applies the exact
+    // (a < b <= a+1h) bounds. ts truncated to seconds on both engines
+    // (SURVEY.md §7.4 P3).
     "join_theta_range" -> ((s, dir) => {
       import s.implicits._
       val e = Tables.load(s, dir, "events")
-      val a = e.select($"event_id".as("a_id"), $"user_id".as("a_user"),
-                       date_trunc("second", $"ts").as("a_ts"))
+        .select($"event_id", $"user_id",
+                unix_timestamp(date_trunc("second", $"ts")).as("sec"))
       val b = e.select($"event_id".as("b_id"), $"user_id".as("b_user"),
-                       date_trunc("second", $"ts").as("b_ts"))
-      a.join(b, $"a_user" === $"b_user" && $"a_ts" < $"b_ts" &&
-                $"b_ts" <= $"a_ts" + expr("INTERVAL 1 HOUR"))
+                       $"sec".as("b_sec"),
+                       floor($"sec" / 3600L).as("b_bkt"))
+      val a = e.select($"event_id".as("a_id"), $"user_id".as("a_user"),
+                       $"sec".as("a_sec"))
+        .withColumn("a_bkt", explode(array(
+          floor($"a_sec" / 3600L), floor($"a_sec" / 3600L) + 1L)))
+      a.join(b, $"a_user" === $"b_user" && $"a_bkt" === $"b_bkt" &&
+                $"a_sec" < $"b_sec" && $"b_sec" <= $"a_sec" + 3600L)
         .select($"a_id", $"b_id")
         .orderBy($"a_id", $"b_id")
     }),

@@ -111,8 +111,10 @@ object TrainQueries extends QueryPack {
     // (dedup_near's stage 1). Identical token SETS can still differ in
     // order/multiplicity — trigram Jaccard discriminates those at the
     // character level. Exact integer ratio (floor-scaled ×1e6).
-    // Scale: pair list is block-bounded; the shingle join shuffles on
-    // (pair, shingle) — never all-pairs.
+    // Scale: the trigram set stays an ARRAY inside each doc row —
+    // intersect/union are per-pair array ops, so the only shuffles are
+    // the two doc_id equi-joins onto the block-bounded pair list (the
+    // exploded-shingle form shuffled the whole corpus' trigrams twice).
     "dedup_ngram" -> ((s, dir) => {
       import s.implicits._
       val cand = TextBlocking.maskPairs(s, dir).select($"da", $"db")
@@ -120,21 +122,21 @@ object TrainQueries extends QueryPack {
       // unlike DuckDB's empty generate_series — short docs must yield
       // zero shingles in both engines.
       val sh = Tables.load(s, dir, "documents")
-        .select($"doc_id", explode(expr(
+        .select($"doc_id", array_distinct(expr(
           "CASE WHEN length(text) < 3 THEN array() " +
             "ELSE transform(sequence(1, length(text) - 2), " +
             "i -> substring(text, i, 3)) END"))
-          .as("sh"))
-        .distinct()
-      val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
-      val inter = cand
-        .join(sh.select($"doc_id".as("da"), $"sh"), "da")
-        .join(sh.select($"doc_id".as("db"), $"sh"), Seq("db", "sh"))
-        .groupBy($"da", $"db").agg(count(lit(1)).as("i"))
-      cand.join(inter, Seq("da", "db"), "left")
-        .na.fill(0L, Seq("i"))
-        .join(counts.select($"doc_id".as("da"), $"nsh".as("na")), "da")
-        .join(counts.select($"doc_id".as("db"), $"nsh".as("nb")), "db")
+          .as("shs"))
+      cand
+        .join(sh.select($"doc_id".as("da"), $"shs".as("sha")), "da")
+        .join(sh.select($"doc_id".as("db"), $"shs".as("shb")), "db")
+        .withColumn("i", size(array_intersect($"sha", $"shb"))
+          .cast(LongType))
+        .withColumn("na", size($"sha").cast(LongType))
+        .withColumn("nb", size($"shb").cast(LongType))
+        // Zero-shingle docs have no Jaccard; the oracle's inner join on
+        // per-doc shingle counts drops those pairs — mirror that.
+        .filter($"na" > 0 && $"nb" > 0)
         .withColumn("jac_m",
           floor(($"i" * lit(1000000.0)) / ($"na" + $"nb" - $"i")))
         .select($"da", $"db", $"i", $"na", $"nb", $"jac_m")
