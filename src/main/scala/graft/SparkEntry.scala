@@ -20,7 +20,8 @@ object SparkEntry {
     operators.LlmQueries,
     operators.TrainQueries,
     operators.SqlQueries,
-    operators.MiscQueries)
+    operators.MiscQueries,
+    operators.PipelineQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,271 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-3 training-pipeline utility operators (SURVEY.md §2.M):
+  * document chunking, deterministic stratified splits, PII redaction,
+  * benchmark-contamination checks, histogramming, boolean aggregates,
+  * fallible casts, and unpivot/melt reshaping.
+  *
+  * Determinism: splits use pure affine integer hashing (no engine RNG);
+  * chunk boundaries are arithmetic over char offsets; redaction
+  * patterns are fixed regexes valid in both Java regex and RE2;
+  * histogram buckets floor a single IEEE division (bit-identical
+  * cross-engine); every query ends in a total ORDER BY.
+  *
+  * Scale design (100 TB):
+  * - `text_chunk` is a map-side explode — chunks never shuffle except
+  *   for the driver-contract final sort.
+  * - `sample_stratified` needs no global state: membership is a pure
+  *   row-local hash, so the split is reproducible on any cluster
+  *   layout and resharding-safe (the classic mod-hash holdout split).
+  * - `text_contamination` shuffles on the n-gram join key — the same
+  *   sharded shape as the dedup family, never an all-pairs scan; the
+  *   benchmark side is distinct-reduced (benchmark corpora are small)
+  *   and broadcast.
+  * - `fn_unpivot` melts an already-aggregated frame (3 rows in, 9 out);
+  *   at scale the melt happens after reduction, not on raw rows.
+  */
+object PipelineQueries extends QueryPack {
+
+  def queries: Seq[(String, Q)] = Seq(
+    // Fixed-size char chunking with overlap (chunk 200, stride 150) —
+    // the standard pre-tokenization step for embedding/training windows.
+    "text_chunk" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", $"text",
+          explode(expr("sequence(1, length(text), 150)")).as("start"))
+        .select($"doc_id",
+          expr("CAST((start - 1) div 150 + 1 AS BIGINT)").as("chunk_id"),
+          $"start".cast(LongType).as("start"),
+          length(expr("substring(text, start, 200)")).cast(LongType)
+            .as("chunk_len"),
+          expr("substring(text, start, 200)").as("chunk"))
+        .orderBy($"doc_id", $"chunk_id")
+    }),
+
+    // Deterministic stratified train/val/test split: membership is an
+    // affine hash of the row key — no RNG, reproducible under any
+    // partitioning. Emits per (lang, split) audit counts.
+    "sample_stratified" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .withColumn("h", pmod($"doc_id" * 2654435761L + 40503L, lit(1000L)))
+        .withColumn("split",
+          when($"h" < 800, "train").when($"h" < 900, "val")
+            .otherwise("test"))
+        .groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("n"),
+             min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+        .orderBy($"lang", $"split")
+    }),
+
+    // PII redaction: emails then phone numbers masked with fixed
+    // regexes; redaction counts kept for audit. The PII-ish prefix is
+    // synthesized deterministically from doc_id (the fixture corpus
+    // contains none), so the match/mask path is exercised end to end.
+    "text_pii" -> ((s, dir) => {
+      import s.implicits._
+      val raw = concat(lit("contact u"), $"doc_id".cast(StringType),
+        lit("@ex.org ph 555-01"),
+        lpad(pmod($"doc_id", lit(100L)).cast(StringType), 2, "0"),
+        lit(" "), $"text")
+      Tables.load(s, dir, "documents")
+        .withColumn("raw", raw)
+        .select($"doc_id",
+          regexp_replace(
+            regexp_replace($"raw", "[a-z0-9]+@[a-z.]+", "<EMAIL>"),
+            "[0-9]{3}-[0-9]{4}", "<PHONE>").as("masked"),
+          size(regexp_extract_all($"raw", lit("[a-z0-9]+@[a-z.]+"), lit(0)))
+            .cast(LongType).as("n_emails"),
+          size(regexp_extract_all($"raw", lit("[0-9]{3}-[0-9]{4}"), lit(0)))
+            .cast(LongType).as("n_phones"))
+        .orderBy($"doc_id")
+    }),
+
+    // Benchmark-contamination check: corpus docs sharing any word
+    // 5-gram with the held-out benchmark set (source = src0). The
+    // benchmark gram set is distinct-reduced and broadcast; the corpus
+    // side shuffles once on the gram key.
+    "text_contamination" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("toks", split(lower($"text"), " "))
+        .withColumn("grams", expr(
+          "CASE WHEN size(toks) < 5 THEN array() " +
+            "ELSE transform(sequence(1, size(toks) - 4), " +
+            "i -> array_join(slice(toks, i, 5), ' ')) END"))
+      val bench = d.filter($"source" === "src0")
+        .select(explode($"grams").as("gram")).distinct()
+      val corp = d.filter($"source" =!= "src0")
+        .select($"doc_id", explode($"grams").as("gram")).distinct()
+      corp.join(broadcast(bench), Seq("gram"), "left_semi")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+        .orderBy($"doc_id")
+    }),
+
+    // Equi-width histogram of order totals (bucket = 25k) with a
+    // cumulative count — floor of one IEEE division, bit-identical
+    // cross-engine. The cumulative window runs over the BUCKET table
+    // (tens of rows), never the raw data.
+    "agg_histogram" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .withColumn("bucket",
+          floor($"o_totalprice" / 25000.0).cast(LongType))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("lo", ($"bucket" * 25000L).cast(DoubleType))
+        .withColumn("cum_n",
+          sum($"n").over(Window.orderBy($"bucket")))
+        .select($"bucket", $"lo", $"n", $"cum_n")
+        .orderBy($"bucket")
+    }),
+
+    // Boolean aggregates: bool_and / bool_or / count_if per event type
+    // (order-free folds over raw-double comparisons — no float summation).
+    "agg_boolean" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          bool_and($"value" >= 0.0).as("all_nonneg"),
+          bool_or($"value" > 99.0).as("any_big"),
+          count_if($"value" > 50.0).as("n_big"))
+        .orderBy($"event_type")
+    }),
+
+    // Fallible casts: try_cast yields NULL instead of failing the job —
+    // the ingest-hardening primitive for dirty columns. Covers a
+    // parseable suffix, a never-parseable string, a mixed column, and
+    // a numeric overflow.
+    "fn_trycast" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "customer")
+        .withColumn("sfx", regexp_extract($"c_name", "([0-9]+)$", 1))
+        .select($"c_custkey",
+          expr("try_cast(sfx AS BIGINT)").as("suffix_n"),
+          expr("try_cast(c_mktsegment AS BIGINT)").as("bad_n"),
+          expr("try_cast(CASE WHEN c_custkey % 3 = 0 " +
+            "THEN CAST(c_custkey AS STRING) ELSE c_name END AS BIGINT)")
+            .as("mixed_n"),
+          expr("CAST(try_cast(c_custkey AS TINYINT) AS BIGINT)")
+            .as("small_n"))
+        .orderBy($"c_custkey")
+    }),
+
+    // Unpivot/melt: reduce first (3 groups), then melt the measure
+    // columns into (metric, value) rows via Dataset.unpivot.
+    "fn_unpivot" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          sum(expr("CAST(l_quantity AS DECIMAL(18,2))"))
+            .cast(DoubleType).as("sum_qty"),
+          sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))"))
+            .cast(DoubleType).as("sum_price"),
+          count(lit(1)).cast(DoubleType).as("n_items"))
+        .unpivot(Array($"l_returnflag"),
+          Array($"sum_qty", $"sum_price", $"n_items"), "metric", "value")
+        .orderBy($"l_returnflag", $"metric")
+    }))
+
+  def oracle: Seq[(String, String)] = Seq(
+    "text_chunk" ->
+      """SELECT doc_id,
+        |  (start - 1) // 150 + 1 AS chunk_id,
+        |  CAST(start AS BIGINT) AS start,
+        |  CAST(len(substring(text, start, 200)) AS BIGINT) AS chunk_len,
+        |  substring(text, start, 200) AS chunk
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(1, len(text), 150)) AS start
+        |      FROM documents) t
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT lang,
+        |  CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM (SELECT lang, doc_id,
+        |        (doc_id * 2654435761 + 40503) % 1000 AS h
+        |      FROM documents) t
+        |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "text_pii" ->
+      """WITH r AS (SELECT doc_id,
+        |    'contact u' || CAST(doc_id AS VARCHAR) || '@ex.org ph 555-01'
+        |      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' ' || text
+        |      AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(raw, '[a-z0-9]+@[a-z.]+', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS masked,
+        |  CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z.]+'))
+        |    AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}'))
+        |    AS BIGINT) AS n_phones
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "text_contamination" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    string_split(lower(text), ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, source, unnest(
+        |    CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(generate_series(1, len(toks) - 4),
+        |      i -> array_to_string(list_slice(toks, i, i + 4), ' ')) END)
+        |    AS gram FROM d),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+        |corp AS (SELECT DISTINCT doc_id, gram FROM g
+        |         WHERE source <> 'src0')
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM corp JOIN bench USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "agg_histogram" ->
+      """SELECT bucket, CAST(bucket * 25000 AS DOUBLE) AS lo,
+        |  count(*) AS n,
+        |  CAST(sum(count(*)) OVER (ORDER BY bucket) AS BIGINT) AS cum_n
+        |FROM (SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT)
+        |        AS bucket FROM orders) t
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "agg_boolean" ->
+      """SELECT event_type, count(*) AS n,
+        |  bool_and(value >= 0.0) AS all_nonneg,
+        |  bool_or(value > 99.0) AS any_big,
+        |  count(*) FILTER (WHERE value > 50.0) AS n_big
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "fn_trycast" ->
+      """SELECT c_custkey,
+        |  TRY_CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT)
+        |    AS suffix_n,
+        |  TRY_CAST(c_mktsegment AS BIGINT) AS bad_n,
+        |  TRY_CAST(CASE WHEN c_custkey % 3 = 0
+        |    THEN CAST(c_custkey AS VARCHAR) ELSE c_name END AS BIGINT)
+        |    AS mixed_n,
+        |  CAST(TRY_CAST(c_custkey AS TINYINT) AS BIGINT) AS small_n
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "fn_unpivot" ->
+      """WITH a AS (SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_price,
+        |    CAST(count(*) AS DOUBLE) AS n_items
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price', sum_price FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'n_items', n_items FROM a
+        |ORDER BY l_returnflag, metric""".stripMargin)
+}
