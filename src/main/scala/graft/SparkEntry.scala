@@ -21,7 +21,8 @@ object SparkEntry {
     operators.TrainQueries,
     operators.SqlQueries,
     operators.MiscQueries,
-    operators.PipelineQueries)
+    operators.PipelineQueries,
+    operators.SensorQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

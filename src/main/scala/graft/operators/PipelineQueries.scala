@@ -88,22 +88,25 @@ object PipelineQueries extends QueryPack {
     }),
 
     // Benchmark-contamination check: corpus docs sharing any word
-    // 5-gram with the held-out benchmark set (source = src0). The
-    // benchmark gram set is distinct-reduced and broadcast; the corpus
-    // side shuffles once on the gram key.
+    // 5-gram with the held-out benchmark set (source = src0).
+    // Single-pass plan: gram-ify the corpus ONCE, then resolve
+    // benchmark membership with a window over the gram key (high
+    // cardinality — partitions evenly at scale) instead of
+    // re-deriving the grams on a second branch for a join.
     "text_contamination" -> ((s, dir) => {
       import s.implicits._
-      val d = Tables.load(s, dir, "documents")
+      val g = Tables.load(s, dir, "documents")
         .withColumn("toks", split(lower($"text"), " "))
-        .withColumn("grams", expr(
-          "CASE WHEN size(toks) < 5 THEN array() " +
-            "ELSE transform(sequence(1, size(toks) - 4), " +
-            "i -> array_join(slice(toks, i, 5), ' ')) END"))
-      val bench = d.filter($"source" === "src0")
-        .select(explode($"grams").as("gram")).distinct()
-      val corp = d.filter($"source" =!= "src0")
-        .select($"doc_id", explode($"grams").as("gram")).distinct()
-      corp.join(broadcast(bench), Seq("gram"), "left_semi")
+        .select($"doc_id", ($"source" === "src0").as("is_bench"),
+          explode(expr(
+            "CASE WHEN size(toks) < 5 THEN array() " +
+              "ELSE transform(sequence(1, size(toks) - 4), " +
+              "i -> array_join(slice(toks, i, 5), ' ')) END")).as("gram"))
+        .distinct()
+      g.withColumn("has_bench",
+          max(when($"is_bench", 1).otherwise(0))
+            .over(Window.partitionBy($"gram")))
+        .filter(!$"is_bench" && $"has_bench" === 1)
         .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
         .orderBy($"doc_id")
     }),

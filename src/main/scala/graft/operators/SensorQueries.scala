@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.{Det, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sensor time-series operators (SURVEY.md §2.N) — the reference's own
+  * domain is a sensor-event stream, and these are the four
+  * batch-analytics ops every telemetry pipeline runs: regular
+  * resampling with gap filling, last-observation-carried-forward,
+  * rolling-window anomaly flagging, and per-sensor normalization.
+  *
+  * Determinism (§7.4): `events.ts` is ns-precision, so every use goes
+  * through `date_trunc('second')` first (P3); window ORDER BYs carry
+  * the unique `event_id` tiebreaker (P5); rolling statistics are
+  * exact-decimal sums compared multiplicatively — no decimal division
+  * whose scale rules could differ across engines.
+  *
+  * Scale design (100 TB):
+  * - `ts_resample` aggregates to (type, bin) first — the gap-fill grid
+  *   is bins × types (tiny) built from one global bound row, joined
+  *   LEFT against the reduced aggregate, never against raw events.
+  * - `ts_locf` / `ts_anomaly` partition their windows by user/sensor
+  *   id (high cardinality), so frames stay small and parallel; nothing
+  *   windows over a constant key.
+  * - `ts_norm` needs per-type extrema: a 5-row aggregate broadcast
+  *   back, not a window over the raw table.
+  */
+object SensorQueries extends QueryPack {
+
+  /** Seconds since epoch of the second-truncated event time. */
+  private def sec(c: org.apache.spark.sql.Column) =
+    unix_timestamp(date_trunc("second", c))
+
+  def queries: Seq[(String, Q)] = Seq(
+    // Resample to a regular 15-minute grid per event type, filling
+    // empty bins with zero — the plot/join-ready shape of a raw
+    // event stream.
+    "ts_resample" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+        .withColumn("bin", floor(sec($"ts") / 900L))
+      val agg = e.groupBy($"event_type", $"bin")
+        .agg(count(lit(1)).as("n"), Det.dsum($"value").as("sum_v"))
+      val bounds = e.agg(min($"bin").as("lo"), max($"bin").as("hi"))
+      val grid = bounds
+        .select(explode(sequence($"lo", $"hi")).as("bin"))
+        .crossJoin(e.select($"event_type").distinct())
+      grid.join(agg, Seq("event_type", "bin"), "left")
+        .select($"event_type", $"bin".cast(LongType).as("bin"),
+          ($"bin" * 900L).cast(LongType).as("bin_start_sec"),
+          coalesce($"n", lit(0L)).as("n"),
+          coalesce($"sum_v", lit(0.0)).as("sum_v"))
+        .orderBy($"event_type", $"bin")
+    }),
+
+    // Last-observation-carried-forward: at every event, the value of
+    // the user's latest purchase at-or-before it (NULL until the first
+    // purchase) — the standard sparse-sensor densification.
+    "ts_locf" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy(sec($"ts"), $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .withColumn("obs",
+          when($"event_type" === "purchase", $"value"))
+        .withColumn("filled", last($"obs", ignoreNulls = true).over(w))
+        .select($"event_id", $"user_id", $"event_type", $"value",
+                $"filled")
+        .orderBy($"event_id")
+    }),
+
+    // Rolling anomaly flag: value exceeds 2× the trailing-20-row mean
+    // for that user. Compared multiplicatively over exact decimals
+    // (value·n > 2·sum), so no float accumulation or decimal division.
+    "ts_anomaly" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy(sec($"ts"), $"event_id")
+        .rowsBetween(-19, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .withColumn("wsum", sum(Det.money($"value")).over(w))
+        .withColumn("wn", count(lit(1)).over(w))
+        .withColumn("spike",
+          Det.money($"value") * $"wn" > $"wsum" * 2)
+        .select($"event_id", $"user_id", $"value",
+          $"wsum".cast(DoubleType).as("wsum"), $"wn", $"spike")
+        .orderBy($"event_id")
+    }),
+
+    // Per-type min-max normalization: extrema are an order-free 5-row
+    // aggregate broadcast back onto the stream; the normalized value
+    // is a single IEEE (value−min)/(max−min) — bit-identical
+    // cross-engine.
+    "ts_norm" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+      val ext = e.groupBy($"event_type")
+        .agg(min($"value").as("vmin"), max($"value").as("vmax"))
+      e.join(broadcast(ext), "event_type")
+        .select($"event_id", $"event_type", $"value",
+          (($"value" - $"vmin") / ($"vmax" - $"vmin")).as("norm"))
+        .orderBy($"event_id")
+    }))
+
+  def oracle: Seq[(String, String)] = Seq(
+    "ts_resample" ->
+      """WITH e AS (SELECT event_type, value,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 900 AS bin
+        |  FROM events),
+        |agg AS (SELECT event_type, bin, count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |  FROM e GROUP BY event_type, bin),
+        |bounds AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |grid AS (SELECT t.event_type, g.bin
+        |  FROM (SELECT DISTINCT event_type FROM e) t
+        |  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS bin
+        |              FROM bounds) g)
+        |SELECT grid.event_type, grid.bin,
+        |  grid.bin * 900 AS bin_start_sec,
+        |  COALESCE(agg.n, 0) AS n, COALESCE(agg.sum_v, 0.0) AS sum_v
+        |FROM grid LEFT JOIN agg
+        |  ON agg.event_type = grid.event_type AND agg.bin = grid.bin
+        |ORDER BY grid.event_type, grid.bin""".stripMargin,
+
+    "ts_locf" ->
+      """SELECT event_id, user_id, event_type, value,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |             IGNORE NULLS) OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY date_trunc('second', ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "ts_anomaly" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(wsum AS DOUBLE) AS wsum, wn,
+        |  CAST(value AS DECIMAL(18,2)) * wn > wsum * 2 AS spike
+        |FROM (
+        |  SELECT event_id, user_id, value,
+        |    SUM(CAST(value AS DECIMAL(18,2))) OVER w AS wsum,
+        |    COUNT(*) OVER w AS wn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY date_trunc('second', ts), event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) t
+        |ORDER BY event_id""".stripMargin,
+
+    "ts_norm" ->
+      """SELECT event_id, event_type, value,
+        |  (value - vmin) / (vmax - vmin) AS norm
+        |FROM events JOIN (
+        |  SELECT event_type, min(value) AS vmin, max(value) AS vmax
+        |  FROM events GROUP BY event_type) ext USING (event_type)
+        |ORDER BY event_id""".stripMargin)
+}
