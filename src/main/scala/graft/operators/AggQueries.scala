@@ -103,14 +103,17 @@ object AggQueries extends QueryPack {
         .withColumn("b", floor($"price" / 1000.0).cast(LongType))
       val bCounts = j.groupBy($"seg", $"b").agg(count(lit(1)).as("c"))
       val wb = Window.partitionBy($"seg").orderBy($"b")
+      // Per-segment totals come from the SAME cumulative frame (max of
+      // the running sum), so the bucket aggregate is computed once —
+      // no second aggregation branch re-reading the join.
       val bCum = bCounts
         .withColumn("cum_hi", sum($"c").over(wb))
         .withColumn("cum_lo", $"cum_hi" - $"c")
-      val ranks = bCounts.groupBy($"seg").agg(sum($"c").as("cnt"))
-        .select($"seg", $"cnt",
-          expr("(cnt+1) div 2").as("r_med"),
-          ceil($"cnt" * 0.9).cast(LongType).as("r_p90"))
-      val hot = bCum.join(broadcast(ranks), "seg")
+        .withColumn("cnt",
+          max($"cum_hi").over(Window.partitionBy($"seg")))
+        .withColumn("r_med", expr("(cnt+1) div 2"))
+        .withColumn("r_p90", ceil($"cnt" * 0.9).cast(LongType))
+      val hot = bCum
         .filter(($"cum_lo" < $"r_med" && $"r_med" <= $"cum_hi") ||
                 ($"cum_lo" < $"r_p90" && $"r_p90" <= $"cum_hi"))
         .select($"seg", $"b", $"cum_lo", $"cnt", $"r_med", $"r_p90")

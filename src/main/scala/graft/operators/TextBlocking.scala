@@ -37,6 +37,17 @@ object TextBlocking {
         .cast(LongType))
   }
 
+  /** Corpus dictionary built straight from the raw explode — skips the
+    * per-doc distinct/tf shuffle a caller's token frame carries, so
+    * using this instead of `dict(tok)` removes a corpus-wide shuffle
+    * from the dictionary branch (the term SET is identical). */
+  def corpusDict(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dict(Tables.load(s, dir, "documents")
+      .select(explode(split(lower($"text"), " ")).as("term"))
+      .filter($"term" =!= ""))
+  }
+
   /** doc_id → (64-bit token-SET bitmask, n_tokens). Exact set
     * fingerprint — requires vocabulary ≤ 63 (holds for the fixtures'
     * 31-term vocab; the general-scale key is a 64-bit hash of the
@@ -44,7 +55,7 @@ object TextBlocking {
   def maskTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tok = tokens(s, dir)
-    tok.join(broadcast(dict(tok)), "term")
+    tok.join(broadcast(corpusDict(s, dir)), "term")
       .groupBy($"doc_id")
       .agg(sum(expr("shiftleft(1L, tid - 1)")).as("mask"),
            count(lit(1)).cast(LongType).as("n_tokens"))

@@ -45,7 +45,8 @@ object TrainQueries extends QueryPack {
     "dedup_minhash" -> ((s, dir) => {
       import s.implicits._
       val tok = TextBlocking.tokens(s, dir)
-      val hashed = tok.join(broadcast(TextBlocking.dict(tok)), "term")
+      val hashed =
+        tok.join(broadcast(TextBlocking.corpusDict(s, dir)), "term")
       val mins = MA.zip(MB).zipWithIndex.map { case ((a, b), i) =>
         min(pmod($"tid" * a + b, lit(10007L))).as(s"m${i + 1}")
       }
@@ -67,7 +68,7 @@ object TrainQueries extends QueryPack {
         .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
         .filter($"term" =!= "")
         .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val h = tf.join(broadcast(TextBlocking.dict(tf)), "term")
+      val h = tf.join(broadcast(TextBlocking.corpusDict(s, dir)), "term")
         .withColumn("h", pmod($"tid" * 2654435761L + 104729L, lit(65536L)))
       val bits = h.select($"doc_id", $"tf", $"h",
           explode(sequence(lit(0), lit(15))).as("j"))
