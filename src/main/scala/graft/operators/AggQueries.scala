@@ -212,6 +212,23 @@ object AggQueries extends QueryPack {
         .orderBy($"user_id")
     }),
 
+    // Ordered string aggregation (LISTAGG, new SQL:2016 surface in
+    // Spark 4). Scale-safe: a window rank bounds each group to 3 rows
+    // BEFORE the aggregation, so no unbounded per-group string build.
+    "agg_listagg" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment").orderBy($"c_custkey")
+      Tables.load(s, dir, "customer")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .groupBy($"c_mktsegment")
+        .agg(expr(
+          "listagg(c_name, ',') WITHIN GROUP (ORDER BY c_custkey)")
+          .as("names"),
+          count(lit(1)).as("n"))
+        .orderBy($"c_mktsegment")
+    }),
+
     // Custom typed UDAF (Aggregator): weighted mean of value by
     // props.k — exact integer-cents arithmetic inside the buffer.
     "agg_udaf" -> ((s, dir) => {
@@ -321,6 +338,17 @@ object AggQueries extends QueryPack {
         |  arg_min(event_type, event_id) AS first_type,
         |  arg_max(event_type, event_id) AS last_type
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "agg_listagg" ->
+      """SELECT c_mktsegment,
+        |  string_agg(c_name, ',' ORDER BY c_custkey) AS names,
+        |  count(*) AS n
+        |FROM (SELECT c_mktsegment, c_custkey, c_name,
+        |        row_number() OVER (PARTITION BY c_mktsegment
+        |                           ORDER BY c_custkey) AS rn
+        |      FROM customer) t
+        |WHERE rn <= 3
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "agg_udaf" ->
       """SELECT event_type,

@@ -190,6 +190,20 @@ object FnQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), dsum($"value").as("val_sum"))
         .select($"key.user_id", $"key.day", $"n", $"val_sum")
         .orderBy($"user_id", $"day")
+    }),
+
+    // Edit-distance fuzzy matching (levenshtein) — the scalar behind
+    // fuzzy dedup/entity resolution. Distances to a mutated copy and
+    // to a fixed probe; integer-exact.
+    "fn_levenshtein" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "customer")
+        .select($"c_custkey",
+          levenshtein($"c_name", regexp_replace($"c_name", "0", "o"))
+            .cast(LongType).as("d_mut"),
+          levenshtein($"c_name", lit("Customer#000000001"))
+            .cast(LongType).as("d_probe"))
+        .orderBy($"c_custkey")
     })
   )
 
@@ -307,6 +321,14 @@ object FnQueries extends QueryPack {
         |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
-        |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
+
+    "fn_levenshtein" ->
+      """SELECT c_custkey,
+        |  CAST(levenshtein(c_name, regexp_replace(c_name, '0', 'o', 'g'))
+        |    AS BIGINT) AS d_mut,
+        |  CAST(levenshtein(c_name, 'Customer#000000001') AS BIGINT)
+        |    AS d_probe
+        |FROM customer ORDER BY c_custkey""".stripMargin
   )
 }

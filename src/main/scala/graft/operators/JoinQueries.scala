@@ -127,6 +127,22 @@ object JoinQueries extends QueryPack {
         .orderBy($"r_name", $"n_name")
     }),
 
+    // Null-safe equi-join (<=>): NULL keys match each other instead of
+    // dropping out — the join form ingest pipelines need for nullable
+    // dimension keys. Stays a hash join (null-safe equality is still
+    // an equi-key). Nulls synthesized via nullif (fixtures have none).
+    "join_null_safe" -> ((s, dir) => {
+      import s.implicits._
+      val a = Tables.load(s, dir, "nation")
+        .select($"n_nationkey", $"n_name",
+                nullif($"n_regionkey", lit(2)).as("rk"))
+      val b = Tables.load(s, dir, "region")
+        .select(nullif($"r_regionkey", lit(2)).as("rk"), $"r_name")
+      a.join(broadcast(b), a("rk") <=> b("rk"))
+        .select($"n_nationkey", $"n_name", $"r_name")
+        .orderBy($"n_nationkey")
+    }),
+
     // Theta/range join: same-user event pairs within one hour.
     // Time-bucketed equi-join: the range condition is covered by
     // joining on (user, hour-bucket), with the left side exploded into
@@ -242,6 +258,15 @@ object JoinQueries extends QueryPack {
     "join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+
+    "join_null_safe" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM (SELECT n_nationkey, n_name,
+        |        nullif(n_regionkey, 2) AS rk FROM nation) a
+        |JOIN (SELECT nullif(r_regionkey, 2) AS rk, r_name
+        |      FROM region) b
+        |  ON a.rk IS NOT DISTINCT FROM b.rk
+        |ORDER BY n_nationkey""".stripMargin,
 
     "join_theta_range" ->
       """SELECT a.event_id AS a_id, b.event_id AS b_id

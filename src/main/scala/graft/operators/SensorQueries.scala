@@ -90,6 +90,21 @@ object SensorQueries extends QueryPack {
         .orderBy($"event_id")
     }),
 
+    // Reading-gap detection: seconds since the user's previous event
+    // (NULL for the first) and a flag for gaps over 2 hours — the
+    // sensor-health check (dead sensor / dropped uplink) every
+    // telemetry pipeline monitors.
+    "ts_gaps" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy(sec($"ts"), $"event_id")
+      Tables.load(s, dir, "events")
+        .withColumn("gap_sec", sec($"ts") - lag(sec($"ts"), 1).over(w))
+        .select($"event_id", $"user_id", $"gap_sec",
+          ($"gap_sec" > 7200L).as("is_gap"))
+        .orderBy($"event_id")
+    }),
+
     // Per-type min-max normalization: extrema are an order-free 5-row
     // aggregate broadcast back onto the stream; the normalized value
     // is a single IEEE (value−min)/(max−min) — bit-identical
@@ -146,6 +161,18 @@ object SensorQueries extends QueryPack {
         |  WINDOW w AS (PARTITION BY user_id
         |    ORDER BY date_trunc('second', ts), event_id
         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) t
+        |ORDER BY event_id""".stripMargin,
+
+    "ts_gaps" ->
+      """SELECT event_id, user_id, gap_sec, gap_sec > 7200 AS is_gap
+        |FROM (
+        |  SELECT event_id, user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |      - lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+        |        OVER (PARTITION BY user_id
+        |              ORDER BY date_trunc('second', ts), event_id)
+        |      AS gap_sec
+        |  FROM events) t
         |ORDER BY event_id""".stripMargin,
 
     "ts_norm" ->

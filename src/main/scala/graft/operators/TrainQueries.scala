@@ -38,6 +38,29 @@ object TrainQueries extends QueryPack {
   private val MB = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
   private val STOP = Seq("the", "a", "data", "key", "value")
 
+  /** 16-bit tf-weighted SimHash signature per doc — shared by
+    * `dedup_simhash` (exact-signature mates) and `dedup_hamming`
+    * (Hamming-ball candidates). */
+  private def simhashSigs(s: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val tf = Tables.load(s, dir, "documents")
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val h = tf.join(broadcast(TextBlocking.corpusDict(s, dir)), "term")
+      .withColumn("h", pmod($"tid" * 2654435761L + 104729L, lit(65536L)))
+    val bits = h.select($"doc_id", $"tf", $"h",
+        explode(sequence(lit(0), lit(15))).as("j"))
+      .withColumn("w",
+        when(expr("(h div shiftleft(1L, j)) % 2") === 1, $"tf")
+          .otherwise(-$"tf"))
+    bits.groupBy($"doc_id", $"j").agg(sum($"w").as("sw"))
+      .withColumn("bit",
+        when($"sw" >= 0, expr("shiftleft(1L, j)")).otherwise(0L))
+      .groupBy($"doc_id").agg(sum($"bit").as("simhash"))
+  }
+
   def queries: Seq[(String, Q)] = Seq(
     // MinHash signature (k=8, affine hashes over the term dictionary)
     // + 4 LSH band keys (r=2). Banding docs into buckets by b1..b4 is
@@ -64,25 +87,32 @@ object TrainQueries extends QueryPack {
     // signature (n_mates > 1) are near-dup candidates.
     "dedup_simhash" -> ((s, dir) => {
       import s.implicits._
-      val tf = Tables.load(s, dir, "documents")
-        .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
-        .filter($"term" =!= "")
-        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val h = tf.join(broadcast(TextBlocking.corpusDict(s, dir)), "term")
-        .withColumn("h", pmod($"tid" * 2654435761L + 104729L, lit(65536L)))
-      val bits = h.select($"doc_id", $"tf", $"h",
-          explode(sequence(lit(0), lit(15))).as("j"))
-        .withColumn("w",
-          when(expr("(h div shiftleft(1L, j)) % 2") === 1, $"tf")
-            .otherwise(-$"tf"))
-      val sig = bits.groupBy($"doc_id", $"j").agg(sum($"w").as("sw"))
-        .withColumn("bit",
-          when($"sw" >= 0, expr("shiftleft(1L, j)")).otherwise(0L))
-        .groupBy($"doc_id").agg(sum($"bit").as("simhash"))
-      sig.withColumn("n_mates",
+      simhashSigs(s, dir)
+        .withColumn("n_mates",
           count(lit(1)).over(Window.partitionBy($"simhash")))
         .select($"doc_id", $"simhash", $"n_mates")
         .orderBy($"doc_id")
+    }),
+
+    // Hamming-ball near-dup candidates over the SimHash signatures:
+    // block by the top byte (the LSH-style recall/cost trade — a
+    // differing top byte means Hamming distance ≥ 1 there already),
+    // then exact bit_count(xor) ≤ 3 within blocks. The self-join key
+    // is the 8-bit block, never all-pairs.
+    "dedup_hamming" -> ((s, dir) => {
+      import s.implicits._
+      val sig = simhashSigs(s, dir)
+        .withColumn("blk", expr("simhash div 256"))
+      val a = sig.select($"blk", $"doc_id".as("da"),
+                         $"simhash".as("sa"))
+      val b = sig.select($"blk", $"doc_id".as("db"),
+                         $"simhash".as("sb"))
+      a.join(b, Seq("blk")).filter($"da" < $"db")
+        .withColumn("hdist",
+          expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+        .filter($"hdist" <= 3)
+        .select($"da", $"db", $"hdist")
+        .orderBy($"da", $"db")
     }),
 
     // Embedding near-dup: sign-LSH bucket on the first 8 dimensions,
@@ -296,6 +326,31 @@ object TrainQueries extends QueryPack {
         |SELECT doc_id, simhash,
         |  count(*) OVER (PARTITION BY simhash) AS n_mates
         |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "dedup_hamming" ->
+      """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |    FROM documents) t WHERE term <> '' GROUP BY doc_id, term),
+        |dict AS (SELECT term,
+        |    CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS tid
+        |  FROM (SELECT DISTINCT term FROM tf)),
+        |h AS (SELECT doc_id, tf, (tid * 2654435761 + 104729) % 65536 AS h
+        |  FROM tf JOIN dict USING (term)),
+        |bits AS (SELECT doc_id, j,
+        |    sum(CASE WHEN (h // (CAST(1 AS BIGINT) << j)) % 2 = 1
+        |             THEN tf ELSE -tf END) AS sw
+        |  FROM h CROSS JOIN generate_series(0, 15) AS g(j)
+        |  GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN sw >= 0 THEN CAST(1 AS BIGINT) << j
+        |                  ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |s2 AS (SELECT doc_id, simhash, simhash // 256 AS blk FROM sig)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hdist
+        |FROM s2 a JOIN s2 b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY da, db""".stripMargin,
 
     "dedup_embed" ->
       """WITH e AS (SELECT vec_id, embedding,
