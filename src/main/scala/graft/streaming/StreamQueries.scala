@@ -148,6 +148,58 @@ object StreamQueries {
            max($"event_id").as("last_id"))
   }
 
+  case class UserSeen(n: Long, lastMs: Long)
+  case class OfflineAlert(user_id: Long, last_seen_sec: Long, n_seen: Long)
+
+  /** st12 — sensor-offline monitor: `flatMapGroupsWithState` with an
+    * EVENT-TIME TIMEOUT. Tracks (count, last-seen) per user and emits
+    * one OfflineAlert when the watermark passes 2 h beyond a user's
+    * last reading — the dead-sensor alert every telemetry pipeline
+    * runs, and the timeout surface st7 (NoTimeout) doesn't exercise.
+    * State is O(1) per user and removed on alert. */
+  def offlineAlerts(events: Dataset[EventRow]): Dataset[OfflineAlert] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    // Evaluate driver-side: the closure below runs on executors where
+    // the captured Dataset has no logical plan to ask.
+    val streaming = events.isStreaming
+    val withWm =
+      if (streaming)
+        events.toDF().withWatermark("ts", "1 hour").as[EventRow]
+      else events
+    withWm
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserSeen, OfflineAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (uid: Long, it: Iterator[EventRow], state: GroupState[UserSeen]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(OfflineAlert(uid, s.lastMs / 1000, s.n))
+          } else {
+            var s = state.getOption.getOrElse(UserSeen(0L, 0L))
+            it.foreach { e =>
+              s = UserSeen(s.n + 1, math.max(s.lastMs, e.ts.getTime))
+            }
+            state.update(s)
+            if (streaming)
+              state.setTimeoutTimestamp(s.lastMs + 2L * 3600 * 1000)
+            Iterator.empty
+          })
+  }
+
+  /** Batch analogue of st12's alert set once the stream is fully
+    * drained (watermark far past every real sensor): every user
+    * alerts with its final (count, last-seen-second). */
+  def offlineAlertsBatch(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupBy($"user_id")
+      .agg(unix_timestamp(date_trunc("second", max($"ts")))
+             .as("last_seen_sec"),
+           count(lit(1)).as("n_seen"))
+      .select($"user_id", $"last_seen_sec", $"n_seen")
+  }
+
   /** st8 — stream–static join: enrich events with a user dimension
     * derived from customer (user_id → segment), broadcast per batch. */
   def enrichWithUserDim(events: DataFrame, spark: SparkSession,

@@ -140,6 +140,22 @@ class StreamingEquivalenceSpec extends SparkTestBase {
     }
   }
 
+  test("st12: event-time-timeout offline alerts fire for every drained user") {
+    // Sentinel pushes the final watermark ~47h past the last real
+    // event — > the 2h offline threshold for every real user, so each
+    // must emit exactly one alert carrying its final state. The
+    // sentinel user itself (-1) never times out (watermark stops 1h
+    // before it) and must be absent.
+    val stream = EventStreams.readEventStream(
+      spark, replayDir("st12", sentinel = true))
+    val got = runToMemory(
+      StreamQueries.offlineAlerts(
+        stream.as[StreamQueries.EventRow]).toDF(),
+      "st12_out", "append")
+    assertSameRows(got,
+      StreamQueries.offlineAlertsBatch(batchEvents), "st12")
+  }
+
   test("st8: stream-static join == batch join") {
     val stream = EventStreams.readEventStream(
       spark, replayDir("st8", sentinel = false))
