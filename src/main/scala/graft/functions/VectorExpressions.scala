@@ -147,10 +147,31 @@ object VectorExpressions {
     }
 }
 
+/** Injected optimizer rule (`Rule[LogicalPlan]` surface): a self
+  * dot-product `fdot(x, x)` is `fnorm2(x)` — one array traversal and
+  * one null-check per element instead of two. Fires wherever a query
+  * writes the cosine denominator the naive way; the rewrite is safe
+  * exactly when the operand is deterministic (semantic equality of a
+  * nondeterministic expr does not mean equal VALUES). */
+object RewriteSelfDot
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
+      case VectorExpressions.FloatDot(a, b)
+          if a.deterministic && a.semanticEquals(b) =>
+        VectorExpressions.FloatNorm2(a)
+    }
+}
+
 /** Library-level injection point: build the session with
   * `spark.sql.extensions=graft.functions.GraftExtensions` and the
-  * functions exist in every derived session. */
+  * functions + optimizer rule exist in every derived session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     VectorExpressions.registrations.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => RewriteSelfDot)
+  }
 }

@@ -98,4 +98,32 @@ class VectorExpressionsSpec extends SparkTestBase {
       "CAST(4 AS FLOAT))) AS n").head().getDouble(0)
     assert(r == 25.0)
   }
+
+  test("RewriteSelfDot: fdot(x, x) optimizes to fnorm2(x), same values") {
+    VectorExpressions.register(spark)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.functions.RewriteSelfDot
+    try {
+      val df = Tables.load(spark, sf, "embeddings")
+        .selectExpr("vec_id", "fdot(embedding, embedding) AS d",
+                    "fnorm2(embedding) AS n")
+      val opt = df.queryExecution.optimizedPlan
+      val exprs = opt.expressions.flatMap(_.collect {
+        case e: VectorExpressions.FloatDot => "fdot"
+        case e: VectorExpressions.FloatNorm2 => "fnorm2"
+      })
+      assert(!exprs.contains("fdot"), s"self-dot not rewritten: $exprs")
+      // Distinct operands must NOT be rewritten.
+      val keep = Tables.load(spark, sf, "embeddings").limit(1)
+        .selectExpr("fdot(embedding, slice(embedding, 1, 64)) AS d")
+        .queryExecution.optimizedPlan
+      assert(keep.collectFirst { case n if n.expressions.exists(
+          _.collectFirst { case _: VectorExpressions.FloatDot => () }
+            .isDefined) => () }.isDefined,
+        "fdot over distinct operands must survive")
+      // Values unchanged by the rewrite.
+      assert(df.filter("d <> n").count() == 0)
+    } finally spark.experimental.extraOptimizations = prev
+  }
 }
