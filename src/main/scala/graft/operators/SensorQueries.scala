@@ -105,6 +105,33 @@ object SensorQueries extends QueryPack {
         .orderBy($"event_id")
     }),
 
+    // Ordered-funnel analysis: per user, the first view, the first
+    // click strictly after that view, and the first purchase strictly
+    // after that click — the event-sequence op behind conversion
+    // metrics. Three chained per-user aggregates (each a shuffle on
+    // the high-cardinality user key); no window over raw history.
+    "funnel_steps" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+        .select($"user_id", $"event_type", sec($"ts").as("sec"))
+      val t1 = e.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"sec").as("t_view"))
+      val t2 = e.filter($"event_type" === "click")
+        .join(t1, "user_id")
+        .filter($"sec" > $"t_view")
+        .groupBy($"user_id", $"t_view").agg(min($"sec").as("t_click"))
+      val t3 = e.filter($"event_type" === "purchase")
+        .join(t2, "user_id")
+        .filter($"sec" > $"t_click")
+        .groupBy($"user_id", $"t_view", $"t_click")
+        .agg(min($"sec").as("t_purchase"))
+      t1.join(t2.select($"user_id", $"t_click"), Seq("user_id"), "left")
+        .join(t3.select($"user_id", $"t_purchase"), Seq("user_id"), "left")
+        .select($"user_id", $"t_view", $"t_click", $"t_purchase",
+                $"t_purchase".isNotNull.as("converted"))
+        .orderBy($"user_id")
+    }),
+
     // Per-type min-max normalization: extrema are an order-free 5-row
     // aggregate broadcast back onto the stream; the normalized value
     // is a single IEEE (value−min)/(max−min) — bit-identical
@@ -174,6 +201,27 @@ object SensorQueries extends QueryPack {
         |      AS gap_sec
         |  FROM events) t
         |ORDER BY event_id""".stripMargin,
+
+    "funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |t1 AS (SELECT user_id, min(sec) AS t_view FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(sec) AS t_click
+        |  FROM e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE event_type = 'click' AND sec > t_view
+        |  GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(sec) AS t_purchase
+        |  FROM e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE event_type = 'purchase' AND sec > t_click
+        |  GROUP BY e.user_id)
+        |SELECT t1.user_id, t_view, t_click, t_purchase,
+        |  t_purchase IS NOT NULL AS converted
+        |FROM t1
+        |LEFT JOIN t2 ON t2.user_id = t1.user_id
+        |LEFT JOIN t3 ON t3.user_id = t1.user_id
+        |ORDER BY t1.user_id""".stripMargin,
 
     "ts_norm" ->
       """SELECT event_id, event_type, value,
