@@ -40,7 +40,10 @@ object TrainQueries extends QueryPack {
 
   /** 16-bit tf-weighted SimHash signature per doc — shared by
     * `dedup_simhash` (exact-signature mates) and `dedup_hamming`
-    * (Hamming-ball candidates). */
+    * (Hamming-ball candidates). The 16 per-bit vote sums are 16
+    * conditional aggregates inside ONE groupBy — no ×16 bit-position
+    * explode (which would multiply the token stream) and one shuffle
+    * instead of two. */
   private def simhashSigs(s: org.apache.spark.sql.SparkSession,
                           dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
@@ -50,15 +53,15 @@ object TrainQueries extends QueryPack {
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val h = tf.join(broadcast(TextBlocking.corpusDict(s, dir)), "term")
       .withColumn("h", pmod($"tid" * 2654435761L + 104729L, lit(65536L)))
-    val bits = h.select($"doc_id", $"tf", $"h",
-        explode(sequence(lit(0), lit(15))).as("j"))
-      .withColumn("w",
-        when(expr("(h div shiftleft(1L, j)) % 2") === 1, $"tf")
-          .otherwise(-$"tf"))
-    bits.groupBy($"doc_id", $"j").agg(sum($"w").as("sw"))
-      .withColumn("bit",
-        when($"sw" >= 0, expr("shiftleft(1L, j)")).otherwise(0L))
-      .groupBy($"doc_id").agg(sum($"bit").as("simhash"))
+    val voteSums = (0 until 16).map { j =>
+      sum(when(expr(s"(h div ${1L << j}) % 2") === 1, $"tf")
+        .otherwise(-$"tf")).as(s"sw$j")
+    }
+    h.groupBy($"doc_id").agg(voteSums.head, voteSums.tail: _*)
+      .select($"doc_id",
+        (0 until 16).map(j =>
+          when(col(s"sw$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   def queries: Seq[(String, Q)] = Seq(
