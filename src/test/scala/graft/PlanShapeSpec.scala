@@ -82,4 +82,42 @@ class PlanShapeSpec extends SparkTestBase {
       s"star-join dimensions not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("join_theta_range is a bucketed equi-join, never nested-loop") {
+    // r3 rewrite: the range condition rides on a (user, hour-bucket)
+    // equi key; a BNLJ/cartesian here means per-user quadratic fanout.
+    val p = planOf("join_theta_range")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"theta-range join lost its equi-bucket key:\n$p")
+  }
+
+  test("dedup_ngram ships trigram sets as arrays — no shingle explode") {
+    // Generates from the token-blocking stage are fine; a Generate
+    // over the trigram expression (substring windows) means the
+    // trigram sets went back to an exploded corpus-wide shuffle.
+    val p = planOf("dedup_ngram")
+    val shingleGen = p.linesIterator
+      .filter(_.contains("Generate")).filter(_.contains("substring"))
+    assert(shingleGen.isEmpty,
+      s"trigram shingles exploded again:\n${shingleGen.mkString}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dedup_hamming joins on the signature block, never all-pairs") {
+    val p = planOf("dedup_hamming")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"hamming candidates degenerated to all-pairs:\n$p")
+  }
+
+  test("ts_resample joins the grid to the reduced aggregate only") {
+    // The only nested-loop join allowed is the grid cross join whose
+    // build side is the 1-row bounds aggregate / 5-row type dim;
+    // the raw events table must reach exactly one aggregation.
+    val p = planOf("ts_resample")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("SortMergeJoin"), s"gap-fill join missing:\n$p")
+  }
 }
