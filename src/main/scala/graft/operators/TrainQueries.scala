@@ -283,6 +283,26 @@ object TrainQueries extends QueryPack {
           (pmod($"n_bytes" * 7L, lit(480L)) + 1L).as("fake_h"),
           (pmod($"doc_id", lit(24L)) + 1L).as("n_frames"))
         .orderBy($"doc_id")
+    }),
+
+    // Fixed-size binary frame slicing — the batch shape of media
+    // chunking (video frames / audio windows): 64-byte frames over the
+    // opaque payload, frame count by exact ceil-division, digest of
+    // the head frame. All map-side byte arithmetic.
+    "mm_chunks" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .withColumn("payload", $"text".cast(BinaryType))
+        .withColumn("n_bytes", octet_length($"payload").cast(LongType))
+        .select($"doc_id", $"n_bytes",
+          expr("(n_bytes + 63) div 64").as("n_frames64"),
+          // Head-frame digest: Spark slices the BINARY payload; DuckDB
+          // has no BLOB substring, so its oracle slices the string then
+          // encodes — byte-identical here (ASCII fixture corpus).
+          md5(expr("substring(payload, 1, 64)")).as("head_md5"),
+          ($"n_bytes" - (expr("(n_bytes + 63) div 64") - 1L) * 64L)
+            .as("tail_len"))
+        .orderBy($"doc_id")
     }))
 
   def oracle: Seq[(String, String)] = Seq(
@@ -479,5 +499,16 @@ object TrainQueries extends QueryPack {
         |  octet_length(encode(text)) % 640 + 1 AS fake_w,
         |  (octet_length(encode(text)) * 7) % 480 + 1 AS fake_h,
         |  doc_id % 24 + 1 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_chunks" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  (CAST(octet_length(encode(text)) AS BIGINT) + 63) // 64
+        |    AS n_frames64,
+        |  md5(substring(text, 1, 64)) AS head_md5,
+        |  CAST(octet_length(encode(text)) AS BIGINT)
+        |    - ((CAST(octet_length(encode(text)) AS BIGINT) + 63) // 64
+        |       - 1) * 64 AS tail_len
         |FROM documents ORDER BY doc_id""".stripMargin)
 }
