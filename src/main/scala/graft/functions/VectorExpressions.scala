@@ -173,5 +173,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     VectorExpressions.registrations.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RewriteSelfDot)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -193,6 +193,27 @@ object JoinQueries extends QueryPack {
         .filter($"rn" === 1)
         .select($"p_id", $"c_id", $"c_value")
         .orderBy($"p_id")
+    }),
+
+    // The same as-of semantics through the NATIVE operator
+    // (plans/AsOfJoin.scala: LogicalPlan + Strategy + SparkPlan): one
+    // O(n+m) merge per key group instead of fanning each purchase out
+    // to a day of clicks before keeping one. Same oracle as join_asof.
+    "join_asof_native" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"user_id".as("p_user"),
+                date_trunc("second", $"ts").as("p_ts"))
+      val clicks = e.filter($"event_type" === "click")
+        .select($"event_id".as("c_id"), $"user_id".as("c_user"),
+                date_trunc("second", $"ts").as("c_ts"),
+                $"value".as("c_value"))
+      graft.plans.AsOfJoin.asof(purchases, clicks,
+          key = ("p_user", "c_user"), ts = ("p_ts", "c_ts"),
+          rightTies = Seq("c_id"), toleranceMicros = 86400L * 1000000)
+        .select($"p_id", $"c_id", $"c_value")
+        .orderBy($"p_id")
     })
   )
 
@@ -277,6 +298,19 @@ object JoinQueries extends QueryPack {
         |ORDER BY a_id, b_id""".stripMargin,
 
     "join_asof" ->
+      """SELECT p_id, c_id, c_value FROM (
+        |  SELECT p.event_id AS p_id, c.event_id AS c_id, c.value AS c_value,
+        |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |           ORDER BY date_trunc('second', c.ts) DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id
+        |   AND date_trunc('second', c.ts) <= date_trunc('second', p.ts)
+        |   AND date_trunc('second', c.ts) >  date_trunc('second', p.ts) - INTERVAL 1 DAY
+        |) t WHERE rn = 1
+        |ORDER BY p_id""".stripMargin,
+
+    "join_asof_native" ->
       """SELECT p_id, c_id, c_value FROM (
         |  SELECT p.event_id AS p_id, c.event_id AS c_id, c.value AS c_value,
         |         ROW_NUMBER() OVER (PARTITION BY p.event_id
