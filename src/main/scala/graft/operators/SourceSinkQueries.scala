@@ -74,6 +74,20 @@ object SourceSinkQueries extends QueryPack {
         .orderBy($"n_nationkey")
     }),
 
+    // ORC round-trip of supplier (Spark's second built-in columnar
+    // format): lossless for these types, so the oracle reads the
+    // parquet view directly.
+    "source_orc" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp(dir, "supplier_orc")
+      Tables.load(s, dir, "supplier")
+        .write.mode("overwrite").orc(path)
+      s.read.schema(Tables.supplier).orc(path)
+        .select($"s_suppkey", $"s_name", $"s_nationkey",
+                money($"s_acctbal").cast(DoubleType).as("acctbal"))
+        .orderBy($"s_suppkey")
+    }),
+
     // Partitioned parquet sink: write events partitioned by
     // event_type, read back, aggregate per partition value.
     "sink_parquet_part" -> ((s, dir) => {
@@ -107,6 +121,11 @@ object SourceSinkQueries extends QueryPack {
     "source_json" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "source_orc" ->
+      """SELECT s_suppkey, s_name, s_nationkey,
+        |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
 
     "sink_parquet_part" ->
       """SELECT event_type, count(*) AS n,
