@@ -192,6 +192,24 @@ object FnQueries extends QueryPack {
         .orderBy($"user_id", $"day")
     }),
 
+    // URL parsing (parse_url): host/path/query extraction from
+    // deterministically constructed URLs — the web-corpus ingest
+    // scalar. DuckDB has no URL functions; the oracle mirrors with
+    // regexes over the same construction.
+    "fn_url" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .withColumn("url", concat(lit("https://ex"),
+          pmod($"doc_id", lit(7L)), lit(".org/"), $"lang",
+          lit("/d"), $"doc_id", lit("?src="), $"source"))
+        .select($"doc_id", $"url",
+          parse_url($"url", lit("HOST")).as("host"),
+          parse_url($"url", lit("PATH")).as("path"),
+          parse_url($"url", lit("QUERY")).as("query"),
+          parse_url($"url", lit("QUERY"), lit("src")).as("src_param"))
+        .orderBy($"doc_id")
+    }),
+
     // Edit-distance fuzzy matching (levenshtein) — the scalar behind
     // fuzzy dedup/entity resolution. Distances to a mutated copy and
     // to a fixed probe; integer-exact.
@@ -322,6 +340,19 @@ object FnQueries extends QueryPack {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
         |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
+
+    "fn_url" ->
+      """WITH u AS (SELECT doc_id,
+        |    'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.org/'
+        |      || lang || '/d' || CAST(doc_id AS VARCHAR)
+        |      || '?src=' || source AS url
+        |  FROM documents)
+        |SELECT doc_id, url,
+        |  regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+        |  regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+        |  regexp_extract(url, '\?(.*)$', 1) AS query,
+        |  regexp_extract(url, 'src=([^&]*)', 1) AS src_param
+        |FROM u ORDER BY doc_id""".stripMargin,
 
     "fn_levenshtein" ->
       """SELECT c_custkey,

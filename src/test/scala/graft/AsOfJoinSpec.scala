@@ -74,4 +74,33 @@ class AsOfJoinSpec extends SparkTestBase {
 
   private def ts(sec: Long): java.sql.Timestamp =
     new java.sql.Timestamp(sec * 1000)
+
+  test("property: native == rewrite on 20 random key/ts distributions") {
+    // Deterministic pseudo-random inputs (fixed LCG seeds) with heavy
+    // key collisions and ts ties — the shapes where a merge-pointer
+    // bug would hide. The rewrite is the executable spec.
+    val win = org.apache.spark.sql.expressions.Window
+    for (seed <- 1 to 20) {
+      var x = seed.toLong
+      def rnd(m: Long): Long = { x = (x * 6364136223846793005L + 1442695040888963407L); math.floorMod(x >>> 16, m) }
+      val ls = (1 to 80).map(i =>
+        (i.toLong, rnd(5), ts(rnd(50) * 10)))
+      val rs = (1 to 120).map(i =>
+        (i.toLong, rnd(5), ts(rnd(50) * 10), rnd(1000).toDouble))
+      val l = ls.toDF("p_id", "p_user", "p_ts")
+      val r = rs.toDF("c_id", "c_user", "c_ts", "c_value")
+      val tol = (rnd(30) + 1) * 10 * 1000000L // 10s..300s in micros
+      val got = plans.AsOfJoin.asof(l, r, ("p_user", "c_user"),
+          ("p_ts", "c_ts"), Seq("c_id"), tol)
+        .select($"p_id", $"c_id", $"c_value")
+      val want = l.join(r, $"p_user" === $"c_user" &&
+            $"c_ts" <= $"p_ts" &&
+            $"c_ts" > $"p_ts" - expr(s"INTERVAL ${tol / 1000000} SECONDS"))
+        .withColumn("rn", row_number().over(win.partitionBy($"p_id")
+          .orderBy($"c_ts".desc, $"c_id".desc)))
+        .filter($"rn" === 1)
+        .select($"p_id", $"c_id", $"c_value")
+      assertSameRows(got, want, s"asof property seed=$seed tol=$tol")
+    }
+  }
 }
