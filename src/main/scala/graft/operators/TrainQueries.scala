@@ -11,9 +11,10 @@ import org.apache.spark.sql.types._
   * fingerprinting), and multimodal binary-column plumbing.
   *
   * Every key is DuckDB-oracled. Determinism comes from pure integer
-  * arithmetic everywhere a sketch is computed: hashes are affine maps
-  * over a deterministic term dictionary (`(a·tid + b) mod p`), char
-  * fingerprints are sequential polynomial folds mod 1e9+7, and the
+  * arithmetic everywhere a sketch is computed: MinHash uses affine maps
+  * over a deterministic term dictionary (`(a·tid + b) mod p`); SimHash
+  * and char fingerprints use dictionary-free sequential polynomial
+  * folds (mod 2^16 / 1e9+7), and the
   * only floating-point ops are single IEEE divisions / sequential
   * array folds that are bit-identical cross-engine (see LlmQueries).
   *
@@ -40,10 +41,17 @@ object TrainQueries extends QueryPack {
 
   /** 16-bit tf-weighted SimHash signature per doc — shared by
     * `dedup_simhash` (exact-signature mates) and `dedup_hamming`
-    * (Hamming-ball candidates). The 16 per-bit vote sums are 16
-    * conditional aggregates inside ONE groupBy — no ×16 bit-position
-    * explode (which would multiply the token stream) and one shuffle
-    * instead of two. */
+    * (Hamming-ball candidates).
+    *
+    * Dictionary-free: the term hash is a polynomial char fold mod
+    * 2^16 computed row-locally, NOT an id from a global term
+    * dictionary — at 100 TB a signature must not depend on a
+    * corpus-wide vocabulary build (the dict path costs a distinct
+    * shuffle + a broadcast and changes whenever the corpus grows;
+    * MinHash keeps it deliberately, as its LSH bands are defined over
+    * dict ids). The 16 per-bit vote sums are 16 conditional aggregates
+    * inside ONE groupBy — no ×16 bit-position explode and a single
+    * corpus shuffle end to end. */
   private def simhashSigs(s: org.apache.spark.sql.SparkSession,
                           dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
@@ -51,8 +59,9 @@ object TrainQueries extends QueryPack {
       .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
       .filter($"term" =!= "")
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val h = tf.join(broadcast(TextBlocking.corpusDict(s, dir)), "term")
-      .withColumn("h", pmod($"tid" * 2654435761L + 104729L, lit(65536L)))
+    val h = tf.withColumn("h", expr(
+      "aggregate(split(term, ''), CAST(0 AS BIGINT), " +
+        "(h, c) -> pmod(h * 131 + ascii(c), 65536))"))
     val voteSums = (0 until 16).map { j =>
       sum(when(expr(s"(h div ${1L << j}) % 2") === 1, $"tf")
         .otherwise(-$"tf")).as(s"sw$j")
@@ -332,11 +341,11 @@ object TrainQueries extends QueryPack {
       """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
         |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
         |    FROM documents) t WHERE term <> '' GROUP BY doc_id, term),
-        |dict AS (SELECT term,
-        |    CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS tid
-        |  FROM (SELECT DISTINCT term FROM tf)),
-        |h AS (SELECT doc_id, tf, (tid * 2654435761 + 104729) % 65536 AS h
-        |  FROM tf JOIN dict USING (term)),
+        |h AS (SELECT doc_id, tf,
+        |    list_reduce(list_transform(string_split(term, ''),
+        |      c -> CAST(ascii(c) AS BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 65536) AS h
+        |  FROM tf),
         |bits AS (SELECT doc_id, j,
         |    sum(CASE WHEN (h // (CAST(1 AS BIGINT) << j)) % 2 = 1
         |             THEN tf ELSE -tf END) AS sw
@@ -354,11 +363,11 @@ object TrainQueries extends QueryPack {
       """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
         |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
         |    FROM documents) t WHERE term <> '' GROUP BY doc_id, term),
-        |dict AS (SELECT term,
-        |    CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS tid
-        |  FROM (SELECT DISTINCT term FROM tf)),
-        |h AS (SELECT doc_id, tf, (tid * 2654435761 + 104729) % 65536 AS h
-        |  FROM tf JOIN dict USING (term)),
+        |h AS (SELECT doc_id, tf,
+        |    list_reduce(list_transform(string_split(term, ''),
+        |      c -> CAST(ascii(c) AS BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 65536) AS h
+        |  FROM tf),
         |bits AS (SELECT doc_id, j,
         |    sum(CASE WHEN (h // (CAST(1 AS BIGINT) << j)) % 2 = 1
         |             THEN tf ELSE -tf END) AS sw
