@@ -192,6 +192,24 @@ object FnQueries extends QueryPack {
         .orderBy($"user_id", $"day")
     }),
 
+    // VARIANT (Spark 4's semi-structured type): parse_json once into a
+    // binary variant, then typed path extraction — the modern
+    // schema-on-read path (no per-access string re-parsing, unlike
+    // get_json_object). Oracle extracts the same paths with DuckDB's
+    // JSON functions.
+    "fn_variant" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .withColumn("v", parse_json($"props"))
+        .select($"event_id",
+          expr("variant_get(v, '$.k', 'bigint')").as("k_num"),
+          expr("CAST(is_variant_null(variant_get(v, '$.missing')) " +
+            "OR variant_get(v, '$.missing') IS NULL AS BOOLEAN)")
+            .as("missing_null"),
+          expr("variant_get(v, '$', 'string')").as("as_json"))
+        .orderBy($"event_id")
+    }),
+
     // URL parsing (parse_url): host/path/query extraction from
     // deterministically constructed URLs — the web-corpus ingest
     // scalar. DuckDB has no URL functions; the oracle mirrors with
@@ -340,6 +358,13 @@ object FnQueries extends QueryPack {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
         |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
+
+    "fn_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+        |  json_extract(props, '$.missing') IS NULL AS missing_null,
+        |  CAST(json_extract(props, '$') AS VARCHAR) AS as_json
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "fn_url" ->
       """WITH u AS (SELECT doc_id,
