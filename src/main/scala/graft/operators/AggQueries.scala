@@ -58,29 +58,49 @@ object AggQueries extends QueryPack {
         .orderBy($"event_type")
     }),
 
-    // Statistical aggregates from exact decimal power sums: mean,
-    // var/stddev (sample), corr — deterministic at any parallelism.
+    // Statistical aggregates from exact power sums: mean, var/stddev
+    // (sample), corr — deterministic at any parallelism. The sums are
+    // emitted as cent-scaled BIGINTs (scale 2 for linear sums, 4 for
+    // products): the exact DECIMAL values exceed double's 53-bit
+    // mantissa, and decimal→double conversion rounds DIFFERENTLY
+    // across engines (double rounding) — integers hash exactly, and
+    // the derived doubles below start from bit-identical inputs.
+    // (Cent-scale products fit int64 at the fixture scales — syy_c is
+    // ~7e18 at sf0.1 — beyond that emit the DECIMAL as a string.)
     "agg_stats" -> ((s, dir) => {
       import s.implicits._
       Tables.load(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
           count(lit(1)).as("n"),
-          sum(money($"l_quantity")).cast(DoubleType).as("sx"),
-          sum(money($"l_quantity") * money($"l_quantity"))
-            .cast(DoubleType).as("sxx"),
-          sum(money($"l_extendedprice")).cast(DoubleType).as("sy"),
+          sum(money($"l_quantity")).as("dx"),
+          sum(money($"l_quantity") * money($"l_quantity")).as("dxx"),
+          sum(money($"l_extendedprice")).as("dy"),
           sum(money($"l_extendedprice") * money($"l_extendedprice"))
-            .cast(DoubleType).as("syy"),
-          sum(money($"l_quantity") * money($"l_extendedprice"))
-            .cast(DoubleType).as("sxy"))
-        .select($"l_returnflag", $"n", $"sx", $"sxx", $"sy", $"syy", $"sxy",
-          ($"sx" / $"n").as("mean_qty"),
-          (($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("var_qty"),
-          sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("std_qty"),
-          (($"n" * $"sxy" - $"sx" * $"sy") /
-            (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
-             sqrt($"n" * $"syy" - $"sy" * $"sy"))).as("corr_qty_price"))
+            .as("dyy"),
+          sum(money($"l_quantity") * money($"l_extendedprice")).as("dxy"))
+        .select($"l_returnflag", $"n",
+          ($"dx" * 100).cast(LongType).as("sx_c"),
+          ($"dxx" * 10000).cast(LongType).as("sxx_c"),
+          ($"dy" * 100).cast(LongType).as("sy_c"),
+          ($"dyy" * 10000).cast(LongType).as("syy_c"),
+          ($"dxy" * 10000).cast(LongType).as("sxy_c"))
+        .select($"l_returnflag", $"n",
+          $"sx_c", $"sxx_c", $"sy_c", $"syy_c", $"sxy_c",
+          ($"sx_c" / 100.0 / $"n").as("mean_qty"),
+          round((($"sxx_c" / 10000.0) -
+              ($"sx_c" / 100.0) * ($"sx_c" / 100.0) / $"n") / ($"n" - 1),
+            6).as("var_qty"),
+          round(sqrt((($"sxx_c" / 10000.0) -
+              ($"sx_c" / 100.0) * ($"sx_c" / 100.0) / $"n") / ($"n" - 1)),
+            6).as("std_qty"),
+          round(($"n" * ($"sxy_c" / 10000.0) -
+              ($"sx_c" / 100.0) * ($"sy_c" / 100.0)) /
+            (sqrt($"n" * ($"sxx_c" / 10000.0) -
+               ($"sx_c" / 100.0) * ($"sx_c" / 100.0)) *
+             sqrt($"n" * ($"syy_c" / 10000.0) -
+               ($"sy_c" / 100.0) * ($"sy_c" / 100.0))), 12)
+            .as("corr_qty_price"))
         .orderBy($"l_returnflag")
     }),
 
@@ -268,18 +288,22 @@ object AggQueries extends QueryPack {
     "agg_stats" ->
       """WITH g AS (
         |  SELECT l_returnflag, COUNT(*) AS n,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sx_c,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) * 10000 AS BIGINT) AS sxx_c,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sy_c,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS BIGINT) AS syy_c,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS BIGINT) AS sxy_c
         |  FROM lineitem GROUP BY l_returnflag)
-        |SELECT l_returnflag, n, sx, sxx, sy, syy, sxy,
-        |  sx / n AS mean_qty,
-        |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
-        |  sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty,
-        |  (n * sxy - sx * sy) /
-        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+        |SELECT l_returnflag, n, sx_c, sxx_c, sy_c, syy_c, sxy_c,
+        |  sx_c / 100.0 / n AS mean_qty,
+        |  round(((sxx_c / 10000.0) - (sx_c / 100.0) * (sx_c / 100.0) / n)
+        |    / (n - 1), 6) AS var_qty,
+        |  round(sqrt(((sxx_c / 10000.0) - (sx_c / 100.0) * (sx_c / 100.0) / n)
+        |    / (n - 1)), 6) AS std_qty,
+        |  round((n * (sxy_c / 10000.0) - (sx_c / 100.0) * (sy_c / 100.0)) /
+        |    (sqrt(n * (sxx_c / 10000.0) - (sx_c / 100.0) * (sx_c / 100.0)) *
+        |     sqrt(n * (syy_c / 10000.0) - (sy_c / 100.0) * (sy_c / 100.0))),
+        |    12) AS corr_qty_price
         |FROM g ORDER BY l_returnflag""".stripMargin,
 
     "agg_percentile" ->
