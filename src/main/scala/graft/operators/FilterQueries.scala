@@ -24,7 +24,11 @@ object FilterQueries extends QueryPack {
             .cast(DoubleType).as("revenue"),
           (money($"l_extendedprice") * money($"l_tax"))
             .cast(DoubleType).as("tax_amt"))
-        .orderBy($"l_orderkey", $"l_linenumber")
+        // (l_orderkey, l_linenumber) is NOT unique in the fixtures —
+        // order by every output column so the sort is total-by-content
+        // (SURVEY.md 7.4 P2).
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity",
+                 $"revenue", $"tax_amt")
     }),
 
     // Comparison + boolean predicate combinations.
@@ -36,7 +40,9 @@ object FilterQueries extends QueryPack {
                  $"l_tax" === 0.0))
         .select($"l_orderkey", $"l_linenumber", $"l_quantity",
                 $"l_discount", $"l_tax", $"l_returnflag", $"l_linestatus")
-        .orderBy($"l_orderkey", $"l_linenumber")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity",
+                 $"l_discount", $"l_tax", $"l_returnflag",
+                 $"l_linestatus")
     }),
 
     // IN / LIKE / BETWEEN / IS NULL predicates.
@@ -77,7 +83,7 @@ object FilterQueries extends QueryPack {
         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DOUBLE) AS tax_amt
         |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, revenue, tax_amt""".stripMargin,
 
     "filter_basic" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax,
@@ -85,7 +91,8 @@ object FilterQueries extends QueryPack {
         |FROM lineitem
         |WHERE (l_quantity > 45 AND l_discount <= 0.02)
         |   OR (NOT (l_returnflag = 'A') AND l_linestatus <> 'O' AND l_tax = 0.0)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount,
+        |  l_tax, l_returnflag, l_linestatus""".stripMargin,
 
     "filter_in_like_between" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority

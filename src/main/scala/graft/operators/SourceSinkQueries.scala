@@ -51,7 +51,9 @@ object SourceSinkQueries extends QueryPack {
       Tables.load(s, dir, "lineitem")
         .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
         .where($"l_extendedprice" > 90000.0)
-        .orderBy($"l_orderkey", $"l_linenumber")
+        // (l_orderkey, l_linenumber) is NOT unique in the fixtures —
+        // include the remaining output column for a total sort.
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_extendedprice")
     }),
 
     // CSV round-trip of region with explicit schema (no inference).
@@ -113,7 +115,7 @@ object SourceSinkQueries extends QueryPack {
     "scan_pruned" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem WHERE l_extendedprice > 90000.0
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
 
     "source_csv" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
