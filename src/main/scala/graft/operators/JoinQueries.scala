@@ -74,12 +74,18 @@ object JoinQueries extends QueryPack {
     "join_left_outer" -> ((s, dir) => {
       import s.implicits._
       val c = Tables.load(s, dir, "customer")
-      val o = Tables.load(s, dir, "orders")
-      c.join(o, $"c_custkey" === $"o_custkey", "left")
-        .groupBy($"c_custkey")
-        .agg(count($"o_orderkey").as("n_orders"),
-             coalesce(sum(money($"o_totalprice")), lit(0))
-               .cast(DoubleType).as("spend"))
+      // Pre-aggregate orders per custkey BEFORE the outer join: the
+      // join then shuffles one row per customer instead of one per
+      // order — the aggregate-below-join rewrite that matters at 100×
+      // order volume. Null-preserving semantics are identical.
+      val perCust = Tables.load(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("o_n"),
+             sum(money($"o_totalprice")).as("o_spend"))
+      c.join(perCust, $"c_custkey" === $"o_custkey", "left")
+        .select($"c_custkey",
+          coalesce($"o_n", lit(0L)).as("n_orders"),
+          coalesce($"o_spend", lit(0)).cast(DoubleType).as("spend"))
         .orderBy($"c_custkey")
     }),
 
