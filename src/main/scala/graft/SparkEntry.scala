@@ -22,7 +22,8 @@ object SparkEntry {
     operators.SqlQueries,
     operators.MiscQueries,
     operators.PipelineQueries,
-    operators.SensorQueries)
+    operators.SensorQueries,
+    operators.DedupCluster)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

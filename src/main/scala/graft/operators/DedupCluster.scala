@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.QueryPack
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution (SURVEY.md §2.K addendum, r3): the
+  * step that turns PAIRWISE near-dup candidates into actionable dedup
+  * groups. Edges are the union of two independent candidate relations
+  * — identical token sets (mask blocking) and SimHash Hamming balls —
+  * so clusters genuinely chain across relations (A≡B by mask, B≈C by
+  * Hamming ⇒ {A,B,C} one group), and each doc gets its cluster's
+  * canonical minimum doc_id.
+  *
+  * Algorithm: min-label propagation to fixpoint — labels start as the
+  * node id, and every round each node takes the minimum label among
+  * itself and its neighbors. The fixpoint (every node holds its
+  * component's minimum id) is UNIQUE, so the result is deterministic
+  * regardless of execution order, and the oracle can compute the same
+  * thing via a recursive transitive-closure CTE.
+  *
+  * Scale design (100 TB):
+  * - Each round is one equi-join on the node id plus one min-aggregate
+  *   — the doubled-edge relation shuffles on its endpoint, never
+  *   all-pairs; rounds needed = graph diameter (≤ log n with the
+  *   standard large-star variant; near-dup graphs are dense cliques,
+  *   so a handful in practice — bounded here at 25).
+  * - `localCheckpoint` after every round truncates lineage, keeping
+  *   per-round work O(edges) instead of re-executing the whole chain
+  *   (the standard iterative-algorithm pattern, cf. GraphX).
+  * - The driver only ever sees a single scalar per round (the changed
+  *   count) — no label data is collected.
+  */
+object DedupCluster extends QueryPack {
+
+  /** Connected components by min-label propagation. `edges` must have
+    * columns (da, db); returns (doc_id, comp). */
+  def components(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    val bi = edges.select($"da".as("a"), $"db".as("b"))
+      .union(edges.select($"db".as("a"), $"da".as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = bi.select($"a".as("node")).distinct()
+      .select($"node", $"node".as("lbl"))
+      .localCheckpoint(true)
+    def lblSum(df: DataFrame): Long =
+      df.agg(sum($"lbl")).head().getLong(0)
+    // Labels only ever decrease, so the label sum is strictly
+    // monotone until the fixpoint — an O(1)-result convergence probe
+    // instead of a per-round change-detection join.
+    var prevSum = lblSum(labels)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 25) {
+      val prop = bi.join(labels, $"a" === $"node")
+        .select($"b".as("node"), $"lbl")
+      val next = labels.union(prop)
+        .groupBy($"node").agg(min($"lbl").as("lbl"))
+      // Pointer jumping (path halving): every label IS a node id, so
+      // follow it one hop — lbl(n) ← lbl(lbl(n)). Long chains collapse
+      // in O(log diameter) rounds instead of O(diameter).
+      val ptr = next.select($"node".as("pnode"), $"lbl".as("plbl"))
+      labels = next.join(ptr, $"lbl" === $"pnode")
+        .select($"node", $"plbl".as("lbl"))
+        .localCheckpoint(true)
+      val s = lblSum(labels)
+      converged = s == prevSum
+      prevSum = s
+      rounds += 1
+    }
+    labels.select($"node".as("doc_id"), $"lbl".as("comp"))
+  }
+
+  /** The union edge set: identical token sets ∪ Hamming-ball pairs. */
+  private def dupEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mask = TextBlocking.maskPairs(s, dir).select($"da", $"db")
+    val sig = TrainQueries.simhashSigs(s, dir)
+      .withColumn("blk", expr("simhash div 256"))
+    val a = sig.select($"blk", $"doc_id".as("da"), $"simhash".as("sa"))
+    val b = sig.select($"blk", $"doc_id".as("db"), $"simhash".as("sb"))
+    // Hamming <= 2 here (tighter than dedup_hamming's candidate
+    // list): an edge asserts "same cluster", not "worth re-ranking",
+    // and the <=3 ball over 16-bit signatures is too permissive to
+    // union into components.
+    val ham = a.join(b, Seq("blk")).filter($"da" < $"db")
+      .filter(expr("bit_count(sa ^ sb)") <= 2)
+      .select($"da", $"db")
+    mask.union(ham)
+  }
+
+  def queries: Seq[(String, Q)] = Seq(
+    "dedup_components" -> ((s, dir) => {
+      import s.implicits._
+      components(dupEdges(s, dir))
+        .select($"doc_id", $"comp", ($"doc_id" === $"comp").as("canonical"))
+        .orderBy($"doc_id")
+    }))
+
+  def oracle: Seq[(String, String)] = Seq(
+    // Same components via transitive closure: reach = closure of the
+    // doubled edge relation; comp(n) = min(n, reachable ids).
+    "dedup_components" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |dict AS (SELECT term, row_number() OVER (ORDER BY term) AS tid
+        |         FROM (SELECT DISTINCT term FROM tok2)),
+        |m AS (SELECT doc_id,
+        |        CAST(sum(CAST(1 AS BIGINT) << (tid - 1)) AS BIGINT) AS mask
+        |      FROM tok2 JOIN dict USING (term) GROUP BY doc_id),
+        |maskpairs AS (SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM m a JOIN m b ON a.mask = b.mask AND a.doc_id < b.doc_id),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |    FROM documents) t WHERE term <> '' GROUP BY doc_id, term),
+        |h AS (SELECT doc_id, tf,
+        |    list_reduce(list_transform(string_split(term, ''),
+        |      c -> CAST(ascii(c) AS BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 65536) AS h
+        |  FROM tf),
+        |bits AS (SELECT doc_id, j,
+        |    sum(CASE WHEN (h // (CAST(1 AS BIGINT) << j)) % 2 = 1
+        |             THEN tf ELSE -tf END) AS sw
+        |  FROM h CROSS JOIN generate_series(0, 15) AS g(j)
+        |  GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN sw >= 0 THEN CAST(1 AS BIGINT) << j
+        |                  ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |s2 AS (SELECT doc_id, simhash, simhash // 256 AS blk FROM sig),
+        |hampairs AS (SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM s2 a JOIN s2 b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+        |edges AS (SELECT da, db FROM maskpairs
+        |          UNION SELECT da, db FROM hampairs),
+        |bi AS (SELECT da AS a, db AS b FROM edges
+        |       UNION SELECT db, da FROM edges),
+        |reach AS (
+        |  SELECT a, b FROM bi
+        |  UNION
+        |  SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a),
+        |nodes AS (SELECT DISTINCT a AS n FROM bi)
+        |SELECT n AS doc_id,
+        |  LEAST(n, (SELECT MIN(b) FROM reach WHERE a = n)) AS comp,
+        |  n = LEAST(n, (SELECT MIN(b) FROM reach WHERE a = n))
+        |    AS canonical
+        |FROM nodes ORDER BY doc_id""".stripMargin)
+}

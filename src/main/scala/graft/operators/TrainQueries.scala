@@ -52,7 +52,7 @@ object TrainQueries extends QueryPack {
     * dict ids). The 16 per-bit vote sums are 16 conditional aggregates
     * inside ONE groupBy — no ×16 bit-position explode and a single
     * corpus shuffle end to end. */
-  private def simhashSigs(s: org.apache.spark.sql.SparkSession,
+  private[operators] def simhashSigs(s: org.apache.spark.sql.SparkSession,
                           dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val tf = Tables.load(s, dir, "documents")
