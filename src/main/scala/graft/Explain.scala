@@ -13,7 +13,8 @@ object Explain {
       if (args.length > 1) args.drop(1).toSeq
       else Seq("scan_pruned", "join_multiway", "agg_hash",
         "win_topk_pergroup", "dedup_near", "vec_knn_ivf",
-        "agg_percentile", "text_tfidf")
+        "agg_percentile", "text_tfidf", "join_asof_native",
+        "join_theta_range", "text_contamination", "ts_resample")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
