@@ -73,7 +73,7 @@ object DedupCluster extends QueryPack {
   }
 
   /** The union edge set: identical token sets ∪ Hamming-ball pairs. */
-  private def dupEdges(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def dupEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val mask = TextBlocking.maskPairs(s, dir).select($"da", $"db")
     val sig = TrainQueries.simhashSigs(s, dir)

@@ -161,6 +161,38 @@ object PipelineQueries extends QueryPack {
         .orderBy($"c_custkey")
     }),
 
+    // END-TO-END training-corpus pipeline — the composition a user of
+    // this library actually runs: language filter → quality gate →
+    // duplicate-cluster canonical filter → fixed-size chunking →
+    // per-source corpus stats. Every stage is an operator verified on
+    // its own elsewhere in the inventory; this key verifies the
+    // COMPOSITION end to end against one closed-form oracle.
+    "pipeline_corpus" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .filter($"lang" === "en")
+        .withColumn("n_tok",
+          size(split(lower($"text"), " ")).cast(LongType))
+        .withColumn("n_types",
+          size(array_distinct(split(lower($"text"), " "))).cast(LongType))
+        // Quality gate: type-token ratio ≥ 0.5 and ≥ 10 tokens.
+        .filter($"n_tok" >= 10L &&
+          $"n_types" * 2L >= $"n_tok")
+      // Drop non-canonical duplicates: docs labeled by a dup cluster
+      // keep only the min-id representative; unclustered docs pass.
+      val comp = DedupCluster.components(DedupCluster.dupEdges(s, dir))
+      val canon = docs.join(comp, Seq("doc_id"), "left")
+        .filter($"comp".isNull || $"comp" === $"doc_id")
+      canon
+        .withColumn("n_chunks",
+          expr("CAST((length(text) - 1) div 150 + 1 AS BIGINT)"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum($"n_chunks").as("n_chunks"),
+             sum($"n_chars").as("total_chars"))
+        .orderBy($"source")
+    }),
+
     // Unpivot/melt: reduce first (3 groups), then melt the measure
     // columns into (metric, value) rows via Dataset.unpivot.
     "fn_unpivot" -> ((s, dir) => {
@@ -256,6 +288,66 @@ object PipelineQueries extends QueryPack {
         |    AS mixed_n,
         |  CAST(TRY_CAST(c_custkey AS TINYINT) AS BIGINT) AS small_n
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "pipeline_corpus" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |dict AS (SELECT term, row_number() OVER (ORDER BY term) AS tid
+        |         FROM (SELECT DISTINCT term FROM tok2)),
+        |m AS (SELECT doc_id,
+        |        CAST(sum(CAST(1 AS BIGINT) << (tid - 1)) AS BIGINT) AS mask
+        |      FROM tok2 JOIN dict USING (term) GROUP BY doc_id),
+        |maskpairs AS (SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM m a JOIN m b ON a.mask = b.mask AND a.doc_id < b.doc_id),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |    FROM documents) t WHERE term <> '' GROUP BY doc_id, term),
+        |h AS (SELECT doc_id, tf,
+        |    list_reduce(list_transform(string_split(term, ''),
+        |      c -> CAST(ascii(c) AS BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 65536) AS h
+        |  FROM tf),
+        |bits AS (SELECT doc_id, j,
+        |    sum(CASE WHEN (h // (CAST(1 AS BIGINT) << j)) % 2 = 1
+        |             THEN tf ELSE -tf END) AS sw
+        |  FROM h CROSS JOIN generate_series(0, 15) AS g(j)
+        |  GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN sw >= 0 THEN CAST(1 AS BIGINT) << j
+        |                  ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |s2 AS (SELECT doc_id, simhash, simhash // 256 AS blk FROM sig),
+        |hampairs AS (SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM s2 a JOIN s2 b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+        |edges AS (SELECT da, db FROM maskpairs
+        |          UNION SELECT da, db FROM hampairs),
+        |bi AS (SELECT da AS a, db AS b FROM edges
+        |       UNION SELECT db, da FROM edges),
+        |reach AS (
+        |  SELECT a, b FROM bi
+        |  UNION
+        |  SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a),
+        |nodes AS (SELECT DISTINCT a AS n FROM bi),
+        |comp AS (SELECT n AS doc_id,
+        |    LEAST(n, (SELECT MIN(b) FROM reach WHERE a = n)) AS comp
+        |  FROM nodes),
+        |docs AS (SELECT doc_id, source, n_chars, text,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(string_split(lower(text), ' ')))
+        |      AS BIGINT) AS n_types
+        |  FROM documents WHERE lang = 'en'),
+        |q AS (SELECT * FROM docs
+        |      WHERE n_tok >= 10 AND n_types * 2 >= n_tok),
+        |canon AS (SELECT q.* FROM q
+        |  LEFT JOIN comp ON comp.doc_id = q.doc_id
+        |  WHERE comp.comp IS NULL OR comp.comp = q.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(SUM((len(text) - 1) // 150 + 1) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM canon GROUP BY source ORDER BY source""".stripMargin,
 
     "fn_unpivot" ->
       """WITH a AS (SELECT l_returnflag,
