@@ -37,9 +37,11 @@ object DedupCluster extends QueryPack {
     * columns (da, db); returns (doc_id, comp). */
   def components(edges: DataFrame): DataFrame = {
     import edges.sparkSession.implicits._
+    // No distinct on the doubled edges: duplicates only contribute
+    // redundant candidates to the min-aggregate, and deduping them
+    // costs a full extra shuffle of the edge list.
     val bi = edges.select($"da".as("a"), $"db".as("b"))
       .union(edges.select($"db".as("a"), $"da".as("b")))
-      .distinct()
       .localCheckpoint(true)
     var labels = bi.select($"a".as("node")).distinct()
       .select($"node", $"node".as("lbl"))
