@@ -16,7 +16,11 @@ object Bench {
     Tables.schemas.keys.foreach { t =>
       Tables.load(spark, sfDir, t).count()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // Dev loop: SPARK_GRAFT_ONLY=k1,k2 times just those keys.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (k, _) => only.forall(_.contains(k)) }.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }

@@ -66,9 +66,17 @@ object AggQueries extends QueryPack {
     // across engines (double rounding) — integers hash exactly, and
     // the derived doubles below start from bit-identical inputs.
     // (Cent-scale products fit int64 at the fixture scales — syy_c is
-    // ~7e18 at sf0.1 — beyond that emit the DECIMAL as a string.)
+    // ~7e18 at sf0.1; `checkedLong` below turns the silent non-ANSI
+    // wrap at larger scales into a hard failure naming the column, so
+    // a bigger corpus can never produce silently-divergent stats.)
     "agg_stats" -> ((s, dir) => {
       import s.implicits._
+      def checkedLong(c: org.apache.spark.sql.Column, nm: String) =
+        when(c > lit(Long.MaxValue) || c < lit(Long.MinValue),
+          raise_error(concat(
+            lit(s"agg_stats: $nm exceeds BIGINT range: "),
+            c.cast(StringType))))
+          .otherwise(c.cast(LongType)).as(nm)
       Tables.load(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
@@ -80,11 +88,11 @@ object AggQueries extends QueryPack {
             .as("dyy"),
           sum(money($"l_quantity") * money($"l_extendedprice")).as("dxy"))
         .select($"l_returnflag", $"n",
-          ($"dx" * 100).cast(LongType).as("sx_c"),
-          ($"dxx" * 10000).cast(LongType).as("sxx_c"),
-          ($"dy" * 100).cast(LongType).as("sy_c"),
-          ($"dyy" * 10000).cast(LongType).as("syy_c"),
-          ($"dxy" * 10000).cast(LongType).as("sxy_c"))
+          checkedLong($"dx" * 100, "sx_c"),
+          checkedLong($"dxx" * 10000, "sxx_c"),
+          checkedLong($"dy" * 100, "sy_c"),
+          checkedLong($"dyy" * 10000, "syy_c"),
+          checkedLong($"dxy" * 10000, "sxy_c"))
         .select($"l_returnflag", $"n",
           $"sx_c", $"sxx_c", $"sy_c", $"syy_c", $"sxy_c",
           ($"sx_c" / 100.0 / $"n").as("mean_qty"),

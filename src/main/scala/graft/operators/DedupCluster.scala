@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryPack
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Duplicate-cluster resolution (SURVEY.md §2.K addendum, r3): the
   * step that turns PAIRWISE near-dup candidates into actionable dedup
@@ -34,23 +35,44 @@ import org.apache.spark.sql.functions._
 object DedupCluster extends QueryPack {
 
   /** Connected components by min-label propagation. `edges` must have
-    * columns (da, db); returns (doc_id, comp). */
+    * columns (da, db); returns (doc_id, comp).
+    *
+    * Durability: per-round lineage truncation defaults to
+    * `localCheckpoint` (executor-local blocks — right for local mode,
+    * but on a real cluster a lost executor after round k can no longer
+    * replay the truncated lineage). Set
+    * `spark.graft.dedup.reliableCheckpoint=true` (with
+    * `sparkContext.setCheckpointDir` pointing at HDFS/object storage)
+    * to write reliable checkpoints instead — slower per round, but one
+    * dead executor costs a task retry, not the job. */
   def components(edges: DataFrame): DataFrame = {
-    import edges.sparkSession.implicits._
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val reliable = spark.conf
+      .getOption("spark.graft.dedup.reliableCheckpoint")
+      .exists(_.toBoolean)
+    if (reliable && spark.sparkContext.getCheckpointDir.isEmpty)
+      throw new IllegalStateException(
+        "spark.graft.dedup.reliableCheckpoint=true requires " +
+          "sparkContext.setCheckpointDir (an HDFS/object-store path)")
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     // No distinct on the doubled edges: duplicates only contribute
     // redundant candidates to the min-aggregate, and deduping them
     // costs a full extra shuffle of the edge list.
-    val bi = edges.select($"da".as("a"), $"db".as("b"))
-      .union(edges.select($"db".as("a"), $"da".as("b")))
-      .localCheckpoint(true)
-    var labels = bi.select($"a".as("node")).distinct()
-      .select($"node", $"node".as("lbl"))
-      .localCheckpoint(true)
-    def lblSum(df: DataFrame): Long =
-      df.agg(sum($"lbl")).head().getLong(0)
+    val bi = truncate(edges.select($"da".as("a"), $"db".as("b"))
+      .union(edges.select($"db".as("a"), $"da".as("b"))))
+    var labels = truncate(bi.select($"a".as("node")).distinct()
+      .select($"node", $"node".as("lbl")))
     // Labels only ever decrease, so the label sum is strictly
-    // monotone until the fixpoint — an O(1)-result convergence probe
-    // instead of a per-round change-detection join.
+    // monotone (decreasing) until the fixpoint — an O(1)-result
+    // convergence probe instead of a per-round change-detection join.
+    // Summed as DECIMAL(38,0): a Long sum could overflow with billions
+    // of 64-bit ids and in principle alias across rounds; 10^10 ids of
+    // 2^63 sum to ~10^29, well inside 38 digits.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum($"lbl".cast(DecimalType(38, 0)))).head()
+        .getDecimal(0)
     var prevSum = lblSum(labels)
     var rounds = 0
     var converged = false
@@ -63,14 +85,19 @@ object DedupCluster extends QueryPack {
       // follow it one hop — lbl(n) ← lbl(lbl(n)). Long chains collapse
       // in O(log diameter) rounds instead of O(diameter).
       val ptr = next.select($"node".as("pnode"), $"lbl".as("plbl"))
-      labels = next.join(ptr, $"lbl" === $"pnode")
-        .select($"node", $"plbl".as("lbl"))
-        .localCheckpoint(true)
+      labels = truncate(next.join(ptr, $"lbl" === $"pnode")
+        .select($"node", $"plbl".as("lbl")))
       val s = lblSum(labels)
-      converged = s == prevSum
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       rounds += 1
     }
+    // A non-fixpoint label set is WRONG (docs would be dropped against
+    // half-merged clusters downstream) — never return it silently.
+    if (!converged)
+      throw new IllegalStateException(
+        s"DedupCluster.components did not converge in $rounds rounds; " +
+          "graph diameter exceeds the cap — raise the round cap")
     labels.select($"node".as("doc_id"), $"lbl".as("comp"))
   }
 

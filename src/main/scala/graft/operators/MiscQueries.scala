@@ -59,41 +59,29 @@ object MiscQueries extends QueryPack {
         ORDER BY c_custkey""")
     }),
 
-    // Column profiling in ONE scan: multi-distinct aggregate, then
-    // stack/unpivot to one row per column. At 100 TB this is the
-    // same single pass (Expand for the distincts), never one job per
-    // column.
-    "profile_table" -> ((s, dir) => {
-      import s.implicits._
-      Tables.load(s, dir, "lineitem")
-        .agg(
-          count(lit(1)).as("n"),
-          count($"l_quantity").as("nn_q"),
-          countDistinct($"l_quantity").as("nd_q"),
-          min(expr("CAST(l_quantity AS DECIMAL(18,2))"))
-            .cast(DoubleType).as("min_q"),
-          max(expr("CAST(l_quantity AS DECIMAL(18,2))"))
-            .cast(DoubleType).as("max_q"),
-          count($"l_extendedprice").as("nn_p"),
-          countDistinct($"l_extendedprice").as("nd_p"),
-          min(expr("CAST(l_extendedprice AS DECIMAL(18,2))"))
-            .cast(DoubleType).as("min_p"),
-          max(expr("CAST(l_extendedprice AS DECIMAL(18,2))"))
-            .cast(DoubleType).as("max_p"),
-          count($"l_discount").as("nn_d"),
-          countDistinct($"l_discount").as("nd_d"),
-          min(expr("CAST(l_discount AS DECIMAL(18,2))"))
-            .cast(DoubleType).as("min_d"),
-          max(expr("CAST(l_discount AS DECIMAL(18,2))"))
-            .cast(DoubleType).as("max_d"))
-        .select($"n", expr(
-          """stack(3,
-            |  'l_quantity',      nn_q, nd_q, min_q, max_q,
-            |  'l_extendedprice', nn_p, nd_p, min_p, max_p,
-            |  'l_discount',      nn_d, nd_d, min_d, max_d)
-            |  AS (col, n_nonnull, n_distinct, min_v, max_v)""".stripMargin))
-        .orderBy($"col")
-    }))
+    // Column profiling in ONE scan, exact form: melt the profiled
+    // columns map-side (array-of-struct explode — no shuffle), then a
+    // two-phase aggregate on (col, value) whose partial side collapses
+    // each partition to its distinct values — the shuffle carries only
+    // distinct (col, value) pairs with counts, never raw rows (the
+    // multi-distinct Expand plan shuffles the same pairs but plans a
+    // 3× Expand first; this melt is one narrow projection). The tiny
+    // per-value relation then folds to one row per column.
+    // At 100 TB the default profiler should be the sketch variant
+    // (Profiler.profile / `profile_sketch`): exact n_distinct shuffles
+    // every distinct value, a profiler rarely needs that.
+    "profile_table" -> ((s, dir) =>
+      Profiler.profile(Tables.load(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        exact = true)),
+
+    // Sketch profiler: HLL++ n_distinct (rsd 2%) — the 100-TB default.
+    // No cross-engine oracle (approx result); its error bound is
+    // asserted against the exact profiler in PipelineOpsSpec.
+    "profile_sketch" -> ((s, dir) =>
+      Profiler.profile(Tables.load(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        exact = false)))
 
   def oracle: Seq[(String, String)] = Seq(
     "fn_encode" ->

@@ -38,7 +38,12 @@ object PipelineQueries extends QueryPack {
       import s.implicits._
       Tables.load(s, dir, "documents")
         .select($"doc_id", $"text",
-          explode(expr("sequence(1, length(text), 150)")).as("start"))
+          // Guard: sequence(start > stop, +step) throws in Spark while
+          // the oracle's generate_series returns empty — an empty doc
+          // must yield zero chunks, not fail the job (same guard as
+          // dedup_ngram / text_contamination).
+          explode(expr("CASE WHEN length(text) < 1 THEN array() " +
+            "ELSE sequence(1, length(text), 150) END")).as("start"))
         .select($"doc_id",
           expr("CAST((start - 1) div 150 + 1 AS BIGINT)").as("chunk_id"),
           $"start".cast(LongType).as("start"),

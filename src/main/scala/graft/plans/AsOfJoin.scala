@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindRefe
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampType}
 
 /** Native AS-OF join — the whole-operator extension surface
   * (SURVEY.md §2.J route (c): LogicalPlan + Strategy + SparkPlan).
@@ -169,9 +170,22 @@ object AsOfJoin {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"asof: no column '$n' in ${p.output.map(_.name)}"))
-    GraftShims.ofRows(spark, AsOfJoinPlan(lp, rp,
-      col(lp, key._1), col(rp, key._2),
-      col(lp, ts._1), col(rp, ts._2),
+    // The merge loop evaluates keys/timestamps as raw Longs
+    // (TimestampType is micros-as-Long internally); any other type
+    // would compile but ClassCastException mid-merge — reject up front
+    // with the offending column name instead.
+    def requireType(a: Attribute, ok: Set[DataType], what: String): Unit =
+      if (!ok.contains(a.dataType))
+        throw new IllegalArgumentException(
+          s"asof: $what column '${a.name}' has type ${a.dataType.sql}; " +
+            s"expected one of ${ok.map(_.sql).mkString(", ")}")
+    val (lk, rk) = (col(lp, key._1), col(rp, key._2))
+    val (lt, rt) = (col(lp, ts._1), col(rp, ts._2))
+    requireType(lk, Set(LongType), "left key")
+    requireType(rk, Set(LongType), "right key")
+    requireType(lt, Set(LongType, TimestampType), "left ts")
+    requireType(rt, Set(LongType, TimestampType), "right ts")
+    GraftShims.ofRows(spark, AsOfJoinPlan(lp, rp, lk, rk, lt, rt,
       rightTies.map(col(rp, _)), toleranceMicros))
   }
 }
