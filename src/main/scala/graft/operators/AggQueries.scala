@@ -71,12 +71,21 @@ object AggQueries extends QueryPack {
     // a bigger corpus can never produce silently-divergent stats.)
     "agg_stats" -> ((s, dir) => {
       import s.implicits._
-      def checkedLong(c: org.apache.spark.sql.Column, nm: String) =
-        when(c > lit(Long.MaxValue) || c < lit(Long.MinValue),
+      def checkedLong(base: org.apache.spark.sql.Column, factor: Int,
+                      nm: String) = {
+        val c = base * factor
+        // Two overflow layers: the cent-scaled product exceeding BIGINT,
+        // and (at ~1e34 magnitudes) the DECIMAL(38,4) product itself
+        // nulling out in non-ANSI mode — both must raise, never wrap or
+        // silently null. A null from an all-null group (base null) is
+        // legitimate and passes through.
+        when(c > lit(Long.MaxValue) || c < lit(Long.MinValue) ||
+             (c.isNull && base.isNotNull),
           raise_error(concat(
             lit(s"agg_stats: $nm exceeds BIGINT range: "),
-            c.cast(StringType))))
+            coalesce(c.cast(StringType), lit("DECIMAL(38) overflow")))))
           .otherwise(c.cast(LongType)).as(nm)
+      }
       Tables.load(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
@@ -88,11 +97,11 @@ object AggQueries extends QueryPack {
             .as("dyy"),
           sum(money($"l_quantity") * money($"l_extendedprice")).as("dxy"))
         .select($"l_returnflag", $"n",
-          checkedLong($"dx" * 100, "sx_c"),
-          checkedLong($"dxx" * 10000, "sxx_c"),
-          checkedLong($"dy" * 100, "sy_c"),
-          checkedLong($"dyy" * 10000, "syy_c"),
-          checkedLong($"dxy" * 10000, "sxy_c"))
+          checkedLong($"dx", 100, "sx_c"),
+          checkedLong($"dxx", 10000, "sxx_c"),
+          checkedLong($"dy", 100, "sy_c"),
+          checkedLong($"dyy", 10000, "syy_c"),
+          checkedLong($"dxy", 10000, "sxy_c"))
         .select($"l_returnflag", $"n",
           $"sx_c", $"sxx_c", $"sy_c", $"syy_c", $"sxy_c",
           ($"sx_c" / 100.0 / $"n").as("mean_qty"),

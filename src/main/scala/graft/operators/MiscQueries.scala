@@ -76,8 +76,9 @@ object MiscQueries extends QueryPack {
         exact = true)),
 
     // Sketch profiler: HLL++ n_distinct (rsd 2%) — the 100-TB default.
-    // No cross-engine oracle (approx result); its error bound is
-    // asserted against the exact profiler in PipelineOpsSpec.
+    // No cross-engine oracle (approx result); ProfilerSpec asserts its
+    // exact fields (n, n_nonnull, extrema) bit-equal to the exact
+    // profiler and n_distinct within 3·rsd of exact at sf0.001+sf0.01.
     "profile_sketch" -> ((s, dir) =>
       Profiler.profile(Tables.load(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"),

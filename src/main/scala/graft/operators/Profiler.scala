@@ -15,7 +15,8 @@ import org.apache.spark.sql.types._
   *    the scan — partial sketches merge map-side, the shuffle carries
   *    a few KB per partition regardless of input size. A profiler
   *    rarely needs exact cardinalities; this is the plan that survives
-  *    a 1000-executor scan.
+  *    a 1000-executor scan. Error bound asserted vs the exact mode in
+  *    ProfilerSpec.
   *  - `exact = true` (the oracle-able form): melt the profiled columns
   *    map-side (array-of-struct explode — a narrow projection, no
   *    Expand), then a two-phase aggregate on (col, value) whose
@@ -24,9 +25,18 @@ import org.apache.spark.sql.types._
   *    counts. A second (tiny) aggregate folds per-value rows to one
   *    row per column.
   *
-  * Values are profiled as DECIMAL(18,2) and extrema emitted as DOUBLE
-  * — bit-identical cross-engine (the decimal is exact; the final
-  * decimal→double rounding is a single IEEE operation).
+  * Distinctness is counted on the RAW value (its canonical string
+  * rendering — injective for numeric types), never on a lossy cast:
+  * values differing past 2 decimals, or >= 1e16 (where a DECIMAL(18,2)
+  * cast nulls out in non-ANSI mode), stay distinct, matching what
+  * `count(DISTINCT col)` computes in any engine. Extrema alone are
+  * profiled as DECIMAL(18,2) and emitted as DOUBLE — bit-identical
+  * cross-engine (the decimal is exact; the final decimal→double
+  * rounding is a single IEEE operation).
+  *
+  * An EMPTY input still yields one row per profiled column
+  * (n = n_nonnull = n_distinct = 0, null extrema) in both modes, like
+  * a global aggregate would.
   */
 object Profiler {
 
@@ -46,17 +56,28 @@ object Profiler {
     val spark = df.sparkSession
     import spark.implicits._
     val entries = cols.map(c =>
-      struct(lit(c).as("col"), dec(c).as("v")))
-    df.select(explode(array(entries: _*)).as("e"))
-      .select($"e.col".as("col"), $"e.v".as("v"))
-      .groupBy($"col", $"v").agg(count(lit(1)).as("c"))
+      struct(lit(c).as("col"),
+        col(c).cast(StringType).as("k"), dec(c).as("v")))
+    val agged = df.select(explode(array(entries: _*)).as("e"))
+      .select($"e.col".as("col"), $"e.k".as("k"), $"e.v".as("v"))
+      // k determines v (same raw value), so per-(col,k) min = max = v;
+      // carrying both keeps the fold associative without re-deriving
+      // the decimal from the string key.
+      .groupBy($"col", $"k").agg(count(lit(1)).as("c"),
+        min($"v").as("mn"), max($"v").as("mx"))
       .groupBy($"col").agg(
         sum($"c").as("n"),
-        sum(when($"v".isNotNull, $"c").otherwise(0L)).as("n_nonnull"),
-        count($"v").as("n_distinct"),
-        min($"v").cast(DoubleType).as("min_v"),
-        max($"v").cast(DoubleType).as("max_v"))
-      .select($"n", $"col", $"n_nonnull", $"n_distinct",
+        sum(when($"k".isNotNull, $"c").otherwise(0L)).as("n_nonnull"),
+        count($"k").as("n_distinct"),
+        min($"mn").cast(DoubleType).as("min_v"),
+        max($"mx").cast(DoubleType).as("max_v"))
+    // Empty input: the per-value aggregate yields no rows at all —
+    // re-attach the column list so every column still reports n = 0.
+    val colsDf = cols.toDF("col")
+    colsDf.join(agged, Seq("col"), "left")
+      .select(coalesce($"n", lit(0L)).as("n"), $"col",
+        coalesce($"n_nonnull", lit(0L)).as("n_nonnull"),
+        coalesce($"n_distinct", lit(0L)).as("n_distinct"),
         $"min_v", $"max_v")
       .orderBy($"col")
   }

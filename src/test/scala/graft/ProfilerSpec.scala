@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.Profiler
+import org.apache.spark.sql.functions._
+
+/** Accuracy contracts for the two sketch outputs — the only keys in
+  * the inventory without a cross-engine oracle (approx results):
+  * `profile_sketch` (MiscQueries) and `agg_approx_distinct`
+  * (AggQueries). Both are bounded here against their exact
+  * counterparts, so no output in the inventory ships unverified.
+  */
+class ProfilerSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+  private val rsd = 0.02
+
+  test("profile_sketch vs exact: exact fields bit-equal, n_distinct " +
+       "within 3·rsd, at sf0.001 and sf0.01") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val li = Tables.load(spark, dir, "lineitem")
+      def byCol(exact: Boolean) =
+        Profiler.profile(li, cols, exact).collect()
+          .map(r => r.getAs[String]("col") -> r).toMap
+      val e = byCol(exact = true)
+      val s = byCol(exact = false)
+      assert(e.keySet == cols.toSet && s.keySet == cols.toSet, dir)
+      for (c <- cols) {
+        // n / n_nonnull / extrema don't depend on the sketch — the two
+        // modes must agree exactly (doubles bit-equal).
+        assert(e(c).getAs[Long]("n") == s(c).getAs[Long]("n"), s"$dir $c n")
+        assert(e(c).getAs[Long]("n_nonnull") == s(c).getAs[Long]("n_nonnull"),
+          s"$dir $c n_nonnull")
+        assert(java.lang.Double.doubleToLongBits(e(c).getAs[Double]("min_v"))
+          == java.lang.Double.doubleToLongBits(s(c).getAs[Double]("min_v")),
+          s"$dir $c min_v")
+        assert(java.lang.Double.doubleToLongBits(e(c).getAs[Double]("max_v"))
+          == java.lang.Double.doubleToLongBits(s(c).getAs[Double]("max_v")),
+          s"$dir $c max_v")
+        val nd = e(c).getAs[Long]("n_distinct")
+        val nds = s(c).getAs[Long]("n_distinct")
+        assert(math.abs(nds - nd) <= 3 * rsd * nd,
+          s"$dir $c n_distinct: sketch $nds vs exact $nd " +
+            s"exceeds 3·rsd bound ${3 * rsd * nd}")
+      }
+    }
+  }
+
+  test("agg_approx_distinct: per-group within 3·rsd of exact") {
+    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
+      .select($"event_type", $"approx_users", $"n_events")
+    val exact = Tables.load(spark, sf, "events")
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"),
+           count(lit(1)).as("n_events_exact"))
+    val joined = approx.join(exact, Seq("event_type")).collect()
+    assert(joined.nonEmpty, "no groups")
+    joined.foreach { r =>
+      val a = r.getAs[Long]("approx_users")
+      val x = r.getAs[Long]("exact_users")
+      assert(math.abs(a - x) <= 3 * rsd * x,
+        s"event_type ${r.getAs[String]("event_type")}: approx $a vs " +
+          s"exact $x exceeds 3·rsd bound ${3 * rsd * x}")
+      assert(r.getAs[Long]("n_events") == r.getAs[Long]("n_events_exact"))
+    }
+  }
+
+  test("exact profiler counts RAW distinct values, not decimal-cast " +
+       "collapses; extrema keep the DECIMAL(18,2) rendering") {
+    // 1.001 and 1.002 collapse under CAST(DECIMAL(18,2)); the distinct
+    // count must still see 3 values (the ADVICE r4 defect).
+    val df = Seq(Some(1.001), Some(1.002), Some(1.25), None).toDF("x")
+    val p = Profiler.profile(df, Seq("x"), exact = true).collect()
+    assert(p.length == 1)
+    val r = p.head
+    assert(r.getAs[Long]("n") == 4)
+    assert(r.getAs[Long]("n_nonnull") == 3)
+    assert(r.getAs[Long]("n_distinct") == 3,
+      s"raw distinct expected 3, got ${r.getAs[Long]("n_distinct")}")
+    assert(r.getAs[Double]("min_v") == 1.0)
+    assert(r.getAs[Double]("max_v") == 1.25)
+  }
+
+  test("empty input yields one row per column with n=0 in both modes") {
+    val empty = Tables.load(spark, sf, "lineitem").filter(lit(false))
+    for (exact <- Seq(true, false)) {
+      val p = Profiler.profile(empty, cols, exact)
+        .orderBy($"col").collect()
+      assert(p.length == cols.size, s"exact=$exact rows")
+      p.foreach { r =>
+        assert(r.getAs[Long]("n") == 0, s"exact=$exact n")
+        assert(r.getAs[Long]("n_nonnull") == 0)
+        assert(r.getAs[Long]("n_distinct") == 0)
+        assert(r.isNullAt(r.fieldIndex("min_v")), s"exact=$exact min_v")
+        assert(r.isNullAt(r.fieldIndex("max_v")), s"exact=$exact max_v")
+      }
+    }
+  }
+}
