@@ -90,6 +90,40 @@ object SourceSinkQueries extends QueryPack {
         .orderBy($"s_suppkey")
     }),
 
+    // Corrupt-record ingest: every real JSON pipeline sees malformed
+    // lines. Synthesizes a JSON-lines file from nation with every 5th
+    // key replaced by an unparseable line (deterministic, so the
+    // oracle reproduces the good/bad split from the parquet table by
+    // the same rule), reads it back PERMISSIVE with a
+    // `_corrupt_record` column, and reports the triage counts a real
+    // ingest job would: total / parsed / corrupt, a checksum over the
+    // parsed keys, and the lexicographic-min corrupt sample. At scale
+    // this is one pass + a global two-phase aggregate — quarantining
+    // the corrupt rows themselves would be the same scan writing two
+    // filtered branches.
+    "source_json_corrupt" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp(dir, "nation_corrupt_json")
+      Tables.load(s, dir, "nation")
+        .select(when($"n_nationkey" % 5 === 0,
+            concat(lit("{corrupt "), $"n_name", lit(" #"), $"n_nationkey"))
+          .otherwise(to_json(struct($"n_nationkey", $"n_name",
+            $"n_regionkey")))
+          .as("value"))
+        .write.mode("overwrite").text(path)
+      s.read.schema(Tables.nation.add("_corrupt_record", StringType))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count($"n_nationkey").as("n_good"),
+          count($"_corrupt_record").as("n_corrupt"),
+          sum(when($"_corrupt_record".isNull, $"n_nationkey"))
+            .as("sum_good_keys"),
+          min($"_corrupt_record").as("corrupt_sample"))
+    }),
+
     // Partitioned parquet sink: write events partitioned by
     // event_type, read back, aggregate per partition value.
     "sink_parquet_part" -> ((s, dir) => {
@@ -128,6 +162,17 @@ object SourceSinkQueries extends QueryPack {
       """SELECT s_suppkey, s_name, s_nationkey,
         |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "source_json_corrupt" ->
+      """SELECT count(*) AS n_rows,
+        |  count(*) FILTER (WHERE n_nationkey % 5 <> 0) AS n_good,
+        |  count(*) FILTER (WHERE n_nationkey % 5 = 0) AS n_corrupt,
+        |  CAST(sum(n_nationkey) FILTER (WHERE n_nationkey % 5 <> 0)
+        |    AS BIGINT) AS sum_good_keys,
+        |  min('{corrupt ' || n_name || ' #' ||
+        |      CAST(n_nationkey AS VARCHAR))
+        |    FILTER (WHERE n_nationkey % 5 = 0) AS corrupt_sample
+        |FROM nation""".stripMargin,
 
     "sink_parquet_part" ->
       """SELECT event_type, count(*) AS n,
