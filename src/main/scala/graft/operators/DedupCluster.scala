@@ -119,6 +119,79 @@ object DedupCluster extends QueryPack {
     mask.union(ham)
   }
 
+  /** Oracle-side edge construction (DuckDB SQL, CTE list ending in
+    * `bi(a, b)` — the doubled edge relation): mask-identical pairs ∪
+    * Hamming-ball pairs, mirroring `dupEdges`. Shared by the
+    * dedup_components and pipeline_corpus oracles. */
+  private[graft] val edgeBiSql: String =
+    """tok AS (SELECT DISTINCT doc_id,
+      |    unnest(string_split(lower(text), ' ')) AS term FROM documents),
+      |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+      |dict AS (SELECT term, row_number() OVER (ORDER BY term) AS tid
+      |         FROM (SELECT DISTINCT term FROM tok2)),
+      |m AS (SELECT doc_id,
+      |        CAST(sum(CAST(1 AS BIGINT) << (tid - 1)) AS BIGINT) AS mask
+      |      FROM tok2 JOIN dict USING (term) GROUP BY doc_id),
+      |maskpairs AS (SELECT a.doc_id AS da, b.doc_id AS db
+      |  FROM m a JOIN m b ON a.mask = b.mask AND a.doc_id < b.doc_id),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |    FROM documents) t WHERE term <> '' GROUP BY doc_id, term),
+      |h AS (SELECT doc_id, tf,
+      |    list_reduce(list_transform(string_split(term, ''),
+      |      c -> CAST(ascii(c) AS BIGINT)),
+      |      (h, c) -> (h * 131 + c) % 65536) AS h
+      |  FROM tf),
+      |bits AS (SELECT doc_id, j,
+      |    sum(CASE WHEN (h // (CAST(1 AS BIGINT) << j)) % 2 = 1
+      |             THEN tf ELSE -tf END) AS sw
+      |  FROM h CROSS JOIN generate_series(0, 15) AS g(j)
+      |  GROUP BY doc_id, j),
+      |sig AS (SELECT doc_id,
+      |    CAST(sum(CASE WHEN sw >= 0 THEN CAST(1 AS BIGINT) << j
+      |                  ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id),
+      |s2 AS (SELECT doc_id, simhash, simhash // 256 AS blk FROM sig),
+      |hampairs AS (SELECT a.doc_id AS da, b.doc_id AS db
+      |  FROM s2 a JOIN s2 b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+      |edges AS (SELECT da, db FROM maskpairs
+      |          UNION SELECT da, db FROM hampairs),
+      |bi AS MATERIALIZED (SELECT da AS a, db AS b FROM edges
+      |       UNION SELECT db, da FROM edges)""".stripMargin
+
+  /** Oracle-side components (DuckDB SQL): `rounds` UNROLLED rounds of
+    * min-label propagation + pointer jumping over `bi` — O(edges) per
+    * round, final CTE `lbl<rounds>(n, l)`. Replaces the r3 recursive
+    * transitive closure, whose O(Σ|comp|²) row count is intractable on
+    * the dense near-clique components at sf0.1 (>5 min in DuckDB; this
+    * form closes in <1 s). 8 propagate+jump rounds cover diameter far
+    * beyond any fixture (sf0.1 reaches its fixpoint in 5 — verified
+    * round-over-round in dev); the Spark side independently throws if
+    * its own fixpoint isn't reached, so a diameter blowup cannot pass
+    * silently on either engine. */
+  private[graft] def closureSql(rounds: Int = 8): String = {
+    val sb = new StringBuilder
+    // MATERIALIZED throughout: DuckDB inlines CTEs by default, and each
+    // round references its predecessor twice (propagate ∪ keep, then
+    // the two sides of the jump join) — inlined, the unrolled tree
+    // duplicates 2^rounds times (observed as a file-handle blowup on
+    // the underlying parquet scan). Materialization makes each round
+    // O(edges) once, like the temp-table form.
+    sb.append("nodes AS MATERIALIZED (SELECT DISTINCT a AS n FROM bi),\n")
+    sb.append("lbl0 AS MATERIALIZED (SELECT n, n AS l FROM nodes)")
+    for (k <- 1 to rounds) {
+      sb.append(s""",
+p$k AS MATERIALIZED (SELECT n, min(l) AS l FROM (
+  SELECT n, l FROM lbl${k - 1}
+  UNION ALL
+  SELECT bi.b AS n, lbl${k - 1}.l FROM bi
+  JOIN lbl${k - 1} ON bi.a = lbl${k - 1}.n) u GROUP BY n),
+lbl$k AS MATERIALIZED (SELECT x.n, y.l FROM p$k x JOIN p$k y ON x.l = y.n)""")
+    }
+    sb.toString
+  }
+
   def queries: Seq[(String, Q)] = Seq(
     "dedup_components" -> ((s, dir) => {
       import s.implicits._
@@ -128,53 +201,11 @@ object DedupCluster extends QueryPack {
     }))
 
   def oracle: Seq[(String, String)] = Seq(
-    // Same components via transitive closure: reach = closure of the
-    // doubled edge relation; comp(n) = min(n, reachable ids).
+    // Same components via unrolled min-label propagation (closureSql).
     "dedup_components" ->
-      """WITH RECURSIVE
-        |tok AS (SELECT DISTINCT doc_id,
-        |    unnest(string_split(lower(text), ' ')) AS term FROM documents),
-        |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
-        |dict AS (SELECT term, row_number() OVER (ORDER BY term) AS tid
-        |         FROM (SELECT DISTINCT term FROM tok2)),
-        |m AS (SELECT doc_id,
-        |        CAST(sum(CAST(1 AS BIGINT) << (tid - 1)) AS BIGINT) AS mask
-        |      FROM tok2 JOIN dict USING (term) GROUP BY doc_id),
-        |maskpairs AS (SELECT a.doc_id AS da, b.doc_id AS db
-        |  FROM m a JOIN m b ON a.mask = b.mask AND a.doc_id < b.doc_id),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
-        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
-        |    FROM documents) t WHERE term <> '' GROUP BY doc_id, term),
-        |h AS (SELECT doc_id, tf,
-        |    list_reduce(list_transform(string_split(term, ''),
-        |      c -> CAST(ascii(c) AS BIGINT)),
-        |      (h, c) -> (h * 131 + c) % 65536) AS h
-        |  FROM tf),
-        |bits AS (SELECT doc_id, j,
-        |    sum(CASE WHEN (h // (CAST(1 AS BIGINT) << j)) % 2 = 1
-        |             THEN tf ELSE -tf END) AS sw
-        |  FROM h CROSS JOIN generate_series(0, 15) AS g(j)
-        |  GROUP BY doc_id, j),
-        |sig AS (SELECT doc_id,
-        |    CAST(sum(CASE WHEN sw >= 0 THEN CAST(1 AS BIGINT) << j
-        |                  ELSE 0 END) AS BIGINT) AS simhash
-        |  FROM bits GROUP BY doc_id),
-        |s2 AS (SELECT doc_id, simhash, simhash // 256 AS blk FROM sig),
-        |hampairs AS (SELECT a.doc_id AS da, b.doc_id AS db
-        |  FROM s2 a JOIN s2 b ON a.blk = b.blk AND a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
-        |edges AS (SELECT da, db FROM maskpairs
-        |          UNION SELECT da, db FROM hampairs),
-        |bi AS (SELECT da AS a, db AS b FROM edges
-        |       UNION SELECT db, da FROM edges),
-        |reach AS (
-        |  SELECT a, b FROM bi
-        |  UNION
-        |  SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a),
-        |nodes AS (SELECT DISTINCT a AS n FROM bi)
-        |SELECT n AS doc_id,
-        |  LEAST(n, (SELECT MIN(b) FROM reach WHERE a = n)) AS comp,
-        |  n = LEAST(n, (SELECT MIN(b) FROM reach WHERE a = n))
-        |    AS canonical
-        |FROM nodes ORDER BY doc_id""".stripMargin)
+      s"""WITH
+         |$edgeBiSql,
+         |${closureSql()}
+         |SELECT n AS doc_id, l AS comp, n = l AS canonical
+         |FROM lbl8 ORDER BY doc_id""".stripMargin)
 }

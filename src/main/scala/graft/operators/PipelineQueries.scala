@@ -295,50 +295,10 @@ object PipelineQueries extends QueryPack {
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "pipeline_corpus" ->
-      """WITH RECURSIVE
-        |tok AS (SELECT DISTINCT doc_id,
-        |    unnest(string_split(lower(text), ' ')) AS term FROM documents),
-        |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
-        |dict AS (SELECT term, row_number() OVER (ORDER BY term) AS tid
-        |         FROM (SELECT DISTINCT term FROM tok2)),
-        |m AS (SELECT doc_id,
-        |        CAST(sum(CAST(1 AS BIGINT) << (tid - 1)) AS BIGINT) AS mask
-        |      FROM tok2 JOIN dict USING (term) GROUP BY doc_id),
-        |maskpairs AS (SELECT a.doc_id AS da, b.doc_id AS db
-        |  FROM m a JOIN m b ON a.mask = b.mask AND a.doc_id < b.doc_id),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
-        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
-        |    FROM documents) t WHERE term <> '' GROUP BY doc_id, term),
-        |h AS (SELECT doc_id, tf,
-        |    list_reduce(list_transform(string_split(term, ''),
-        |      c -> CAST(ascii(c) AS BIGINT)),
-        |      (h, c) -> (h * 131 + c) % 65536) AS h
-        |  FROM tf),
-        |bits AS (SELECT doc_id, j,
-        |    sum(CASE WHEN (h // (CAST(1 AS BIGINT) << j)) % 2 = 1
-        |             THEN tf ELSE -tf END) AS sw
-        |  FROM h CROSS JOIN generate_series(0, 15) AS g(j)
-        |  GROUP BY doc_id, j),
-        |sig AS (SELECT doc_id,
-        |    CAST(sum(CASE WHEN sw >= 0 THEN CAST(1 AS BIGINT) << j
-        |                  ELSE 0 END) AS BIGINT) AS simhash
-        |  FROM bits GROUP BY doc_id),
-        |s2 AS (SELECT doc_id, simhash, simhash // 256 AS blk FROM sig),
-        |hampairs AS (SELECT a.doc_id AS da, b.doc_id AS db
-        |  FROM s2 a JOIN s2 b ON a.blk = b.blk AND a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
-        |edges AS (SELECT da, db FROM maskpairs
-        |          UNION SELECT da, db FROM hampairs),
-        |bi AS (SELECT da AS a, db AS b FROM edges
-        |       UNION SELECT db, da FROM edges),
-        |reach AS (
-        |  SELECT a, b FROM bi
-        |  UNION
-        |  SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a),
-        |nodes AS (SELECT DISTINCT a AS n FROM bi),
-        |comp AS (SELECT n AS doc_id,
-        |    LEAST(n, (SELECT MIN(b) FROM reach WHERE a = n)) AS comp
-        |  FROM nodes),
+      s"""WITH
+        |${DedupCluster.edgeBiSql},
+        |${DedupCluster.closureSql()},
+        |comp AS (SELECT n AS doc_id, l AS comp FROM lbl8),
         |docs AS (SELECT doc_id, source, n_chars, text,
         |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
         |    CAST(len(list_distinct(string_split(lower(text), ' ')))
