@@ -111,6 +111,27 @@ class PlanShapeSpec extends SparkTestBase {
       s"hamming candidates degenerated to all-pairs:\n$p")
   }
 
+  test("profile_table melts with a Generate — no Expand multi-distinct") {
+    // The r4 rewrite's whole argument: 3 exact distinct counts in one
+    // pass via melt + two-phase (col, value) aggregate. An Expand here
+    // means Catalyst fell back to the multi-distinct plan that
+    // triplicates the scan output before shuffling.
+    val p = planOf("profile_table")
+    assert(p.contains("Generate"), s"melt Generate missing:\n$p")
+    assert(!p.contains("Expand"),
+      s"multi-distinct Expand resurfaced in profile_table:\n$p")
+  }
+
+  test("profile_sketch is ONE two-phase aggregate over the scan") {
+    // The 100-TB default profiler: partial HLL sketches merge map-side
+    // and exactly one exchange carries KB-scale state. A second
+    // aggregate pair (or an Expand) means the single-pass plan broke.
+    val p = planOf("profile_sketch")
+    assert("HashAggregate".r.findAllIn(p).size == 2,
+      s"expected exactly partial+final HashAggregate:\n$p")
+    assert(!p.contains("Expand"), s"Expand in sketch plan:\n$p")
+  }
+
   test("ts_resample joins the grid to the reduced aggregate only") {
     // The only nested-loop join allowed is the grid cross join whose
     // build side is the 1-row bounds aggregate / 5-row type dim;
