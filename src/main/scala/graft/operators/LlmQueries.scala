@@ -236,6 +236,30 @@ object LlmQueries extends QueryPack {
         .orderBy($"q_id", $"rank")
     }),
 
+    // Scalar uint8 quantization of each embedding to its per-vector
+    // [min, max] range — the 4× storage/bandwidth reduction an ANN
+    // index applies before shipping vectors at scale. Pure map-side
+    // HOFs (transform + fold), no shuffle besides the contract ORDER
+    // BY; checksums are exact integer folds, and the float pipeline
+    // (sub/mul/div/floor, fixed association order) is IEEE
+    // correctly-rounded, hence bit-identical cross-engine.
+    "vec_quantize" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "embeddings")
+        .withColumn("mn", expr("CAST(array_min(embedding) AS DOUBLE)"))
+        .withColumn("mx", expr("CAST(array_max(embedding) AS DOUBLE)"))
+        .withColumn("q", expr(
+          "transform(embedding, x -> CASE WHEN mx = mn THEN 0L ELSE " +
+            "CAST(floor(((CAST(x AS DOUBLE) - mn) * 255.0D) / (mx - mn)) " +
+            "AS BIGINT) END)"))
+        .select($"vec_id", $"label".cast(LongType).as("label"),
+          size($"q").cast(LongType).as("n_dims"),
+          expr("aggregate(q, 0L, (a, v) -> a + v)").as("q_sum"),
+          expr("array_min(q)").as("q_min"),
+          expr("array_max(q)").as("q_max"))
+        .orderBy($"vec_id")
+    }),
+
     // Per-label centroids from integer-quantized (1e-7) per-dimension
     // sums — exact, order-free, mergeable — plus the fraction of each
     // label's vectors whose nearest centroid is their own label.
@@ -312,6 +336,24 @@ object LlmQueries extends QueryPack {
         |SELECT a.doc_id AS da, b.doc_id AS db, a.n_tokens
         |FROM m a JOIN m b ON a.mask = b.mask AND a.doc_id < b.doc_id
         |ORDER BY da, db""".stripMargin,
+
+    "vec_quantize" ->
+      """WITH e AS (SELECT vec_id, label, embedding,
+        |    CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+        |    CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, label,
+        |    list_transform(embedding, x ->
+        |      CASE WHEN mx = mn THEN 0
+        |           ELSE CAST(floor(((CAST(x AS DOUBLE) - mn) * 255.0)
+        |                           / (mx - mn)) AS BIGINT) END) AS qs
+        |  FROM e)
+        |SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |  CAST(len(qs) AS BIGINT) AS n_dims,
+        |  CAST(list_reduce(qs, (a, b) -> a + b) AS BIGINT) AS q_sum,
+        |  CAST(list_aggregate(qs, 'min') AS BIGINT) AS q_min,
+        |  CAST(list_aggregate(qs, 'max') AS BIGINT) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "vec_norm" ->
       """WITH v AS (SELECT label,

@@ -238,6 +238,38 @@ object TrainQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // Repetition signals (the Gopher-style quality gate a pretraining
+    // corpus runs): duplicated-token mass and the most-frequent-bigram
+    // share, flagging docs whose top bigram exceeds 20% of all
+    // bigrams. Bigrams aggregate under the (doc_id, bigram) key —
+    // high-cardinality and skew-free — then a two-phase per-doc max;
+    // the corpus-side work is one explode + two hash aggregates, no
+    // sort, no per-doc quadratic HOF.
+    "text_repetition" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("toks", split(lower($"text"), " "))
+        .withColumn("n_tok", size($"toks").cast(LongType))
+        .withColumn("dup_tok_n",
+          ($"n_tok" - size(array_distinct($"toks"))).cast(LongType))
+      val top = d.select($"doc_id",
+          explode(expr(
+            "CASE WHEN size(toks) < 2 THEN array() " +
+              "ELSE transform(sequence(1, size(toks) - 1), " +
+              "i -> concat(toks[i-1], ' ', toks[i])) END")).as("bg"))
+        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as("top_bg"))
+      d.join(top, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tok",
+          greatest($"n_tok" - 1L, lit(0L)).as("n_bigrams"),
+          coalesce($"top_bg", lit(0L)).as("top_bigram_n"),
+          $"dup_tok_n",
+          ($"n_tok" > 1L &&
+            coalesce($"top_bg", lit(0L)) * 5L >= $"n_tok" - 1L)
+            .as("rep_flag"))
+        .orderBy($"doc_id")
+    }),
+
     // Token counting: whitespace tokens vs a BPE-ish regex lexer
     // ([a-z]+ | digit runs | single punctuation), bytes and chars.
     "text_tokens" -> ((s, dir) => {
@@ -479,6 +511,29 @@ object TrainQueries extends QueryPack {
         |      t -> t IN ('the', 'a', 'data', 'key', 'value')))
         |      AS BIGINT) AS stop_cnt
         |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH base AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tok,
+        |    CAST(len(toks) - len(list_distinct(toks)) AS BIGINT)
+        |      AS dup_tok_n,
+        |    CASE WHEN len(toks) < 2 THEN []
+        |         ELSE list_transform(generate_series(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i + 1]) END AS bgs
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |        FROM documents) d),
+        |bg AS (SELECT doc_id, bg, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(bgs) AS bg FROM base) u
+        |  GROUP BY doc_id, bg),
+        |top AS (SELECT doc_id, max(c) AS top_bg FROM bg GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tok,
+        |  CAST(greatest(b.n_tok - 1, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(COALESCE(t.top_bg, 0) AS BIGINT) AS top_bigram_n,
+        |  b.dup_tok_n,
+        |  (b.n_tok > 1 AND COALESCE(t.top_bg, 0) * 5 >= b.n_tok - 1)
+        |    AS rep_flag
+        |FROM base b LEFT JOIN top t USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "text_tokens" ->
