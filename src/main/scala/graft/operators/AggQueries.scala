@@ -121,6 +121,27 @@ object AggQueries extends QueryPack {
         .orderBy($"l_returnflag")
     }),
 
+    // Sketch percentiles — the single-pass 100-TB default when exact
+    // rank selection isn't required: one two-phase aggregate whose
+    // shuffle carries a bounded KLL-style summary per group
+    // (approx_percentile, rank error ≤ n/accuracy). No cross-engine
+    // oracle (engine-specific sketch); ProfilerSpec asserts the rank
+    // error of each reported value against the true order statistics.
+    "agg_approx_percentile" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment".as("seg"))
+        .agg(count(lit(1)).as("n"),
+          expr("approx_percentile(o_totalprice, array(0.5D, 0.9D), 10000)")
+            .as("ap"))
+        .select($"seg", $"n",
+          $"ap".getItem(0).as("p50_approx"),
+          $"ap".getItem(1).as("p90_approx"))
+        .orderBy($"seg")
+    }),
+
     // Discrete percentiles (median, p90), exact and interpolation-free.
     // Scale-safe distributed selection: c_mktsegment has only 5 values,
     // so a window partitioned by segment alone would funnel the whole

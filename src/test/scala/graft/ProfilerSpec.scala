@@ -66,6 +66,35 @@ class ProfilerSpec extends SparkTestBase {
     }
   }
 
+  test("agg_approx_percentile: reported values sit at the target rank " +
+       "within the sketch's error bound") {
+    val ap = SparkEntry.queries("agg_approx_percentile")(spark, sf)
+      .collect().map(r => r.getAs[String]("seg") -> r).toMap
+    val base = Tables.load(spark, sf, "orders")
+      .join(Tables.load(spark, sf, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"), $"o_totalprice".as("price"))
+      .collect().groupBy(_.getAs[String]("seg"))
+      .view.mapValues(_.map(_.getAs[Double]("price")).sorted).toMap
+    assert(ap.keySet == base.keySet)
+    for ((seg, r) <- ap; (v, p) <- Seq(
+        r.getAs[Double]("p50_approx") -> 0.5,
+        r.getAs[Double]("p90_approx") -> 0.9)) {
+      val xs = base(seg)
+      val n = xs.length
+      assert(r.getAs[Long]("n") == n, s"$seg n")
+      // rank error bound: accuracy=10000 guarantees <= n/10000 (< 1
+      // at this sf); allow 1% of n plus the discrete-rank slack of 1.
+      val rankLo = xs.count(_ < v)
+      val rankHi = xs.count(_ <= v)
+      val target = p * n
+      val tol = math.max(1.0, 0.01 * n)
+      assert(rankLo - tol <= target && target <= rankHi + tol,
+        s"$seg p$p: value $v has rank [$rankLo,$rankHi], " +
+          s"target $target, tol $tol, n=$n")
+    }
+  }
+
   test("exact profiler counts RAW distinct values, not decimal-cast " +
        "collapses; extrema keep the DECIMAL(18,2) rendering") {
     // 1.001 and 1.002 collapse under CAST(DECIMAL(18,2)); the distinct
