@@ -38,4 +38,53 @@ class DedupClusterSpec extends SparkTestBase {
       "every chain node must resolve to component 1")
     assert(got.count() == 64)
   }
+
+  test("reliable checkpointing without a checkpoint dir fails fast") {
+    // Misconfiguration (no setCheckpointDir) must surface before any
+    // round runs, not as a mid-job Spark failure. Declared before the
+    // happy-path case: setCheckpointDir is irreversible on a live
+    // SparkContext, so this guard is only observable while no test
+    // has set one yet.
+    assume(spark.sparkContext.getCheckpointDir.isEmpty,
+      "suite ordering left a checkpoint dir set; guard not testable")
+    val edges = Seq((1L, 2L)).toDF("da", "db")
+    spark.conf.set("spark.graft.dedup.reliableCheckpoint", "true")
+    try {
+      val e = intercept[IllegalStateException] {
+        operators.DedupCluster.components(edges)
+      }
+      assert(e.getMessage.contains("setCheckpointDir"))
+    } finally {
+      spark.conf.unset("spark.graft.dedup.reliableCheckpoint")
+    }
+  }
+
+  test("reliable-checkpoint branch produces identical labels") {
+    // The cluster-durability path (df.checkpoint(true) instead of
+    // localCheckpoint) must be label-for-label identical to the
+    // default on the same chain + clique + pair fixture.
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L),
+      (30L, 31L), (30L, 32L), (31L, 32L), (32L, 33L))
+      .toDF("da", "db")
+    val default = operators.DedupCluster.components(edges)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val sc = spark.sparkContext
+    val prevDir = sc.getCheckpointDir
+    spark.conf.set("spark.graft.dedup.reliableCheckpoint", "true")
+    sc.setCheckpointDir(scratch("dedup-reliable-ckpt"))
+    try {
+      val reliable = operators.DedupCluster.components(edges)
+        .orderBy($"doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(reliable == default,
+        "reliable-checkpoint labels must match the localCheckpoint path")
+    } finally {
+      spark.conf.unset("spark.graft.dedup.reliableCheckpoint")
+      prevDir.foreach(sc.setCheckpointDir)
+    }
+  }
 }
