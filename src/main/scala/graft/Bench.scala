@@ -8,7 +8,14 @@ object Bench {
     // ±20%+; the per-key MIN is the low-noise estimator of the plan's
     // cost, the median is kept for dispersion. SPARK_GRAFT_RUNS
     // overrides (the dev loop uses 1 for speed).
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val runs = sys.env.get("SPARK_GRAFT_RUNS") match {
+      case None => 3
+      case Some(s) => s.toIntOption match {
+        case Some(n) if n >= 1 => n
+        case _ => sys.error(
+          s"SPARK_GRAFT_RUNS must be a positive integer, got '$s'")
+      }
+    }
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,15 +34,16 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (k, _) => only.forall(_.contains(k)) }.map {
       case (name, fn) =>
-        val times = (1 to runs).map { _ =>
+        // Any failed run poisons the key (-1, so a failure can't
+        // masquerade as a fast query) — and ends the repeat loop:
+        // re-running a deterministically failing query buys nothing.
+        val times = Iterator.continually(()).take(runs).map { _ =>
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
                    catch { case _: Throwable => false }
           if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-        }
-        // Any failed run poisons the key: -1 marks a failed query so it
-        // can't masquerade as a fast one.
-        val failed = times.exists(_ < 0)
+        }.takeWhile(_ >= 0).toVector
+        val failed = times.length < runs
         val sorted = times.sorted
         val min = if (failed) -1.0 else sorted.head
         val med = if (failed) -1.0 else sorted(runs / 2)

@@ -170,6 +170,11 @@ object DedupCluster extends QueryPack {
     * round-over-round in dev); the Spark side independently throws if
     * its own fixpoint isn't reached, so a diameter blowup cannot pass
     * silently on either engine. */
+  /** Name of the final CTE emitted by `closureSql(rounds)` — callers
+    * must interpolate this instead of hardcoding `lbl8`, or a changed
+    * round count silently reads an under-converged intermediate. */
+  private[graft] def closureFinalCte(rounds: Int = 8): String = s"lbl$rounds"
+
   private[graft] def closureSql(rounds: Int = 8): String = {
     val sb = new StringBuilder
     // MATERIALIZED throughout: DuckDB inlines CTEs by default, and each
@@ -207,5 +212,5 @@ lbl$k AS MATERIALIZED (SELECT x.n, y.l FROM p$k x JOIN p$k y ON x.l = y.n)""")
          |$edgeBiSql,
          |${closureSql()}
          |SELECT n AS doc_id, l AS comp, n = l AS canonical
-         |FROM lbl8 ORDER BY doc_id""".stripMargin)
+         |FROM ${closureFinalCte()} ORDER BY doc_id""".stripMargin)
 }

@@ -350,7 +350,7 @@ object LlmQueries extends QueryPack {
         |  FROM e)
         |SELECT vec_id, CAST(label AS BIGINT) AS label,
         |  CAST(len(qs) AS BIGINT) AS n_dims,
-        |  CAST(list_reduce(qs, (a, b) -> a + b) AS BIGINT) AS q_sum,
+        |  CAST(COALESCE(list_sum(qs), 0) AS BIGINT) AS q_sum,
         |  CAST(list_aggregate(qs, 'min') AS BIGINT) AS q_min,
         |  CAST(list_aggregate(qs, 'max') AS BIGINT) AS q_max
         |FROM q ORDER BY vec_id""".stripMargin,

@@ -298,7 +298,8 @@ object PipelineQueries extends QueryPack {
       s"""WITH
         |${DedupCluster.edgeBiSql},
         |${DedupCluster.closureSql()},
-        |comp AS (SELECT n AS doc_id, l AS comp FROM lbl8),
+        |comp AS (SELECT n AS doc_id, l AS comp
+        |         FROM ${DedupCluster.closureFinalCte()}),
         |docs AS (SELECT doc_id, source, n_chars, text,
         |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
         |    CAST(len(list_distinct(string_split(lower(text), ' ')))

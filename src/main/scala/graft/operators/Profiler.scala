@@ -55,9 +55,21 @@ object Profiler {
   private def profileExact(df: DataFrame, cols: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // Floating columns: fold -0.0 into 0.0 (x + 0.0 is the IEEE
+    // identity except on -0.0) BEFORE the string rendering — the two
+    // zeros render as distinct strings but count(DISTINCT) (and the
+    // DuckDB oracle) treat them as one value.
+    val fieldType = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    // (same-typed zero literal: a double 0.0 would widen FloatType and
+    // change the string rendering of every float)
+    def keyed(c: String): Column = fieldType.get(c) match {
+      case Some(FloatType)  => col(c) + lit(0.0f)
+      case Some(DoubleType) => col(c) + lit(0.0)
+      case _ => col(c)
+    }
     val entries = cols.map(c =>
       struct(lit(c).as("col"),
-        col(c).cast(StringType).as("k"), dec(c).as("v")))
+        keyed(c).cast(StringType).as("k"), dec(c).as("v")))
     val agged = df.select(explode(array(entries: _*)).as("e"))
       .select($"e.col".as("col"), $"e.k".as("k"), $"e.v".as("v"))
       // k determines v (same raw value), so per-(col,k) min = max = v;
