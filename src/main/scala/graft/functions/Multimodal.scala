@@ -33,13 +33,60 @@ object Multimodal {
       media_id: Long, kind: String, n_bytes: Long, checksum: Long,
       width: Int, height: Int, duration_ms: Long)
 
-  /** STUB decoder — deterministic fake: derives plausible dimensions /
-    * duration from payload bytes. Replace with a real codec binding;
-    * the signature (bytes in, features out) is the contract. */
+  /** REAL image-header decode (r6): parses PNG (signature + IHDR) and
+    * JPEG (SOI, then a generic marker walk over APPn/COM/DQT/… segments
+    * until SOF0/1/2) from the leading bytes — pure public-format byte
+    * arithmetic, no codec library. Returns (format, width, height), or
+    * None when the payload is not a recognizable image. The SQL twin
+    * (expression-only, oracle-able) is the `mm_headers` key in
+    * TrainQueries; this form handles arbitrarily many JPEG segments. */
+  def decodeImageHeader(payload: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int): Int = payload(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (payload.length >= 24 &&
+        pngSig.indices.forall(i => u8(i) == pngSig(i)) &&
+        u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R')
+      Some(("png", be32(16), be32(20)))
+    else if (payload.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // Marker walk: every segment is FF <marker> <be16 len incl. the
+      // two length bytes>; SOFn frames carry precision, H, W after the
+      // length. Stops at SOS/EOI (entropy data follows, no frame seen).
+      var i = 2
+      while (i + 3 < payload.length && u8(i) == 0xff) {
+        val m = u8(i + 1)
+        if (m == 0xc0 || m == 0xc1 || m == 0xc2) {
+          if (i + 8 < payload.length)
+            return Some(("jpeg", be16(i + 7), be16(i + 5)))
+          else return None
+        } else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
+          i += 2 // standalone markers carry no length field
+        } else if (m == 0xd9 || m == 0xda) {
+          return None // EOI / start-of-scan before any SOF frame
+        } else {
+          i += 2 + be16(i + 2)
+        }
+      }
+      None
+    } else None
+  }
+
+  /** Decoder for the typed path: images go through the REAL header
+    * parse first (`decodeImageHeader`); payloads without a recognizable
+    * header — and the audio/video kinds, whose codecs aren't in this
+    * container — fall back to a CLEARLY-MARKED deterministic stub
+    * derived from the payload size. The signature (bytes in, features
+    * out) is the swap-in contract for a full codec binding. */
   def decodeStub(kind: String, payload: Array[Byte]): (Int, Int, Long) = {
     val n = payload.length
     kind match {
-      case "image" => (1 + n % 640, 1 + (7 * n) % 480, 0L)
+      case "image" =>
+        decodeImageHeader(payload) match {
+          case Some((_, w, h)) => (w, h, 0L)
+          case None            => (1 + n % 640, 1 + (7 * n) % 480, 0L)
+        }
       case "audio" => (0, 0, 1000L + (n % 60000))
       case "video" => (1 + n % 1920, 1 + (3 * n) % 1080, 1000L + (n % 600000))
       case _       => (0, 0, 0L)

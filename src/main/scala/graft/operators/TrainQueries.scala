@@ -344,6 +344,79 @@ object TrainQueries extends QueryPack {
           ($"n_bytes" - (expr("(n_bytes + 63) div 64") - 1L) * 64L)
             .as("tail_len"))
         .orderBy($"doc_id")
+    }),
+
+    // REAL media header decode (r6, upgrades the mm_binary stub):
+    // payloads are synthesized with byte-exact public-format headers —
+    // PNG signature + IHDR (widths/heights big-endian at fixed IHDR
+    // offsets) for even doc_ids, JPEG SOI + APP0/JFIF + SOF0 for odd —
+    // then (format, width, height) is decoded FROM THE BINARY COLUMN
+    // ALONE by byte arithmetic; the decoder never sees the generator's
+    // dimension columns. The APP0 segment carries doc_id mod 8 pad
+    // bytes, so its length varies per row and the JPEG path must
+    // genuinely read the big-endian segment-length field to locate
+    // SOF0 — the offset cannot be hardcoded. All map-side expression
+    // work (hex/conv/substring), no shuffle beyond the contract sort.
+    "mm_headers" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("w", pmod($"doc_id", lit(640L)) + 1L)
+        .withColumn("h", pmod($"doc_id" * 7L, lit(480L)) + 1L)
+        .withColumn("pad", pmod($"doc_id", lit(8L)))
+      // PNG: 8-byte signature, IHDR length (13), "IHDR", W, H (both
+      // 4-byte big-endian), bit depth 8, color 2 (truecolor), zeros,
+      // placeholder CRC.
+      val pngHex = concat(
+        lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        lpad(hex($"w"), 8, "0"), lpad(hex($"h"), 8, "0"),
+        lit("0802000000" + "00000000"))
+      // JPEG: SOI, APP0 marker, length 16+pad, "JFIF\0", v1.1, no
+      // density units, 1x1 density, no thumbnail, pad zeros; then
+      // SOF0 (len 17, 8-bit precision, H, W big-endian, 3 components).
+      val jpegHex = concat(
+        lit("FFD8" + "FFE0"), lpad(hex($"pad" + 16L), 4, "0"),
+        lit("4A46494600" + "0101" + "00" + "0001" + "0001" + "0000"),
+        expr("repeat('00', CAST(pad AS INT))"),
+        lit("FFC0" + "0011" + "08"),
+        lpad(hex($"h"), 4, "0"), lpad(hex($"w"), 4, "0"),
+        lit("03" + "012200" + "021101" + "031101"))
+      val payloads = docs.select($"doc_id",
+        unhex(concat(
+          when(pmod($"doc_id", lit(2L)) === 0L, pngHex).otherwise(jpegHex),
+          hex($"text".cast(BinaryType)))).as("payload"))
+      payloads
+        .withColumn("is_png",
+          hex(expr("substring(payload, 1, 8)")) === "89504E470D0A1A0A")
+        .withColumn("is_jpeg",
+          hex(expr("substring(payload, 1, 2)")) === "FFD8")
+        // APP0 length field (big-endian, counts itself): bytes 5-6;
+        // the next marker starts at byte 5 + app_len.
+        .withColumn("app_len",
+          conv(hex(expr("substring(payload, 5, 2)")), 16, 10)
+            .cast(LongType))
+        .withColumn("sof_b", lit(5L) + $"app_len")
+        .withColumn("sof_ok",
+          hex(expr("substring(payload, CAST(sof_b AS INT), 2)"))
+            === "FFC0")
+        .select($"doc_id",
+          when($"is_png", lit("png"))
+            .when($"is_jpeg" && $"sof_ok", lit("jpeg"))
+            .otherwise(lit("unknown")).as("format"),
+          when($"is_png",
+            conv(hex(expr("substring(payload, 17, 4)")), 16, 10)
+              .cast(LongType))
+            .when($"is_jpeg" && $"sof_ok",
+              conv(hex(expr("substring(payload, CAST(sof_b + 7 AS INT), 2)")),
+                16, 10).cast(LongType)).as("width"),
+          when($"is_png",
+            conv(hex(expr("substring(payload, 21, 4)")), 16, 10)
+              .cast(LongType))
+            .when($"is_jpeg" && $"sof_ok",
+              conv(hex(expr("substring(payload, CAST(sof_b + 5 AS INT), 2)")),
+                16, 10).cast(LongType)).as("height"),
+          when($"is_jpeg" && $"sof_ok", $"sof_b").as("sof_offset"),
+          octet_length($"payload").cast(LongType).as("n_bytes"))
+        .orderBy($"doc_id")
     }))
 
   def oracle: Seq[(String, String)] = Seq(
@@ -574,5 +647,65 @@ object TrainQueries extends QueryPack {
         |  CAST(octet_length(encode(text)) AS BIGINT)
         |    - ((CAST(octet_length(encode(text)) AS BIGINT) + 63) // 64
         |       - 1) * 64 AS tail_len
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Header synthesis + decode in hex-string space (DuckDB 1.0 has no
+    // BLOB substring): byte k of the payload is chars 2k-1..2k of the
+    // hex rendering. Hex→int is a manual base-16 fold (no conv() in
+    // DuckDB).
+    "mm_headers" ->
+      """WITH d AS (SELECT doc_id,
+        |    doc_id % 640 + 1 AS w, (doc_id * 7) % 480 + 1 AS h,
+        |    doc_id % 8 AS pad, text FROM documents),
+        |hx AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN
+        |    '89504E470D0A1A0A' || '0000000D' || '49484452'
+        |      || lpad(upper(hex(w)), 8, '0') || lpad(upper(hex(h)), 8, '0')
+        |      || '0802000000' || '00000000'
+        |  ELSE
+        |    'FFD8FFE0' || lpad(upper(hex(pad + 16)), 4, '0')
+        |      || '4A46494600' || '0101' || '00' || '0001' || '0001'
+        |      || '0000' || repeat('00', CAST(pad AS INT))
+        |      || 'FFC0' || '0011' || '08'
+        |      || lpad(upper(hex(h)), 4, '0') || lpad(upper(hex(w)), 4, '0')
+        |      || '03' || '012200' || '021101' || '031101'
+        |  END || upper(hex(encode(text))) AS hs FROM d),
+        |p AS (SELECT doc_id, hs,
+        |    substring(hs, 1, 16) = '89504E470D0A1A0A' AS is_png,
+        |    substring(hs, 1, 4) = 'FFD8' AS is_jpeg,
+        |    list_reduce(list_transform(string_split(substring(hs, 9, 4), ''),
+        |      c -> CAST(strpos('0123456789ABCDEF', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS app_len
+        |  FROM hx),
+        |p2 AS (SELECT *, 5 + app_len AS sof_b,
+        |    substring(hs, CAST(2 * (5 + app_len) - 1 AS INT), 4) = 'FFC0'
+        |      AS sof_ok
+        |  FROM p)
+        |SELECT doc_id,
+        |  CASE WHEN is_png THEN 'png'
+        |       WHEN is_jpeg AND sof_ok THEN 'jpeg'
+        |       ELSE 'unknown' END AS format,
+        |  CASE WHEN is_png THEN
+        |    list_reduce(list_transform(string_split(substring(hs, 33, 8), ''),
+        |      c -> CAST(strpos('0123456789ABCDEF', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b)
+        |  WHEN is_jpeg AND sof_ok THEN
+        |    list_reduce(list_transform(string_split(
+        |        substring(hs, CAST(2 * (sof_b + 7) - 1 AS INT), 4), ''),
+        |      c -> CAST(strpos('0123456789ABCDEF', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b)
+        |  END AS width,
+        |  CASE WHEN is_png THEN
+        |    list_reduce(list_transform(string_split(substring(hs, 41, 8), ''),
+        |      c -> CAST(strpos('0123456789ABCDEF', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b)
+        |  WHEN is_jpeg AND sof_ok THEN
+        |    list_reduce(list_transform(string_split(
+        |        substring(hs, CAST(2 * (sof_b + 5) - 1 AS INT), 4), ''),
+        |      c -> CAST(strpos('0123456789ABCDEF', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b)
+        |  END AS height,
+        |  CASE WHEN is_jpeg AND sof_ok THEN sof_b END AS sof_offset,
+        |  CAST(len(hs) // 2 AS BIGINT) AS n_bytes
+        |FROM p2 ORDER BY doc_id""".stripMargin)
 }

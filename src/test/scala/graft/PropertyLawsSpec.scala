@@ -132,6 +132,33 @@ class PropertyLawsSpec extends SparkTestBase {
     assertSameRows(ours, native, "lag/cumsum vs session_window")
   }
 
+  test("decodeImageHeader parses real PNG/JPEG headers and rejects junk") {
+    import graft.functions.Multimodal.decodeImageHeader
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def be32(v: Int) = Seq(v >>> 24, (v >>> 16) & 0xff, (v >>> 8) & 0xff, v & 0xff)
+    def be16(v: Int) = Seq((v >>> 8) & 0xff, v & 0xff)
+    // PNG: signature + IHDR with w=800, h=600.
+    val png = bytes(Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I'.toInt, 'H'.toInt, 'D'.toInt, 'R'.toInt)
+      ++ be32(800) ++ be32(600) ++ Seq(8, 2, 0, 0, 0): _*)
+    assert(decodeImageHeader(png) == Some(("png", 800, 600)))
+    // JPEG with three variable-length segments before a PROGRESSIVE
+    // frame (SOF2): APP0 (len 16), APP1 (len 8), COM (len 5) — the
+    // walk must chain length fields, not assume one fixed APP0.
+    val jpeg = bytes(Seq(0xff, 0xd8,
+      0xff, 0xe0) ++ be16(16) ++ Seq.fill(14)(0x4a)
+      ++ Seq(0xff, 0xe1) ++ be16(8) ++ Seq.fill(6)(0x45)
+      ++ Seq(0xff, 0xfe) ++ be16(5) ++ Seq.fill(3)(0x21)
+      ++ Seq(0xff, 0xc2) ++ be16(17) ++ Seq(8)
+      ++ be16(123) ++ be16(456) ++ Seq(3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1): _*)
+    assert(decodeImageHeader(jpeg) == Some(("jpeg", 456, 123)))
+    // SOS before any SOF frame: not decodable.
+    val headless = bytes(0xff, 0xd8, 0xff, 0xda, 0, 4, 1, 2, 9, 9, 9)
+    assert(decodeImageHeader(headless).isEmpty)
+    // Plain text bytes: no image at all.
+    assert(decodeImageHeader("hello world, not an image".getBytes).isEmpty)
+  }
+
   test("multimodal feature extraction preserves rows and dedups by checksum") {
     import graft.functions.Multimodal
     val ds = Multimodal.fromDocuments(spark, sf)
