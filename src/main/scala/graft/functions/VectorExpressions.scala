@@ -172,6 +172,7 @@ object RewriteSelfDot
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     VectorExpressions.registrations.foreach(ext.injectFunction)
+    TextNormalize.registrations.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RewriteSelfDot)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

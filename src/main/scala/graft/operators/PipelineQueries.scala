@@ -213,6 +213,42 @@ object PipelineQueries extends QueryPack {
         .unpivot(Array($"l_returnflag"),
           Array($"sum_qty", $"sum_price", $"n_items"), "metric", "value")
         .orderBy($"l_returnflag", $"metric")
+    }),
+
+    // Unicode normalization-aware dedup (r6): each doc ships in two
+    // variants — raw, and a deterministically "webbified" corruption
+    // (combining accents instead of precomposed chars, NBSP/ZWSP/
+    // double-space for spaces, trailing control chars). Naive exact
+    // dedup sees 2N distinct texts; dedup on
+    // TextNormalize.normalizeText (NFC → strip invisibles → collapse
+    // whitespace → accent-fold, a codegen Expression chain) collapses
+    // every pair, so n_copies = 2 and exactly the variant-0 row is the
+    // keeper. All map-side except the dedup window itself, which
+    // shuffles on the normalized-text key like dedup_exact.
+    "text_normalize" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.TextNormalize.register(s)
+      val junk = when(pmod($"doc_id", lit(3L)) === 0L, lit(" \u200B"))
+        .when(pmod($"doc_id", lit(3L)) === 1L, lit("\u00A0"))
+        .otherwise(lit("  "))
+      val corrupted = concat(
+        replace(replace($"text", lit("e"), lit("e\u0301")),
+          lit(" "), junk),
+        lit("\u0007\t"))
+      val variants = Tables.load(s, dir, "documents")
+        .select($"doc_id", explode(array(
+          struct(lit(0L).as("variant"), $"text".as("vtext")),
+          struct(lit(1L).as("variant"), corrupted.as("vtext")))).as("v"))
+        .select($"doc_id", $"v.variant".as("variant"),
+          graft.functions.TextNormalize.normalizeText($"v.vtext").as("norm"))
+      val byNorm = Window.partitionBy($"norm")
+      val byNormOrd = byNorm.orderBy($"doc_id", $"variant")
+      variants.select($"doc_id", $"variant",
+          length($"norm").cast(LongType).as("norm_len"),
+          md5($"norm").as("norm_md5"),
+          count(lit(1)).over(byNorm).as("n_copies"),
+          (row_number().over(byNormOrd) === 1).as("keeper"))
+        .orderBy($"doc_id", $"variant")
     }))
 
   def oracle: Seq[(String, String)] = Seq(
@@ -328,5 +364,34 @@ object PipelineQueries extends QueryPack {
         |SELECT l_returnflag, 'sum_price', sum_price FROM a
         |UNION ALL
         |SELECT l_returnflag, 'n_items', n_items FROM a
-        |ORDER BY l_returnflag, metric""".stripMargin)
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    // Same corruption (chr codes: 769 = U+0301 combining acute,
+    // 8203 = ZWSP, 160 = NBSP, 7 = BEL, 9 = TAB) and the same
+    // normalize chain; DuckDB's strip_accents stands in for the
+    // NFD + strip-combining-marks fold (equivalent on Latin input).
+    "text_normalize" ->
+      """WITH c AS (SELECT doc_id, text,
+        |    replace(replace(text, 'e', 'e' || chr(769)), ' ',
+        |      CASE WHEN doc_id % 3 = 0 THEN ' ' || chr(8203)
+        |           WHEN doc_id % 3 = 1 THEN chr(160)
+        |           ELSE '  ' END) || chr(7) || chr(9) AS corrupted
+        |  FROM documents),
+        |v AS (SELECT doc_id, CAST(0 AS BIGINT) AS variant, text AS vtext
+        |        FROM c
+        |      UNION ALL
+        |      SELECT doc_id, 1, corrupted FROM c),
+        |n AS (SELECT doc_id, variant,
+        |    strip_accents(trim(regexp_replace(regexp_replace(
+        |      nfc_normalize(vtext),
+        |      '[\x{200B}\x{200C}\x{200D}\x{2060}\x{FEFF}]', '', 'g'),
+        |      '[\p{Cc}\p{Z}\s]+', ' ', 'g'))) AS norm
+        |  FROM v)
+        |SELECT doc_id, variant,
+        |  CAST(len(norm) AS BIGINT) AS norm_len,
+        |  md5(norm) AS norm_md5,
+        |  count(*) OVER (PARTITION BY norm) AS n_copies,
+        |  row_number() OVER (PARTITION BY norm
+        |                     ORDER BY doc_id, variant) = 1 AS keeper
+        |FROM n ORDER BY doc_id, variant""".stripMargin)
 }

@@ -132,6 +132,27 @@ class PropertyLawsSpec extends SparkTestBase {
     assertSameRows(ours, native, "lag/cumsum vs session_window")
   }
 
+  test("normalizeText is idempotent and folds unicode noise") {
+    import graft.functions.TextNormalize
+    TextNormalize.register(spark)
+    // Corpus text plus hand-picked unicode noise: NFD sequences,
+    // zero-width chars, NBSP, controls, multi-space runs.
+    val noisy = Tables.load(spark, sf, "documents")
+      .select(concat(lit("Cafe\u0301 \u200B du\u00A0 monde\t"),
+        $"text", lit(" \u0007 fin\u2060ale  ")).as("t"))
+    val once = noisy.select(TextNormalize.normalizeText($"t").as("n1"))
+    val twice = once.select($"n1",
+      TextNormalize.normalizeText($"n1").as("n2"))
+    assert(twice.filter($"n1" =!= $"n2").count() == 0,
+      "normalize(normalize(x)) must equal normalize(x)")
+    // The noise is actually folded: accents gone, invisibles gone,
+    // whitespace collapsed, ends trimmed.
+    val bad = once.filter($"n1".rlike("[\\x{200B}\\x{2060}\\u00A0\\u0301\\t\\u0007]")
+        || $"n1".contains("  ") || $"n1".startsWith(" ") || $"n1".endsWith(" ")
+        || !$"n1".startsWith("Cafe du monde"))
+    assert(bad.count() == 0, "normalization must fold all injected noise")
+  }
+
   test("decodeImageHeader parses real PNG/JPEG headers and rejects junk") {
     import graft.functions.Multimodal.decodeImageHeader
     def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
