@@ -94,25 +94,30 @@ object PipelineQueries extends QueryPack {
 
     // Benchmark-contamination check: corpus docs sharing any word
     // 5-gram with the held-out benchmark set (source = src0).
-    // Single-pass plan: gram-ify the corpus ONCE, then resolve
-    // benchmark membership with a window over the gram key (high
-    // cardinality — partitions evenly at scale) instead of
-    // re-deriving the grams on a second branch for a join.
+    // Plan (r6, replaces the r3 corpus-wide window): the benchmark
+    // side is distinct-reduced to its gram SET (benchmark corpora are
+    // tiny next to the training corpus) and BROADCAST into a hash
+    // left-semi join against the corpus grams; per-doc distinct-gram
+    // hits then fold in one count_distinct aggregate. No sort and no
+    // corpus-wide shuffle on the gram key — the only wide exchanges
+    // left are the small bench-side distinct and the final per-doc
+    // aggregate. At 100 TB the corpus side stays map-side until the
+    // doc_id aggregate; the r3 window form instead sorted every corpus
+    // gram inside gram partitions.
     "text_contamination" -> ((s, dir) => {
       import s.implicits._
-      val g = Tables.load(s, dir, "documents")
+      def grams(df: org.apache.spark.sql.DataFrame) = df
         .withColumn("toks", split(lower($"text"), " "))
-        .select($"doc_id", ($"source" === "src0").as("is_bench"),
-          explode(expr(
-            "CASE WHEN size(toks) < 5 THEN array() " +
-              "ELSE transform(sequence(1, size(toks) - 4), " +
-              "i -> array_join(slice(toks, i, 5), ' ')) END")).as("gram"))
-        .distinct()
-      g.withColumn("has_bench",
-          max(when($"is_bench", 1).otherwise(0))
-            .over(Window.partitionBy($"gram")))
-        .filter(!$"is_bench" && $"has_bench" === 1)
-        .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+        .select($"doc_id", explode(expr(
+          "CASE WHEN size(toks) < 5 THEN array() " +
+            "ELSE transform(sequence(1, size(toks) - 4), " +
+            "i -> array_join(slice(toks, i, 5), ' ')) END")).as("gram"))
+      val docs = Tables.load(s, dir, "documents")
+      val benchGrams = grams(docs.filter($"source" === "src0"))
+        .select($"gram").distinct()
+      grams(docs.filter($"source" =!= "src0"))
+        .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+        .groupBy($"doc_id").agg(count_distinct($"gram").as("n_hits"))
         .orderBy($"doc_id")
     }),
 

@@ -111,6 +111,19 @@ class PlanShapeSpec extends SparkTestBase {
       s"hamming candidates degenerated to all-pairs:\n$p")
   }
 
+  test("text_contamination broadcasts the bench gram set — no Window") {
+    // r6 rewrite: benchmark grams are distinct-reduced and broadcast
+    // into a left-semi hash join. A Window (or Sort below the joins)
+    // means the plan regressed to the r3 corpus-wide gram sort; a
+    // non-broadcast semi join means the tiny bench side shuffled the
+    // whole corpus instead.
+    val p = planOf("text_contamination")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"bench gram set no longer broadcast-semi-joined:\n$p")
+    assert(!p.contains("Window"),
+      s"corpus-wide gram window resurfaced:\n$p")
+  }
+
   test("profile_table melts with a Generate — no Expand multi-distinct") {
     // The r4 rewrite's whole argument: 3 exact distinct counts in one
     // pass via melt + two-phase (col, value) aggregate. An Expand here
