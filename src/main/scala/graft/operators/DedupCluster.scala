@@ -101,14 +101,44 @@ object DedupCluster extends QueryPack {
     labels.select($"node".as("doc_id"), $"lbl".as("comp"))
   }
 
-  /** The union edge set: identical token sets ∪ Hamming-ball pairs. */
+  /** The union edge set: identical token sets ∪ Hamming-ball pairs.
+    *
+    * SPANNING-STAR construction (r6; connected components only need
+    * connectivity, not the full clique): the r5 form materialized
+    * every within-group pair — C(k,2) edges per mask-equal group and
+    * per Hamming ball — which a 10× scale experiment measured as
+    * QUADRATIC edge growth (325k edges at sf0.1 → 33.6M at 10×, the
+    * whole super-linear cost of dedup_components/pipeline_corpus;
+    * see PLANS.md r6). Components are preserved exactly with O(n)
+    * edges instead:
+    *  - mask groups: one star edge (group-min doc, doc) per member —
+    *    same connectivity as the clique;
+    *  - Hamming balls: docs sharing an EXACT signature star onto the
+    *    signature's min doc (distance 0), and only DISTINCT-signature
+    *    representatives are pairwise-checked within a block. A
+    *    16-bit signature block (top 8 bits) holds ≤ 2^8 = 256
+    *    distinct signatures, so rep-pair work per block is bounded by
+    *    C(256,2) REGARDLESS of corpus size — the edge relation is
+    *    n + O(#blocks · 2^(free bits)²), linear in docs.
+    * Connectivity proof sketch: a–rep(sig(a))–rep(sig(b))–b replaces
+    * any ball pair (a,b); rep edges exist iff the sig pair is within
+    * the ball, star edges are distance 0. */
   private[operators] def dupEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val mask = TextBlocking.maskPairs(s, dir).select($"da", $"db")
+    val m = TextBlocking.maskTable(s, dir)
+      .withColumn("mmin", min($"doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"mask")))
+    val mask = m.filter($"doc_id" =!= $"mmin")
+      .select($"mmin".as("da"), $"doc_id".as("db"))
     val sig = TrainQueries.simhashSigs(s, dir)
+      .withColumn("rep", min($"doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"simhash")))
+    val star = sig.filter($"doc_id" =!= $"rep")
+      .select($"rep".as("da"), $"doc_id".as("db"))
+    val reps = sig.filter($"doc_id" === $"rep")
       .withColumn("blk", expr("simhash div 256"))
-    val a = sig.select($"blk", $"doc_id".as("da"), $"simhash".as("sa"))
-    val b = sig.select($"blk", $"doc_id".as("db"), $"simhash".as("sb"))
+    val a = reps.select($"blk", $"doc_id".as("da"), $"simhash".as("sa"))
+    val b = reps.select($"blk", $"doc_id".as("db"), $"simhash".as("sb"))
     // Hamming <= 2 here (tighter than dedup_hamming's candidate
     // list): an edge asserts "same cluster", not "worth re-ranking",
     // and the <=3 ball over 16-bit signatures is too permissive to
@@ -116,7 +146,7 @@ object DedupCluster extends QueryPack {
     val ham = a.join(b, Seq("blk")).filter($"da" < $"db")
       .filter(expr("bit_count(sa ^ sb)") <= 2)
       .select($"da", $"db")
-    mask.union(ham)
+    mask.union(star).union(ham)
   }
 
   /** Oracle-side edge construction (DuckDB SQL, CTE list ending in
