@@ -254,6 +254,36 @@ object PipelineQueries extends QueryPack {
           count(lit(1)).over(byNorm).as("n_copies"),
           (row_number().over(byNormOrd) === 1).as("keeper"))
         .orderBy($"doc_id", $"variant")
+    }),
+
+    // Sequence packing (r6) — the step that turns a cleaned corpus
+    // into fixed-token-budget training sequences: documents are
+    // concatenated in a deterministic order and cut every 256 tokens
+    // ("concat and chunk", the standard LLM pretraining packing).
+    // Each doc reports its global token offset, first/last pack id,
+    // and how many sequence boundaries it spans. Packing is per
+    // SOURCE (the shard key): a running token sum over a per-source
+    // window — at 100 TB the same plan packs per (source, shard)
+    // with a deterministic affine shard key, embarrassingly parallel
+    // across shards, and the window state is O(1) per row.
+    "text_pack" -> ((s, dir) => {
+      import s.implicits._
+      val B = 256L
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+      Tables.load(s, dir, "documents")
+        .withColumn("n_tok",
+          size(filter(split(lower($"text"), " "), t => t =!= ""))
+            .cast(LongType))
+        .withColumn("end_off", sum($"n_tok").over(w))
+        .withColumn("start_off", $"end_off" - $"n_tok")
+        .select($"doc_id", $"source", $"n_tok", $"start_off",
+          expr(s"start_off div $B").as("pack_first"),
+          // Empty docs occupy no tokens: they "land" at their start
+          // boundary and span exactly their first pack.
+          when($"n_tok" === 0L, expr(s"start_off div $B"))
+            .otherwise(expr(s"(end_off - 1) div $B")).as("pack_last"))
+        .withColumn("n_spans", $"pack_last" - $"pack_first" + 1L)
+        .orderBy($"doc_id")
     }))
 
   def oracle: Seq[(String, String)] = Seq(
@@ -398,5 +428,26 @@ object PipelineQueries extends QueryPack {
         |  count(*) OVER (PARTITION BY norm) AS n_copies,
         |  row_number() OVER (PARTITION BY norm
         |                     ORDER BY doc_id, variant) = 1 AS keeper
-        |FROM n ORDER BY doc_id, variant""".stripMargin)
+        |FROM n ORDER BY doc_id, variant""".stripMargin,
+
+    // Windowed sum of token counts goes HUGEINT in DuckDB — CAST back
+    // before the integer divisions.
+    "text_pack" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      t -> t <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS BIGINT) AS end_off
+        |  FROM d)
+        |SELECT doc_id, source, n_tok,
+        |  end_off - n_tok AS start_off,
+        |  (end_off - n_tok) // 256 AS pack_first,
+        |  CASE WHEN n_tok = 0 THEN (end_off - n_tok) // 256
+        |       ELSE (end_off - 1) // 256 END AS pack_last,
+        |  (CASE WHEN n_tok = 0 THEN (end_off - n_tok) // 256
+        |        ELSE (end_off - 1) // 256 END)
+        |    - (end_off - n_tok) // 256 + 1 AS n_spans
+        |FROM c ORDER BY doc_id""".stripMargin)
 }

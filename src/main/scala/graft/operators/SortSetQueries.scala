@@ -84,6 +84,35 @@ object SortSetQueries extends QueryPack {
         .filter($"rn" === 1)
         .select($"doc_id", $"lang", $"source", $"n_chars")
         .orderBy($"doc_id")
+    }),
+
+    // Z-order clustering key (r6): interleave the bits of two join/
+    // filter dimensions into one sort key so range-partitioning on it
+    // co-locates rows that are close in BOTH dimensions — the standard
+    // multi-dimensional layout trick for parquet min/max row-group
+    // skipping (a query filtering either partkey OR suppkey prunes
+    // files, because every z-range holds a tight bounding box of
+    // both). The demo buckets the curve and reports each bucket's
+    // bounding box: max spans stay narrow relative to the full domain,
+    // which IS the file-skipping property. Pure integer bit arithmetic
+    // (shift/and/or folds) — bit-identical in any engine; the z-fold
+    // is map-side, the only shuffle is the bucket aggregate.
+    "sort_zorder" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey", $"l_suppkey")
+        .withColumn("z", expr(
+          "aggregate(sequence(0, 15), 0L, (acc, i) -> " +
+            "acc | shiftleft(shiftright(l_partkey, i) & 1L, 2 * i) " +
+            "| shiftleft(shiftright(l_suppkey, i) & 1L, 2 * i + 1))"))
+        .withColumn("zbucket", expr("z div 65536"))
+        .groupBy($"zbucket")
+        .agg(count(lit(1)).as("n"),
+          min($"l_partkey").as("pk_min"), max($"l_partkey").as("pk_max"),
+          min($"l_suppkey").as("sk_min"), max($"l_suppkey").as("sk_max"))
+        .withColumn("pk_span", $"pk_max" - $"pk_min")
+        .withColumn("sk_span", $"sk_max" - $"sk_min")
+        .orderBy($"zbucket")
     })
   )
 
@@ -127,6 +156,22 @@ object SortSetQueries extends QueryPack {
         |  SELECT doc_id, lang, source, n_chars,
         |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |  FROM documents) t
-        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // Per-bit contributions hit disjoint bit positions, so list_sum
+    // (HUGEINT, cast back) equals the OR-fold.
+    "sort_zorder" ->
+      """WITH z AS (SELECT l_orderkey, l_partkey, l_suppkey,
+        |    CAST(list_sum(list_transform(generate_series(0, 15), i ->
+        |      (((l_partkey >> i) & 1) << (2 * i))
+        |      + (((l_suppkey >> i) & 1) << (2 * i + 1)))) AS BIGINT)
+        |      AS zv
+        |  FROM lineitem)
+        |SELECT zv // 65536 AS zbucket, count(*) AS n,
+        |  min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+        |  min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max,
+        |  max(l_partkey) - min(l_partkey) AS pk_span,
+        |  max(l_suppkey) - min(l_suppkey) AS sk_span
+        |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
   )
 }
