@@ -73,6 +73,38 @@ object TrainQueries extends QueryPack {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** 64-bit SimHash as FOUR independent 16-bit blocks (term-hash
+    * multipliers 131/137/139/149) — the Manku et al. (WWW'07)
+    * multi-block index layout. All 64 per-bit vote sums run inside
+    * ONE groupBy (single corpus shuffle, same plan shape as the
+    * 16-bit `simhashSigs`); the blocks stay separate BIGINT columns
+    * so no arithmetic ever exceeds 2^23 (safe under both Spark
+    * non-ANSI wrap and DuckDB's overflow-checked BIGINT). */
+  private[graft] def simhash64Sigs(s: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val mult = Seq(131L, 137L, 139L, 149L)
+    val tf = Tables.load(s, dir, "documents")
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val h = mult.zipWithIndex.foldLeft(tf) { case (df, (m, k)) =>
+      df.withColumn(s"h$k", expr(
+        s"aggregate(split(term, ''), CAST(0 AS BIGINT), " +
+          s"(h, c) -> pmod(h * $m + ascii(c), 65536))"))
+    }
+    val voteSums = for (k <- 0 until 4; j <- 0 until 16) yield
+      sum(when(expr(s"(h$k div ${1L << j}) % 2") === 1, $"tf")
+        .otherwise(-$"tf")).as(s"sw_${k}_$j")
+    val blockCols = (0 until 4).map { k =>
+      (0 until 16).map(j =>
+        when(col(s"sw_${k}_$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"b$k")
+    }
+    h.groupBy($"doc_id").agg(voteSums.head, voteSums.tail: _*)
+      .select($"doc_id" +: blockCols: _*)
+  }
+
   def queries: Seq[(String, Q)] = Seq(
     // MinHash signature (k=8, affine hashes over the term dictionary)
     // + 4 LSH band keys (r=2). Banding docs into buckets by b1..b4 is
@@ -124,6 +156,36 @@ object TrainQueries extends QueryPack {
           expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
         .filter($"hdist" <= 3)
         .select($"da", $"db", $"hdist")
+        .orderBy($"da", $"db")
+    }),
+
+    // 64-bit SimHash + Manku multi-block Hamming index (WWW'07): the
+    // scale cure for dedup_hamming's single-8-bit-block trade. A pair
+    // within Hamming distance <=3 of a 64-bit signature must agree on
+    // >=1 of its 4 16-bit blocks (pigeonhole: 3 differing bits cannot
+    // touch 4 blocks), so the per-block equi-join candidate set is
+    // provably COMPLETE for the <=3 ball — the blocked plan is exact,
+    // not a recall trade (asserted vs brute force, TrainDedupSpec).
+    // Scale: 4 candidate indexes x 65536-way block spread; candidates
+    // shuffle on (k, blk), verify is 4 bit_counts per pair. The
+    // distinct() collapses pairs that agree on several blocks.
+    "dedup_hamming64" -> ((s, dir) => {
+      import s.implicits._
+      val sig = simhash64Sigs(s, dir)
+      val blocks = sig
+        .select($"doc_id", $"b0", $"b1", $"b2", $"b3",
+          posexplode(array($"b0", $"b1", $"b2", $"b3")))
+        .toDF("doc_id", "b0", "b1", "b2", "b3", "k", "blk")
+      val a = blocks.select($"k", $"blk", $"doc_id".as("da"),
+        $"b0".as("a0"), $"b1".as("a1"), $"b2".as("a2"), $"b3".as("a3"))
+      val b = blocks.select($"k", $"blk", $"doc_id".as("db"),
+        $"b0".as("c0"), $"b1".as("c1"), $"b2".as("c2"), $"b3".as("c3"))
+      a.join(b, Seq("k", "blk")).filter($"da" < $"db")
+        .withColumn("hdist", expr(
+          "CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) " +
+            "+ bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)"))
+        .filter($"hdist" <= 3)
+        .select($"da", $"db", $"hdist").distinct()
         .orderBy($"da", $"db")
     }),
 
@@ -487,6 +549,46 @@ object TrainQueries extends QueryPack {
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hdist
         |FROM s2 a JOIN s2 b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY da, db""".stripMargin,
+
+    "dedup_hamming64" ->
+      """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |    FROM documents) t WHERE term <> '' GROUP BY doc_id, term),
+        |h AS (SELECT doc_id, tf, k,
+        |    list_reduce(list_transform(string_split(term, ''),
+        |      c -> CAST(ascii(c) AS BIGINT)),
+        |      (h, c) -> (h * m + c) % 65536) AS h
+        |  FROM tf CROSS JOIN (SELECT k,
+        |      CAST(CASE k WHEN 0 THEN 131 WHEN 1 THEN 137
+        |           WHEN 2 THEN 139 ELSE 149 END AS BIGINT) AS m
+        |    FROM generate_series(0, 3) AS gk(k)) mk),
+        |bits AS (SELECT doc_id, k, j,
+        |    sum(CASE WHEN (h // (CAST(1 AS BIGINT) << j)) % 2 = 1
+        |             THEN tf ELSE -tf END) AS sw
+        |  FROM h CROSS JOIN generate_series(0, 15) AS gj(j)
+        |  GROUP BY doc_id, k, j),
+        |sig AS (SELECT doc_id, k,
+        |    CAST(sum(CASE WHEN sw >= 0 THEN CAST(1 AS BIGINT) << j
+        |                  ELSE 0 END) AS BIGINT) AS blk
+        |  FROM bits GROUP BY doc_id, k),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM sig a JOIN sig b ON a.k = b.k AND a.blk = b.blk
+        |    AND a.doc_id < b.doc_id),
+        |wide AS (SELECT doc_id,
+        |    max(CASE WHEN k = 0 THEN blk END) AS b0,
+        |    max(CASE WHEN k = 1 THEN blk END) AS b1,
+        |    max(CASE WHEN k = 2 THEN blk END) AS b2,
+        |    max(CASE WHEN k = 3 THEN blk END) AS b3
+        |  FROM sig GROUP BY doc_id)
+        |SELECT c.da, c.db,
+        |  CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+        |     + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+        |    AS BIGINT) AS hdist
+        |FROM cand c JOIN wide x ON c.da = x.doc_id
+        |  JOIN wide y ON c.db = y.doc_id
+        |WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+        |    + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3
         |ORDER BY da, db""".stripMargin,
 
     "dedup_embed" ->

@@ -111,6 +111,13 @@ class PlanShapeSpec extends SparkTestBase {
       s"hamming candidates degenerated to all-pairs:\n$p")
   }
 
+  test("dedup_hamming64 joins on (k, blk), never all-pairs") {
+    val p = planOf("dedup_hamming64")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"multi-block hamming candidates degenerated to all-pairs:\n$p")
+  }
+
   test("text_contamination broadcasts the bench gram set — no Window") {
     // r6 rewrite: benchmark grams are distinct-reduced and broadcast
     // into a left-semi hash join. A Window (or Sort below the joins)

@@ -46,6 +46,28 @@ class PropertyLawsSpec extends SparkTestBase {
     assert(once.count() == docs.select($"text").distinct().count())
   }
 
+  test("dedup_hamming64 multi-block candidates are COMPLETE for the " +
+      "hdist<=3 ball (pigeonhole vs brute force)") {
+    // The whole Manku argument: 3 differing bits cannot touch all 4
+    // blocks, so blocking loses nothing at the <=3 threshold. Compare
+    // the shipped blocked operator against brute-force all-pairs over
+    // the same signatures on the real sf0.001 corpus.
+    val sig = operators.TrainQueries.simhash64Sigs(spark, sf)
+    val x = sig.select($"doc_id".as("da"), $"b0".as("a0"),
+      $"b1".as("a1"), $"b2".as("a2"), $"b3".as("a3"))
+    val y = sig.select($"doc_id".as("db"), $"b0".as("c0"),
+      $"b1".as("c1"), $"b2".as("c2"), $"b3".as("c3"))
+    val brute = x.crossJoin(y).filter($"da" < $"db")
+      .withColumn("hdist", expr(
+        "CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) " +
+          "+ bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)"))
+      .filter($"hdist" <= 3)
+      .select($"da", $"db", $"hdist")
+    val blocked = SparkEntry.queries("dedup_hamming64")(spark, sf)
+    assertSameRows(blocked, brute, "pigeonhole completeness")
+    assert(blocked.count() > 0, "fixture should contain near-dup pairs")
+  }
+
   test("union-all counts are additive; intersect is a lower bound") {
     val a = sample(docGen, 60, 1L).toDF("text")
     val b = sample(docGen, 40, 2L).toDF("text")
