@@ -300,6 +300,24 @@ object AggQueries extends QueryPack {
         .agg(wmean($"cents", $"w").as("wmean"),
              sum($"w").as("sum_w"))
         .orderBy($"event_type")
+    }),
+
+    // Per-group mode with a deterministic tie-break (highest count,
+    // then lowest value). Two-phase count then a per-group window —
+    // shuffle volume is bounded by (segment, nation) cardinality, and
+    // the window partitions on the group key, never globally.
+    "agg_mode" -> ((s, dir) => {
+      import s.implicits._
+      val counts = Tables.load(s, dir, "customer")
+        .groupBy($"c_mktsegment", $"c_nationkey")
+        .agg(count(lit(1)).as("n_mode"))
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"n_mode".desc, $"c_nationkey".asc)
+      counts.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"c_mktsegment", $"c_nationkey".as("mode_nation"),
+                $"n_mode")
+        .orderBy($"c_mktsegment")
     })
   )
 
@@ -418,6 +436,16 @@ object AggQueries extends QueryPack {
         |           * CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
         |  / (100.0 * CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)) AS wmean,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_w
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_mode" ->
+      """WITH c AS (SELECT c_mktsegment, c_nationkey, count(*) AS n_mode
+        |  FROM customer GROUP BY c_mktsegment, c_nationkey),
+        |r AS (SELECT c_mktsegment, c_nationkey, n_mode,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY n_mode DESC, c_nationkey) AS rn
+        |  FROM c)
+        |SELECT c_mktsegment, c_nationkey AS mode_nation, n_mode
+        |FROM r WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin
   )
 }

@@ -220,6 +220,29 @@ object JoinQueries extends QueryPack {
           rightTies = Seq("c_id"), toleranceMicros = 86400L * 1000000)
         .select($"p_id", $"c_id", $"c_value")
         .orderBy($"p_id")
+    }),
+
+    // Salted shuffle join as a first-class oracled operator (the
+    // SkewJoinSpec technique, productized): fact rows carry a
+    // deterministic salt in 0..7, the dim side is exploded 8 ways, and
+    // the join keys on (suppkey, salt) — a skewed suppkey's rows land
+    // in 8 distinct shuffle partitions instead of one straggler task.
+    // The merge hint pins SMJ (broadcast would hide the technique);
+    // the salt aggregates out, so the result is provably identical to
+    // the plain join — which is exactly what the oracle runs.
+    "join_skew_salted" -> ((s, dir) => {
+      import s.implicits._
+      val buckets = 8
+      val fact = Tables.load(s, dir, "lineitem")
+        .withColumn("fsalt", pmod($"l_orderkey", lit(buckets)).cast(IntegerType))
+      val dim = Tables.load(s, dir, "supplier")
+        .withColumn("dsalt", explode(array((0 until buckets).map(lit): _*)))
+      fact.hint("merge")
+        .join(dim, $"l_suppkey" === $"s_suppkey" && $"fsalt" === $"dsalt")
+        .groupBy($"s_nationkey")
+        .agg(dsum($"l_extendedprice").as("sum_price"),
+             count(lit(1)).as("n"))
+        .orderBy($"s_nationkey")
     })
   )
 
@@ -327,6 +350,15 @@ object JoinQueries extends QueryPack {
         |   AND date_trunc('second', c.ts) <= date_trunc('second', p.ts)
         |   AND date_trunc('second', c.ts) >  date_trunc('second', p.ts) - INTERVAL 1 DAY
         |) t WHERE rn = 1
-        |ORDER BY p_id""".stripMargin
+        |ORDER BY p_id""".stripMargin,
+
+    // The salt is pure execution strategy — the oracle is the PLAIN
+    // join, proving the rewrite changes the plan, not the answer.
+    "join_skew_salted" ->
+      """SELECT s_nationkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
   )
 }

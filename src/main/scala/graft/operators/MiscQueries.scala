@@ -82,7 +82,44 @@ object MiscQueries extends QueryPack {
     "profile_sketch" -> ((s, dir) =>
       Profiler.profile(Tables.load(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"),
-        exact = false)))
+        exact = false)),
+
+    // Count-min sketch heavy hitters. Unlike HLL, a CMS with FIXED
+    // hash functions is fully deterministic, so the whole sketch —
+    // d=4 rows × w=251 counters, built from affine hashes over the
+    // same polynomial term hash the simhash family uses — cross-checks
+    // exactly against DuckDB. Scale: the sketch is a two-phase agg
+    // whose shuffle carries AT MOST d·w = 1004 cells regardless of
+    // corpus size (map-side partial counts ARE the CMS merge — the
+    // sketch is mergeable by construction); the top-k query side is
+    // TakeOrderedAndProject (no global window) and probes the tiny
+    // sketch via a broadcast join. est >= true_cnt guaranteed
+    // (PropertyLawsSpec); output shows real bucket collisions at
+    // sf0.01 (e.g. 'scan' estimated ~2x its true count).
+    "sketch_cms" -> ((s, dir) => {
+      import s.implicits._
+      val as = Seq(131L, 137L, 139L, 149L)
+      val bs = Seq(7L, 11L, 13L, 17L)
+      val termHash =
+        "aggregate(split(term, ''), CAST(0 AS BIGINT), " +
+          "(h, c) -> pmod(h * 31 + ascii(c), 1048576))"
+      def bucketCols = array((0 until 4).map(j =>
+        pmod(lit(as(j)) * $"th" + lit(bs(j)), lit(251))): _*)
+      val terms = Tables.load(s, dir, "documents")
+        .select(explode(split(lower($"text"), " ")).as("term"))
+        .filter($"term" =!= "")
+      val sketch = terms.withColumn("th", expr(termHash))
+        .select(posexplode(bucketCols).as(Seq("j", "bucket")))
+        .groupBy($"j", $"bucket").agg(count(lit(1)).as("cnt"))
+      val top = terms.groupBy($"term").agg(count(lit(1)).as("true_cnt"))
+        .orderBy($"true_cnt".desc, $"term").limit(20)
+      top.withColumn("th", expr(termHash))
+        .select($"term", $"true_cnt",
+          posexplode(bucketCols).as(Seq("j", "bucket")))
+        .join(broadcast(sketch), Seq("j", "bucket"))
+        .groupBy($"term", $"true_cnt").agg(min($"cnt").as("est"))
+        .orderBy($"true_cnt".desc, $"term")
+    }))
 
   def oracle: Seq[(String, String)] = Seq(
     "fn_encode" ->
@@ -133,5 +170,37 @@ object MiscQueries extends QueryPack {
         |SELECT n, 'l_extendedprice', nn_p, nd_p, min_p, max_p FROM a
         |UNION ALL
         |SELECT n, 'l_discount', nn_d, nd_d, min_d, max_d FROM a
-        |ORDER BY col""".stripMargin)
+        |ORDER BY col""".stripMargin,
+
+    // Same affine-over-polynomial hash arithmetic, verbatim. DuckDB's
+    // init-less list_reduce equals Spark's 0-seeded aggregate because
+    // 0*31 + c1 = c1 (and single-char terms stay < the modulus).
+    "sketch_cms" ->
+      """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |t AS (SELECT term FROM tok WHERE term <> ''),
+        |h AS (SELECT term, list_reduce(list_transform(string_split(term, ''),
+        |    c -> CAST(ascii(c) AS BIGINT)),
+        |    (h, c) -> (h * 31 + c) % 1048576) AS th FROM t),
+        |b AS (SELECT th, j,
+        |    (CAST(CASE j WHEN 0 THEN 131 WHEN 1 THEN 137
+        |          WHEN 2 THEN 139 ELSE 149 END AS BIGINT) * th
+        |     + CASE j WHEN 0 THEN 7 WHEN 1 THEN 11
+        |       WHEN 2 THEN 13 ELSE 17 END) % 251 AS bucket
+        |  FROM h CROSS JOIN generate_series(0, 3) AS gj(j)),
+        |sk AS (SELECT j, bucket, count(*) AS cnt FROM b GROUP BY j, bucket),
+        |tc AS (SELECT term, count(*) AS true_cnt FROM t GROUP BY term
+        |  ORDER BY true_cnt DESC, term LIMIT 20),
+        |qh AS (SELECT DISTINCT term, th FROM h),
+        |q AS (SELECT tc.term, tc.true_cnt, gj.j,
+        |    (CAST(CASE gj.j WHEN 0 THEN 131 WHEN 1 THEN 137
+        |          WHEN 2 THEN 139 ELSE 149 END AS BIGINT) * qh.th
+        |     + CASE gj.j WHEN 0 THEN 7 WHEN 1 THEN 11
+        |       WHEN 2 THEN 13 ELSE 17 END) % 251 AS bucket
+        |  FROM tc JOIN qh ON tc.term = qh.term
+        |  CROSS JOIN generate_series(0, 3) AS gj(j))
+        |SELECT q.term, q.true_cnt, min(sk.cnt) AS est
+        |FROM q JOIN sk ON sk.j = q.j AND sk.bucket = q.bucket
+        |GROUP BY q.term, q.true_cnt
+        |ORDER BY true_cnt DESC, term""".stripMargin)
 }

@@ -111,6 +111,24 @@ class PlanShapeSpec extends SparkTestBase {
       s"hamming candidates degenerated to all-pairs:\n$p")
   }
 
+  test("join_skew_salted plans SMJ on the salted keys, no broadcast") {
+    // The point of the operator: the dim side must NOT broadcast (that
+    // would bypass the salting) and the join must be an equi-join on
+    // (suppkey, salt) so a hot suppkey spreads over 8 partitions.
+    val p = planOf("join_skew_salted")
+    assert(p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastHashJoin"), s"salting bypassed:\n$p")
+  }
+
+  test("sketch_cms: top-k via TakeOrderedAndProject, sketch broadcast") {
+    // The heavy-hitter query must never plan a global (unpartitioned)
+    // Window for top-k, and the d*w=1004-cell sketch joins broadcast.
+    val p = planOf("sketch_cms")
+    assert(p.contains("TakeOrderedAndProject") &&
+      p.contains("BroadcastHashJoin") &&
+      !p.contains("WindowExec"), s"cms plan degenerated:\n$p")
+  }
+
   test("dedup_hamming64 joins on (k, blk), never all-pairs") {
     val p = planOf("dedup_hamming64")
     assert(!p.contains("CartesianProduct") &&

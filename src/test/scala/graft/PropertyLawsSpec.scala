@@ -68,6 +68,20 @@ class PropertyLawsSpec extends SparkTestBase {
     assert(blocked.count() > 0, "fixture should contain near-dup pairs")
   }
 
+  test("sketch_cms never underestimates (CMS one-sided error law)") {
+    // est = min over d counters that each include every occurrence of
+    // the term, so est >= true count always — the law that makes CMS
+    // usable as a pre-filter at 100 TB (false positives only).
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("sketch_cms")(spark, sf)
+      .select(col("true_cnt"), col("est")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(0),
+        s"CMS underestimated: est=${r.getLong(1)} < true=${r.getLong(0)}")
+    }
+  }
+
   test("union-all counts are additive; intersect is a lower bound") {
     val a = sample(docGen, 60, 1L).toDF("text")
     val b = sample(docGen, 40, 2L).toDF("text")
