@@ -318,6 +318,35 @@ object AggQueries extends QueryPack {
         .select($"c_mktsegment", $"c_nationkey".as("mode_nation"),
                 $"n_mode")
         .orderBy($"c_mktsegment")
+    }),
+
+    // Datasketches HLL with EXPLICIT distributed merge: 16 per-shard
+    // sketches union-merged vs one global sketch over the same rows.
+    // This is the 1000-executor cardinality path made visible — at
+    // cluster scale every executor builds a shard sketch and only the
+    // constant-size sketch bytes shuffle. est_merged == est_global
+    // exactly (same lgK, merge is register-wise max — asserted in
+    // ProfilerSpec along with the 3·rsd accuracy bound vs exact).
+    // No DuckDB oracle by design (engine-specific sketch), like
+    // agg_approx_distinct.
+    "sketch_hll_merge" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+        .withColumn("shard", pmod($"user_id", lit(16)).cast(IntegerType))
+      val merged = e.groupBy($"event_type", $"shard")
+        .agg(hll_sketch_agg($"user_id", 12).as("sk"))
+        .groupBy($"event_type")
+        .agg(hll_sketch_estimate(hll_union_agg($"sk", lit(false)))
+               .as("est_merged"),
+             count(lit(1)).as("n_shards"))
+      val global = e.groupBy($"event_type")
+        .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", 12))
+               .as("est_global"),
+             countDistinct($"user_id").as("exact"))
+      merged.join(global, "event_type")
+        .select($"event_type", $"n_shards", $"est_merged",
+                $"est_global", $"exact")
+        .orderBy($"event_type")
     })
   )
 

@@ -72,6 +72,43 @@ object SensorQueries extends QueryPack {
         .orderBy($"event_id")
     }),
 
+    // Linear interpolation between observed points (LOCF's smoother
+    // sibling): per user, 'purchase' rows are the observations; every
+    // row gets prev + (next-prev) * (t-tp)/(tn-tp), falling back to
+    // the single available neighbor at the edges. Determinism: t is
+    // integer epoch-seconds, and the interpolation is ONE fixed IEEE
+    // expression tree evaluated on bit-identical operands in both
+    // engines (each *, /, +- is exactly rounded, so identical operand
+    // order => identical doubles — same argument as ts_norm). Both
+    // forward and backward scans are frame-bounded running windows
+    // (no whole-partition buffering), partitioned on user_id.
+    "ts_interpolate" -> ((s, dir) => {
+      import s.implicits._
+      val wPrev = Window.partitionBy($"user_id")
+        .orderBy(sec($"ts"), $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy($"user_id")
+        .orderBy(sec($"ts"), $"event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      Tables.load(s, dir, "events")
+        .withColumn("t", sec($"ts"))
+        .withColumn("obs",
+          when($"event_type" === "purchase", $"value"))
+        .withColumn("obs_t", when($"obs".isNotNull, $"t"))
+        .withColumn("pv", last($"obs", ignoreNulls = true).over(wPrev))
+        .withColumn("pt", last($"obs_t", ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first($"obs", ignoreNulls = true).over(wNext))
+        .withColumn("nt", first($"obs_t", ignoreNulls = true).over(wNext))
+        .withColumn("interp",
+          when($"pt".isNotNull && $"nt".isNotNull && $"nt" =!= $"pt",
+            $"pv" + ($"nv" - $"pv") * (($"t" - $"pt") / ($"nt" - $"pt")))
+          .when($"pt".isNotNull, $"pv")
+          .otherwise($"nv"))
+        .select($"event_id", $"user_id", $"event_type", $"value",
+                $"interp")
+        .orderBy($"event_id")
+    }),
+
     // Rolling anomaly flag: value exceeds 2× the trailing-20-row mean
     // for that user. Compared multiplicatively over exact decimals
     // (value·n > 2·sum), so no float accumulation or decimal division.
@@ -175,6 +212,33 @@ object SensorQueries extends QueryPack {
         |    ORDER BY date_trunc('second', ts), event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // Identical expression tree to the Spark side: integer-second t,
+    // then pv + (nv - pv) * ((t - pt) / (tn - tp)) in doubles.
+    "ts_interpolate" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |    epoch_us(CAST(date_trunc('second', ts) AS TIMESTAMP))
+        |      // 1000000 AS t,
+        |    CASE WHEN event_type = 'purchase' THEN value END AS obs
+        |  FROM events),
+        |w AS (SELECT event_id, user_id, event_type, value, t,
+        |    last_value(obs IGNORE NULLS) OVER pw AS pv,
+        |    last_value(CASE WHEN obs IS NOT NULL THEN t END
+        |               IGNORE NULLS) OVER pw AS pt,
+        |    first_value(obs IGNORE NULLS) OVER nw AS nv,
+        |    first_value(CASE WHEN obs IS NOT NULL THEN t END
+        |                IGNORE NULLS) OVER nw AS nt
+        |  FROM e
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  nw AS (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id, event_type, value,
+        |  CASE WHEN pt IS NOT NULL AND nt IS NOT NULL AND nt <> pt
+        |       THEN pv + (nv - pv) * (CAST(t - pt AS DOUBLE)
+        |                              / CAST(nt - pt AS DOUBLE))
+        |       WHEN pt IS NOT NULL THEN pv ELSE nv END AS interp
+        |FROM w ORDER BY event_id""".stripMargin,
 
     "ts_anomaly" ->
       """SELECT event_id, user_id, value,

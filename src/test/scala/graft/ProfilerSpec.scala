@@ -111,6 +111,27 @@ class ProfilerSpec extends SparkTestBase {
     assert(r.getAs[Double]("max_v") == 1.25)
   }
 
+  test("sketch_hll_merge: shard-merged estimate == global estimate, " +
+       "both within 3·rsd of exact") {
+    // Merge invariance is THE distributed-sketch property: same lgK
+    // registers merge by max, so 16 shard sketches unioned must give
+    // bit-identical estimates to one pass over all rows.
+    val rows = SparkEntry.queries("sketch_hll_merge")(spark, sf).collect()
+    assert(rows.nonEmpty, "no groups")
+    val rsd12 = 1.04 / math.sqrt(1 << 12)
+    rows.foreach { r =>
+      val merged = r.getAs[Long]("est_merged")
+      val global = r.getAs[Long]("est_global")
+      val exact = r.getAs[Long]("exact")
+      assert(merged == global,
+        s"${r.getAs[String]("event_type")}: merge changed the " +
+          s"estimate ($merged != $global)")
+      assert(math.abs(merged - exact) <= 3 * rsd12 * exact + 1,
+        s"${r.getAs[String]("event_type")}: estimate $merged vs " +
+          s"exact $exact exceeds 3·rsd")
+    }
+  }
+
   test("empty input yields one row per column with n=0 in both modes") {
     val empty = Tables.load(spark, sf, "lineitem").filter(lit(false))
     for (exact <- Seq(true, false)) {
