@@ -66,6 +66,25 @@ object SourceSinkQueries extends QueryPack {
         .orderBy($"r_regionkey")
     }),
 
+    // Plain-text source (spark.read.text) — the line-oriented format
+    // raw web corpora land in first. doc_id TAB text lines round-trip
+    // through a text file and are re-split map-side on read (fixture
+    // text is tab/newline-free, asserted by the oracle hash-match
+    // against the original table). Scale: text files split by line
+    // ranges exactly like CSV; the parse is a narrow projection.
+    "source_text" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp(dir, "documents_text")
+      Tables.load(s, dir, "documents")
+        .select(concat_ws("\t", $"doc_id", $"text").as("value"))
+        .write.mode("overwrite").text(path)
+      s.read.text(path)
+        .select(
+          split($"value", "\t").getItem(0).cast(LongType).as("doc_id"),
+          split($"value", "\t").getItem(1).as("text"))
+        .orderBy($"doc_id")
+    }),
+
     // JSON-lines round-trip of nation with explicit schema.
     "source_json" -> ((s, dir) => {
       import s.implicits._
@@ -157,6 +176,11 @@ object SourceSinkQueries extends QueryPack {
     "source_json" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    // Round-trip is lossless, so the oracle is the original table —
+    // a hash-match proves the text encode/parse lost nothing.
+    "source_text" ->
+      """SELECT doc_id, text FROM documents ORDER BY doc_id""".stripMargin,
 
     "source_orc" ->
       """SELECT s_suppkey, s_name, s_nationkey,

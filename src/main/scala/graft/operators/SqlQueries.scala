@@ -77,6 +77,25 @@ object SqlQueries extends QueryPack {
           AND o_custkey IN (SELECT c_custkey FROM sq_cust
                             WHERE c_mktsegment = 'BUILDING')
         ORDER BY o_orderkey""")
+    }),
+
+    // FILTER-clause aggregates (SQL:2003) + count_if: conditional
+    // aggregation without self-joins or CASE pyramids. Plans as ONE
+    // two-phase aggregate — each filtered agg is a conditional update
+    // in the same hash map, so N filtered metrics still cost one scan
+    // and one key-cardinality shuffle.
+    "agg_filtered" -> ((s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("sq_orders")
+      s.sql("""
+        SELECT o_orderpriority,
+          count(*) AS n,
+          count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_f,
+          count_if(o_totalprice > 200000) AS n_big
+        FROM sq_orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
     }))
 
   def oracle: Seq[(String, String)] = Seq(
@@ -114,5 +133,18 @@ object SqlQueries extends QueryPack {
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
         |  AND o_custkey IN (SELECT c_custkey FROM customer
         |                    WHERE c_mktsegment = 'BUILDING')
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // count_if mirrored as a FILTER count (same semantics; DuckDB
+    // spells the SQL:2003 form only).
+    "agg_filtered" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_f,
+        |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
 }
