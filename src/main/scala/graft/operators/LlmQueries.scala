@@ -266,6 +266,50 @@ object LlmQueries extends QueryPack {
         .orderBy($"vec_id")
     }),
 
+    // Product quantization (PQ — Jégou et al., TPAMI'11 layout): the
+    // 64-dim space splits into m=4 contiguous 16-dim subspaces, each
+    // with its own 10-entry codebook (per-label quantized-mean
+    // centroids, same deterministic construction as vec_centroid);
+    // every vector compresses to 4 one-byte codes (16× vs float32).
+    // Scale: subvectors are SLICED map-side (no explode/regroup
+    // shuffle); the 40-row codebook broadcasts; assignment is a
+    // per-row argmin over 10 sequential 16-dim folds — one narrow
+    // pass over the corpus, embarrassingly parallel. Output is one
+    // row per (vec_id, subspace) with the code and its rounded
+    // squared reconstruction distance.
+    "vec_pq" -> ((s, dir) => {
+      import s.implicits._
+      val m = 4; val sub = 16
+      val e = Tables.load(s, dir, "embeddings")
+      val flat = e.select($"vec_id", $"label",
+          posexplode($"embedding").as(Seq("pos", "x")))
+        .withColumn("q", expr(s"CAST(pos div $sub AS INT)"))
+      val centArr = flat
+        .withColumn("xq", floor($"x".cast(DoubleType) * 1e7))
+        .groupBy($"label".as("clabel"), $"q", $"pos")
+        .agg(((sum($"xq").cast(DoubleType) / count(lit(1))) / lit(1e7))
+          .as("cq"))
+        .groupBy($"clabel", $"q")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"cq"))),
+          t => t.getField("cq")).as("carr"))
+      val subv = e.select($"vec_id", explode(array((0 until m).map(j =>
+          struct(lit(j).as("q"),
+            slice($"embedding", j * sub + 1, sub).as("v"))): _*)).as("s"))
+        .select($"vec_id", $"s.q".as("q"), $"s.v".as("v"))
+      subv.join(broadcast(centArr), Seq("q"))
+        .withColumn("d", aggregate(
+          zip_with($"v", $"carr",
+            (x, c) => (x.cast(DoubleType) - c) * (x.cast(DoubleType) - c)),
+          lit(0.0), (a, b) => a + b))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"vec_id", $"q").orderBy($"d", $"clabel")))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"q",
+          $"clabel".cast(IntegerType).as("code"),
+          round($"d", 6).as("err_r"))
+        .orderBy($"vec_id", $"q")
+    }),
+
     // Per-label centroids from integer-quantized (1e-7) per-dimension
     // sums — exact, order-free, mergeable — plus the fraction of each
     // label's vectors whose nearest centroid is their own label.
@@ -360,6 +404,40 @@ object LlmQueries extends QueryPack {
         |  CAST(list_aggregate(qs, 'min') AS BIGINT) AS q_min,
         |  CAST(list_aggregate(qs, 'max') AS BIGINT) AS q_max
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    // Same subspace split, quantized-mean codebook, and ordered
+    // sequential fold as the Spark side (0.0-seeded aggregate ==
+    // init-less list_reduce under +).
+    "vec_pq" ->
+      """WITH flat AS (
+        |  SELECT vec_id, label, i - 1 AS pos,
+        |    CAST((i - 1) // 16 AS INTEGER) AS q,
+        |    CAST(embedding[i] AS DOUBLE) AS x,
+        |    floor(CAST(embedding[i] AS DOUBLE) * 1e7) AS xq
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)),
+        |cent AS (
+        |  SELECT label AS clabel, q, pos,
+        |    (CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*)) / 1e7
+        |      AS cq
+        |  FROM flat GROUP BY clabel, q, pos),
+        |centarr AS (
+        |  SELECT clabel, q, list(cq ORDER BY pos) AS carr
+        |  FROM cent GROUP BY clabel, q),
+        |subv AS (
+        |  SELECT vec_id, q, list(x ORDER BY pos) AS v
+        |  FROM flat GROUP BY vec_id, q),
+        |dists AS (
+        |  SELECT s.vec_id, s.q, ca.clabel,
+        |    list_reduce(list_transform(list_zip(s.v, ca.carr),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2])),
+        |      (a, b) -> a + b) AS d
+        |  FROM subv s JOIN centarr ca USING (q)),
+        |ranked AS (SELECT *, row_number() OVER (
+        |    PARTITION BY vec_id, q ORDER BY d, clabel) AS rn
+        |  FROM dists)
+        |SELECT vec_id, q, CAST(clabel AS INTEGER) AS code,
+        |  round(d, 6) AS err_r
+        |FROM ranked WHERE rn = 1 ORDER BY vec_id, q""".stripMargin,
 
     "vec_norm" ->
       """WITH v AS (SELECT label,
