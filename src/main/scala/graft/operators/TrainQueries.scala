@@ -171,7 +171,12 @@ object TrainQueries extends QueryPack {
     // distinct() collapses pairs that agree on several blocks.
     "dedup_hamming64" -> ((s, dir) => {
       import s.implicits._
-      val sig = simhash64Sigs(s, dir)
+      // Persisted: the signature relation (one narrow row per doc) is
+      // probed from BOTH sides of the candidate self-join; without it
+      // the whole tf + 64-vote pipeline runs twice (no ReusedExchange
+      // across the differently-aliased sides). At cluster scale this
+      // materialization IS the LSH index-build step.
+      val sig = simhash64Sigs(s, dir).persist()
       val blocks = sig
         .select($"doc_id", $"b0", $"b1", $"b2", $"b3",
           posexplode(array($"b0", $"b1", $"b2", $"b3")))
