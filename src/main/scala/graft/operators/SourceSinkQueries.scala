@@ -143,6 +143,34 @@ object SourceSinkQueries extends QueryPack {
           min($"_corrupt_record").as("corrupt_sample"))
     }),
 
+    // Malformed-CSV ingest (sibling of source_json_corrupt): every
+    // 7th supplier line is written with a wrong column count and a
+    // non-numeric key; PERMISSIVE parsing must null the fields, stash
+    // the raw line in _corrupt_record, and keep every good row — the
+    // quarantine-don't-abort semantics a 100-TB ingest needs (one bad
+    // line must never kill a 10^9-line load).
+    "source_csv_malformed" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp(dir, "supplier_malformed_csv")
+      Tables.load(s, dir, "supplier")
+        .select(when($"s_suppkey" % 7 === 0,
+            concat(lit("not_a_number,"), $"s_name", lit(",oops")))
+          .otherwise(concat_ws(",", $"s_suppkey", $"s_name",
+            $"s_nationkey", $"s_acctbal"))
+          .as("value"))
+        .write.mode("overwrite").text(path)
+      s.read.schema(Tables.supplier.add("_corrupt_record", StringType))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count($"s_suppkey").as("n_good"),
+          count($"_corrupt_record").as("n_corrupt"),
+          sum(when($"_corrupt_record".isNull, $"s_suppkey"))
+            .as("sum_good_keys"))
+    }),
+
     // Partitioned parquet sink: write events partitioned by
     // event_type, read back, aggregate per partition value.
     "sink_parquet_part" -> ((s, dir) => {
@@ -181,6 +209,16 @@ object SourceSinkQueries extends QueryPack {
     // a hash-match proves the text encode/parse lost nothing.
     "source_text" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Corruption is keyed on s_suppkey % 7, so DuckDB reproduces the
+    // good/corrupt split from the clean table.
+    "source_csv_malformed" ->
+      """SELECT count(*) AS n_rows,
+        |  count(*) FILTER (WHERE s_suppkey % 7 <> 0) AS n_good,
+        |  count(*) FILTER (WHERE s_suppkey % 7 = 0) AS n_corrupt,
+        |  CAST(sum(s_suppkey) FILTER (WHERE s_suppkey % 7 <> 0)
+        |    AS BIGINT) AS sum_good_keys
+        |FROM supplier""".stripMargin,
 
     "source_orc" ->
       """SELECT s_suppkey, s_name, s_nationkey,

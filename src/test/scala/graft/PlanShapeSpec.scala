@@ -111,6 +111,34 @@ class PlanShapeSpec extends SparkTestBase {
       s"hamming candidates degenerated to all-pairs:\n$p")
   }
 
+  test("AQE converts a runtime-small join side to broadcast") {
+    // The 100-TB relevance: static stats can't see post-filter
+    // selectivity, so the planner picks SMJ; AQE must re-plan to BHJ
+    // from the REAL shuffle size at runtime. Static broadcast is
+    // pinned off so only the adaptive conversion can produce the BHJ.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+    try {
+      val l = Tables.load(spark, sf, "lineitem")
+      val o = Tables.load(spark, sf, "orders")
+        .filter($"o_totalprice" > 400000)
+      val j = l.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), s"AQE did not finalize:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"AQE did not convert the runtime-small side to broadcast:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("join_skew_salted plans SMJ on the salted keys, no broadcast") {
     // The point of the operator: the dim side must NOT broadcast (that
     // would bypass the salting) and the join must be an equi-join on
