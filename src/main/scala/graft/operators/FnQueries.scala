@@ -240,6 +240,36 @@ object FnQueries extends QueryPack {
           levenshtein($"c_name", lit("Customer#000000001"))
             .cast(LongType).as("d_probe"))
         .orderBy($"c_custkey")
+    }),
+
+    // Cryptographic digests over document text — the content-address
+    // every dedup/storage layer keys on. Pure map-side codegen.
+    "fn_hash" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          md5($"text".cast(BinaryType)).as("h_md5"),
+          sha2($"text".cast(BinaryType), 256).as("h_sha256"),
+          md5(concat($"lang", lit("|"), $"source").cast(BinaryType))
+            .as("h_meta"))
+        .orderBy($"doc_id")
+    }),
+
+    // XML ingest (Spark 4 from_xml): records synthesized from nation
+    // so the parse is oracle-checkable against the clean columns.
+    "fn_xml" -> ((s, dir) => {
+      import s.implicits._
+      val xml = Tables.load(s, dir, "nation")
+        .select($"n_nationkey", concat(
+          lit("<rec><k>"), $"n_nationkey",
+          lit("</k><name>"), $"n_name",
+          lit("</name><rg>"), $"n_regionkey",
+          lit("</rg></rec>")).as("x"))
+      xml.select($"n_nationkey",
+          expr("from_xml(x, 'k INT, name STRING, rg INT')").as("r"))
+        .select($"n_nationkey", $"r.k".as("k"),
+                $"r.name".as("name"), $"r.rg".as("rg"))
+        .orderBy($"n_nationkey")
     })
   )
 
@@ -385,6 +415,19 @@ object FnQueries extends QueryPack {
         |    AS BIGINT) AS d_mut,
         |  CAST(levenshtein(c_name, 'Customer#000000001') AS BIGINT)
         |    AS d_probe
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "fn_hash" ->
+      """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256,
+        |  md5(lang || '|' || source) AS h_meta
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // DuckDB has no XML parser; the records are synthesized from the
+    // clean columns, so the oracle IS those columns — a hash-match
+    // proves from_xml recovered them exactly.
+    "fn_xml" ->
+      """SELECT n_nationkey, n_nationkey AS k, n_name AS name,
+        |  n_regionkey AS rg
+        |FROM nation ORDER BY n_nationkey""".stripMargin
   )
 }
