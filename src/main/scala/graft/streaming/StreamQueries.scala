@@ -40,6 +40,25 @@ object StreamQueries {
       .select($"window.start".as("ws"), $"event_type", $"n", $"sum_v")
   }
 
+  /** st13 — streaming sketch aggregation: HLL++ approx distinct users
+    * per 1-hour tumbling window per event_type. The streaming twin of
+    * `sketch_hll_merge`'s invariance: HLL registers merge by max
+    * (order-free), so incremental micro-batch updates must reach the
+    * SAME estimate as one batch pass over the same rows — asserted
+    * exactly (not within-rsd) in StreamingEquivalenceSpec. At cluster
+    * scale this is the always-on cardinality monitor: state per
+    * (window, type) is one constant-size sketch buffer, never a user
+    * set. */
+  def approxDistinct(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"),
+           count(lit(1)).as("n"))
+      .select($"window.start".as("ws"), $"event_type",
+              $"approx_users", $"n")
+  }
+
   /** st4 — per-user session windows with a 30-minute gap. */
   def sessions(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._

@@ -52,6 +52,16 @@ class StreamingEquivalenceSpec extends SparkTestBase {
     assertSameRows(got, StreamQueries.tumbling(batchEvents), "st2")
   }
 
+  test("st13: streaming HLL approx-distinct == batch estimate exactly") {
+    // Registers are order-free, so chunked incremental updates and one
+    // batch pass must agree BIT-EXACTLY, not just within rsd.
+    val stream = EventStreams.readEventStream(
+      spark, replayDir("st13", sentinel = false))
+    val got = runToMemory(StreamQueries.approxDistinct(stream),
+      "st13_out", "complete")
+    assertSameRows(got, StreamQueries.approxDistinct(batchEvents), "st13")
+  }
+
   test("st3: sliding window == batch (complete)") {
     val stream = EventStreams.readEventStream(
       spark, replayDir("st3", sentinel = false))
