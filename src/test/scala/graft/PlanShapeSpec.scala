@@ -111,6 +111,13 @@ class PlanShapeSpec extends SparkTestBase {
       s"hamming candidates degenerated to all-pairs:\n$p")
   }
 
+  test("agg_mode pushes the rank-1 limit into the window") {
+    // The rn=1 filter must become WindowGroupLimit (partial+final), so
+    // per-partition work stops at the top row instead of ranking every
+    // (segment, nation) group then filtering.
+    assert(planOf("agg_mode").contains("WindowGroupLimit"))
+  }
+
   test("AQE converts a runtime-small join side to broadcast") {
     // The 100-TB relevance: static stats can't see post-filter
     // selectivity, so the planner picks SMJ; AQE must re-plan to BHJ
