@@ -100,9 +100,8 @@ object MiscQueries extends QueryPack {
       import s.implicits._
       val as = Seq(131L, 137L, 139L, 149L)
       val bs = Seq(7L, 11L, 13L, 17L)
-      val termHash =
-        "aggregate(split(term, ''), CAST(0 AS BIGINT), " +
-          "(h, c) -> pmod(h * 31 + ascii(c), 1048576))"
+      graft.functions.TermHash.register(s)
+      val termHash = "termhash(term, 31L, 1048576L)"
       def bucketCols = array((0 until 4).map(j =>
         pmod(lit(as(j)) * $"th" + lit(bs(j)), lit(251))): _*)
       val terms = Tables.load(s, dir, "documents")

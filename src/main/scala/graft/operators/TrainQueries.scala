@@ -59,9 +59,9 @@ object TrainQueries extends QueryPack {
       .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
       .filter($"term" =!= "")
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val h = tf.withColumn("h", expr(
-      "aggregate(split(term, ''), CAST(0 AS BIGINT), " +
-        "(h, c) -> pmod(h * 131 + ascii(c), 65536))"))
+    graft.functions.TermHash.register(s)
+    // codegen termhash == the HOF fold bit-for-bit (TermHashSpec law)
+    val h = tf.withColumn("h", expr("termhash(term, 131L, 65536L)"))
     val voteSums = (0 until 16).map { j =>
       sum(when(expr(s"(h div ${1L << j}) % 2") === 1, $"tf")
         .otherwise(-$"tf")).as(s"sw$j")
@@ -88,10 +88,9 @@ object TrainQueries extends QueryPack {
       .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
       .filter($"term" =!= "")
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    graft.functions.TermHash.register(s)
     val h = mult.zipWithIndex.foldLeft(tf) { case (df, (m, k)) =>
-      df.withColumn(s"h$k", expr(
-        s"aggregate(split(term, ''), CAST(0 AS BIGINT), " +
-          s"(h, c) -> pmod(h * $m + ascii(c), 65536))"))
+      df.withColumn(s"h$k", expr(s"termhash(term, ${m}L, 65536L)"))
     }
     val voteSums = for (k <- 0 until 4; j <- 0 until 16) yield
       sum(when(expr(s"(h$k div ${1L << j}) % 2") === 1, $"tf")
