@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.QueryPack
+import graft.{QueryPack, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -233,6 +233,28 @@ lbl$k AS MATERIALIZED (SELECT x.n, y.l FROM p$k x JOIN p$k y ON x.l = y.n)""")
       components(dupEdges(s, dir))
         .select($"doc_id", $"comp", ($"doc_id" === $"comp").as("canonical"))
         .orderBy($"doc_id")
+    }),
+
+    // Detection → ACTION: apply the cluster resolution to the corpus.
+    // Keep each component's canonical representative (its min-id
+    // label) plus every edge-free singleton; report per-source kept/
+    // dropped counts and surviving char mass — the dedup summary a
+    // training-data pipeline logs per shard. Output is one row per
+    // source; all the heavy lifting is the already-bounded components
+    // loop plus one broadcast-sized left join and a two-phase agg.
+    "dedup_apply" -> ((s, dir) => {
+      import s.implicits._
+      val comp = components(dupEdges(s, dir))
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source", $"n_chars")
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("keep", coalesce($"doc_id" === $"comp", lit(true)))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+             sum(when(!$"keep", 1L).otherwise(0L)).as("n_dropped"),
+             sum(when($"keep", $"n_chars")).as("kept_chars"))
+        .orderBy($"source")
     }))
 
   def oracle: Seq[(String, String)] = Seq(
@@ -242,5 +264,22 @@ lbl$k AS MATERIALIZED (SELECT x.n, y.l FROM p$k x JOIN p$k y ON x.l = y.n)""")
          |$edgeBiSql,
          |${closureSql()}
          |SELECT n AS doc_id, l AS comp, n = l AS canonical
-         |FROM ${closureFinalCte()} ORDER BY doc_id""".stripMargin)
+         |FROM ${closureFinalCte()} ORDER BY doc_id""".stripMargin,
+
+    "dedup_apply" ->
+      s"""WITH
+         |$edgeBiSql,
+         |${closureSql()},
+         |applied AS (SELECT d.source, d.n_chars,
+         |    COALESCE(c.n = c.l, TRUE) AS keep
+         |  FROM documents d
+         |  LEFT JOIN ${closureFinalCte()} c ON d.doc_id = c.n)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dropped,
+         |  CAST(sum(CASE WHEN keep THEN n_chars END) AS BIGINT)
+         |    AS kept_chars
+         |FROM applied GROUP BY source ORDER BY source""".stripMargin)
 }
