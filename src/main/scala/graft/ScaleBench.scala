@@ -36,7 +36,8 @@ object ScaleBench {
   val keys: Seq[String] = Seq(
     "dedup_exact", "dedup_near", "dedup_minhash", "dedup_simhash",
     "dedup_hamming", "dedup_hamming64", "dedup_ngram", "dedup_embed",
-    "dedup_components", "text_contamination", "pipeline_corpus",
+    "dedup_components", "dedup_apply", "text_contamination",
+    "pipeline_corpus",
     // text/sketch/vector families over the 10x corpus (embeddings
     // replicate too, so vec_* keys run at genuine 10x)
     "text_tfidf", "text_langid", "sketch_cms",
