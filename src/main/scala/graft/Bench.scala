@@ -69,6 +69,7 @@ object Bench {
       java.nio.file.Paths.get(out).toAbsolutePath.getParent)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     println(json)
+    SessionCache.clear(spark) // release session-scoped index caches
     spark.stop()
   }
 }

@@ -208,14 +208,16 @@ object LlmQueries extends QueryPack {
       val e = Tables.load(s, dir, "embeddings")
         .withColumn("ss", expr("fnorm2(embedding)"))
       // Codebook: the shared quantized centroids (same construction
-      // vec_centroid emits, enforced by using one helper). Persisted:
-      // the codebook is a model artifact built once and probed from
-      // TWO branches (candidate assignment + query probe) — without
-      // the persist each branch (and every re-run) replans and
+      // vec_centroid emits, enforced by using one helper). Session-
+      // cached: the codebook is a model artifact built once and probed
+      // from TWO branches (candidate assignment + query probe) —
+      // without the cache each branch (and every re-run) replans and
       // recomputes the full-corpus centroid aggregate. A few hundred
-      // rows, so the cache cost is nil; CacheManager dedupes the
-      // entry across repeated invocations by canonicalized plan.
-      val centArr = centroidArrays(quantCentroids(e)).persist()
+      // rows, so the cache cost is nil; SessionCache releases the
+      // entry at session end (r6 advice: no orphaned persists).
+      val centArr = graft.SessionCache.cached(s, s"ivf.codebook:$dir") {
+        centroidArrays(quantCentroids(e))
+      }
       // Assign every candidate to its nearest cell (one scan).
       val cand = e.crossJoin(broadcast(centArr))
         .withColumn("d", sqdistToCentroid)

@@ -190,7 +190,7 @@ object PipelineQueries extends QueryPack {
           $"n_types" * 2L >= $"n_tok")
       // Drop non-canonical duplicates: docs labeled by a dup cluster
       // keep only the min-id representative; unclustered docs pass.
-      val comp = DedupCluster.components(DedupCluster.dupEdges(s, dir))
+      val comp = DedupCluster.sharedComponents(s, dir)
       val canon = docs.join(comp, Seq("doc_id"), "left")
         .filter($"comp".isNull || $"comp" === $"doc_id")
       canon

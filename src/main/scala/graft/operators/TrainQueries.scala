@@ -170,12 +170,16 @@ object TrainQueries extends QueryPack {
     // distinct() collapses pairs that agree on several blocks.
     "dedup_hamming64" -> ((s, dir) => {
       import s.implicits._
-      // Persisted: the signature relation (one narrow row per doc) is
-      // probed from BOTH sides of the candidate self-join; without it
-      // the whole tf + 64-vote pipeline runs twice (no ReusedExchange
-      // across the differently-aliased sides). At cluster scale this
-      // materialization IS the LSH index-build step.
-      val sig = simhash64Sigs(s, dir).persist()
+      // Session-cached: the signature relation (one narrow row per
+      // doc) is probed from BOTH sides of the candidate self-join;
+      // without it the whole tf + 64-vote pipeline runs twice (no
+      // ReusedExchange across the differently-aliased sides). At
+      // cluster scale this materialization IS the LSH index-build
+      // step. SessionCache (not a bare persist) so the entry is
+      // released at session end rather than accumulating (r6 advice).
+      val sig = graft.SessionCache.cached(s, s"dedup.simhash64:$dir") {
+        simhash64Sigs(s, dir)
+      }
       val blocks = sig
         .select($"doc_id", $"b0", $"b1", $"b2", $"b3",
           posexplode(array($"b0", $"b1", $"b2", $"b3")))
