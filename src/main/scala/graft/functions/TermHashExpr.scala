@@ -13,11 +13,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * `termhash(s, m, mod)` = fold over the code points of `s` of
   * `h -> (h * m + cp) % mod`, h0 = 0.
   *
-  * Bit-identical to the HOF form every hash-family operator previously
-  * inlined — `aggregate(split(s, ''), 0L, (h, c) -> pmod(h*m +
-  * ascii(c), mod))` — and to the DuckDB `list_reduce` oracle mirror
-  * (0-seeded fold == init-less fold under this recurrence because
-  * 0*m + c1 = c1). The HOF chain regex-splits the string into a
+  * Folds CODE POINTS (codePointAt), matching the DuckDB
+  * `list_reduce(string_split(s, ''), …)` oracle mirror, which also
+  * iterates code points (0-seeded fold == init-less fold under this
+  * recurrence because 0*m + c1 = c1). For BMP/single-code-unit strings
+  * this is additionally bit-identical to the HOF form the operators
+  * previously inlined — `aggregate(split(s, ''), 0L, (h, c) ->
+  * pmod(h*m + ascii(c), mod))`; for supplementary-plane input (emoji,
+  * rare CJK) the HOF folded lone UTF-16 surrogates and DIVERGES from
+  * both this expression and the oracle — the code-point semantics is
+  * the intended one (pinned in TermHashSpec). The HOF chain also
+  * regex-splits the string into a
   * per-character array and evaluates a lambda closure per element;
   * this expression is one primitive loop inside whole-stage codegen —
   * no array, no closures — which is what the per-occurrence hashing in

@@ -174,6 +174,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     VectorExpressions.registrations.foreach(ext.injectFunction)
     TextNormalize.registrations.foreach(ext.injectFunction)
     TermHash.registrations.foreach(ext.injectFunction)
+    ZInterleave.registrations.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RewriteSelfDot)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

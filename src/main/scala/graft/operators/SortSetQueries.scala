@@ -99,12 +99,13 @@ object SortSetQueries extends QueryPack {
     // is map-side, the only shuffle is the bucket aggregate.
     "sort_zorder" -> ((s, dir) => {
       import s.implicits._
+      // Native codegen interleave (ZInterleave.scala) — value-identical
+      // to the former aggregate(sequence(0,15),…) HOF, minus its
+      // per-row 16-element array + lambda closures.
+      graft.functions.ZInterleave.register(s)
       Tables.load(s, dir, "lineitem")
         .select($"l_orderkey", $"l_partkey", $"l_suppkey")
-        .withColumn("z", expr(
-          "aggregate(sequence(0, 15), 0L, (acc, i) -> " +
-            "acc | shiftleft(shiftright(l_partkey, i) & 1L, 2 * i) " +
-            "| shiftleft(shiftright(l_suppkey, i) & 1L, 2 * i + 1))"))
+        .withColumn("z", expr("zinterleave(l_partkey, l_suppkey, 16)"))
         .withColumn("zbucket", expr("z div 65536"))
         .groupBy($"zbucket")
         .agg(count(lit(1)).as("n"),

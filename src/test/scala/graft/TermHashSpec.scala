@@ -29,6 +29,21 @@ class TermHashSpec extends SparkTestBase {
     }
   }
 
+  test("termhash folds code points for supplementary-plane input") {
+    graft.functions.TermHash.register(spark)
+    // U+1F600 GRINNING FACE: one code point, two UTF-16 units. The
+    // intended (and DuckDB-oracle-matching) semantics folds the code
+    // point 0x1F600, NOT the surrogate pair — pin it.
+    val mod = 1048576L
+    val rows = Seq("😀", "a😀b").toDF("term")
+      .withColumn("h", expr(s"termhash(term, 131L, ${mod}L)"))
+      .collect()
+    assert(rows(0).getLong(1) == 0x1F600L % mod)
+    val expected = (('a'.toLong * 131L + 0x1F600L) % mod * 131L
+      + 'b'.toLong) % mod
+    assert(rows(1).getLong(1) == expected)
+  }
+
   test("termhash edge cases: empty string, single char, null") {
     graft.functions.TermHash.register(spark)
     val df = Seq(Some(""), Some("a"), Some("zz"), None).toDF("term")
