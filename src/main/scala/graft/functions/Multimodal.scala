@@ -54,19 +54,31 @@ object Multimodal {
       // Marker walk: every segment is FF <marker> <be16 len incl. the
       // two length bytes>; SOFn frames carry precision, H, W after the
       // length. Stops at SOS/EOI (entropy data follows, no frame seen).
+      // The spec allows any number of 0xFF FILL bytes before a marker
+      // (B.1.1.2) — skip them instead of parsing fill as a marker with
+      // a garbage length. Frame markers are the FULL SOFn range
+      // 0xC0–0xCF minus DHT(0xC4)/JPG(0xC8)/DAC(0xCC): baseline,
+      // progressive, AND lossless/arithmetic/differential frames all
+      // carry (precision, H, W) in the same layout (r6 advice — SOF3/
+      // 5-7/9-15 previously fell through to the generic-segment arm).
       var i = 2
       while (i + 3 < payload.length && u8(i) == 0xff) {
-        val m = u8(i + 1)
-        if (m == 0xc0 || m == 0xc1 || m == 0xc2) {
-          if (i + 8 < payload.length)
-            return Some(("jpeg", be16(i + 7), be16(i + 5)))
-          else return None
-        } else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
-          i += 2 // standalone markers carry no length field
-        } else if (m == 0xd9 || m == 0xda) {
-          return None // EOI / start-of-scan before any SOF frame
-        } else {
-          i += 2 + be16(i + 2)
+        if (u8(i + 1) == 0xff) { i += 1 } // fill byte, not a marker
+        else {
+          val m = u8(i + 1)
+          val isSof = m >= 0xc0 && m <= 0xcf &&
+            m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof) {
+            if (i + 8 < payload.length)
+              return Some(("jpeg", be16(i + 7), be16(i + 5)))
+            else return None
+          } else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
+            i += 2 // standalone markers carry no length field
+          } else if (m == 0xd9 || m == 0xda) {
+            return None // EOI / start-of-scan before any SOF frame
+          } else {
+            i += 2 + be16(i + 2)
+          }
         }
       }
       None

@@ -69,8 +69,27 @@ object TextNormalize {
     (FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName,
         "unicode_normalize"),
-      (es: Seq[Expression]) =>
-        UnicodeNormalize(es.head, es(1).eval().toString)))
+      (es: Seq[Expression]) => {
+        // Validate like a builtin: clean analysis-time errors instead
+        // of IndexOutOfBounds/NPE/Unevaluable from a blind eval (r6
+        // advice). The form must be a foldable non-null string.
+        if (es.length != 2)
+          throw new IllegalArgumentException(
+            s"unicode_normalize expects 2 arguments (str, form), " +
+              s"got ${es.length}")
+        val formExpr = es(1)
+        if (!formExpr.foldable)
+          throw new IllegalArgumentException(
+            "unicode_normalize: form must be a string literal " +
+              s"(${Forms.mkString("/")}), got non-foldable " +
+              formExpr.sql)
+        val v = formExpr.eval()
+        if (v == null)
+          throw new IllegalArgumentException(
+            "unicode_normalize: form must not be NULL " +
+              s"(want ${Forms.mkString("/")})")
+        UnicodeNormalize(es.head, v.toString)
+      }))
 
   /** Idempotent per-session registration (same pattern as
     * VectorExpressions.register). */
@@ -86,7 +105,14 @@ object TextNormalize {
     *  2. drop zero-width/invisible code points (ZWSP/ZWNJ/ZWJ/BOM/WJ),
     *  3. fold every control char, Unicode separator, and whitespace
     *     run to one ASCII space, trimming the ends,
-    *  4. accent-fold: NFD-decompose then strip combining marks.
+    *  4. accent-fold: NFD-decompose, strip combining marks, then
+    *     RE-COMPOSE to NFC — without the final pass the output stays
+    *     decomposed, which diverges from DuckDB's `strip_accents`
+    *     (composed output) on non-Latin decomposables: a Hangul
+    *     syllable under bare NFD is conjoining Jamo, so norm_len /
+    *     norm_md5 would differ between engines (r6 advice). The Latin
+    *     fixture is unaffected (mark-stripped Latin NFD is already in
+    *     NFC form), and idempotence is preserved (law-tested).
     * Steps use RE2-compatible `\x{..}`/`\p{..}` classes so a DuckDB
     * oracle can mirror them verbatim (accent folding maps to DuckDB's
     * `strip_accents`). */
@@ -98,6 +124,6 @@ object TextNormalize {
     val folded = regexp_replace(
       call_function("unicode_normalize", oneSpace, lit("NFD")),
       "\\p{Mn}", "")
-    folded
+    call_function("unicode_normalize", folded, lit("NFC"))
   }
 }

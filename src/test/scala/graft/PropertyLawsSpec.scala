@@ -214,6 +214,56 @@ class PropertyLawsSpec extends SparkTestBase {
     assert(decodeImageHeader(headless).isEmpty)
     // Plain text bytes: no image at all.
     assert(decodeImageHeader("hello world, not an image".getBytes).isEmpty)
+    // LOSSLESS frame (SOF3) preceded by FF fill-byte padding (spec
+    // B.1.1.2 allows any number of fill bytes before a marker): the
+    // full SOFn range must decode, and fill bytes must not be parsed
+    // as a marker with a garbage length (r6 advice).
+    val lossless = bytes(Seq(0xff, 0xd8,
+      0xff, 0xe0) ++ be16(6) ++ Seq.fill(4)(0x4a)
+      ++ Seq(0xff, 0xff, 0xff) // fill padding
+      ++ Seq(0xff, 0xc3) ++ be16(11) ++ Seq(8)
+      ++ be16(77) ++ be16(99) ++ Seq(1, 1, 0x11, 0): _*)
+    assert(decodeImageHeader(lossless) == Some(("jpeg", 99, 77)))
+    // Arithmetic-coded progressive (SOF10 = 0xCA) also a frame; DHT
+    // (0xC4) must still be walked as a generic segment, not a frame.
+    val sof10 = bytes(Seq(0xff, 0xd8,
+      0xff, 0xc4) ++ be16(5) ++ Seq.fill(3)(0)
+      ++ Seq(0xff, 0xca) ++ be16(11) ++ Seq(8)
+      ++ be16(10) ++ be16(20) ++ Seq(1, 1, 0x11, 0): _*)
+    assert(decodeImageHeader(sof10) == Some(("jpeg", 20, 10)))
+  }
+
+  test("normalizeText re-composes to NFC (Hangul survives mark-strip)") {
+    import graft.functions.TextNormalize
+    TextNormalize.register(spark)
+    // 한국 (Hangul syllables): NFD decomposes them to conjoining Jamo
+    // (category Lo, NOT Mn) — after mark-stripping, the final NFC pass
+    // must re-compose back to the 2 syllables so length/hash agree
+    // with DuckDB's composed strip_accents output.
+    val r = Seq("한국 café").toDF("t")
+      .select(TextNormalize.normalizeText($"t").as("n"))
+      .head().getString(0)
+    assert(r == "한국 cafe", s"expected composed output, got '$r'")
+    assert(r.codePointCount(0, r.length) == 7)
+  }
+
+  test("unicode_normalize rejects bad arity / non-literal / null form cleanly") {
+    import graft.functions.TextNormalize
+    TextNormalize.register(spark)
+    val df = Seq("x").toDF("t")
+    val e1 = intercept[Exception] { df.selectExpr("unicode_normalize(t)") }
+    assert(e1.getMessage.contains("2 arguments"),
+      s"arity error unclear: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      df.selectExpr("unicode_normalize(t, t)")
+    }
+    assert(e2.getMessage.contains("literal"),
+      s"non-foldable error unclear: ${e2.getMessage}")
+    val e3 = intercept[Exception] {
+      df.selectExpr("unicode_normalize(t, CAST(NULL AS STRING))")
+    }
+    assert(e3.getMessage.contains("NULL"),
+      s"null-form error unclear: ${e3.getMessage}")
   }
 
   test("multimodal feature extraction preserves rows and dedups by checksum") {
