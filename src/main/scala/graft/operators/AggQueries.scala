@@ -347,6 +347,56 @@ object AggQueries extends QueryPack {
         .select($"event_type", $"n_shards", $"est_merged",
                 $"est_global", $"exact")
         .orderBy($"event_type")
+    }),
+
+    // KMV (k-minimum-values) distinct sketch — the one sketch family
+    // with an EXACT cross-engine oracle (r6 verdict item 6: HLL/
+    // t-digest internals are engine-specific, but KMV's state is just
+    // "the k smallest hash values", and md5 is bit-identical in every
+    // engine). Estimator: (k-1) / normalized kth-min hash (Bar-Yossef
+    // et al. 2002); both engines derive the 60-bit numeric value from
+    // the same 15 hex chars, so the double estimate matches bit-for-
+    // bit. MERGE is demonstrated structurally: per-day k-min partials
+    // (the shard sketches — constant size, like the HLL registers)
+    // union + dedupe + re-take-k-min into the global sketch, which
+    // equals the unsharded sketch REGARDLESS of how rows were
+    // partitioned (a global k-min hash has rank <= k in any subset
+    // containing it) — that partition-independence is exactly why the
+    // estimate is oracle-able while HLL's is not.
+    // Scale: partials bound shuffle at k rows per (group, shard);
+    // everything else is two window top-ks on tiny relations.
+    "sketch_kmv" -> ((s, dir) => {
+      import s.implicits._
+      val k = 32
+      // Distinct BEFORE hashing: the dedupe shuffle then carries an
+      // 8-byte long, not a 32-char hex string, and md5 runs once per
+      // distinct triple after the exchange.
+      val hashed = Tables.load(s, dir, "events")
+        .select($"event_type", to_date($"ts").as("d"), $"user_id")
+        .distinct()
+        .select($"event_type", $"d",
+          md5($"user_id".cast(StringType)).as("h"))
+      val partial = hashed
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"event_type", $"d").orderBy($"h")))
+        .filter($"rn" <= k)
+      val merged = partial.select($"event_type", $"h").distinct()
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"event_type").orderBy($"h")))
+        .filter($"rn" <= k)
+      merged.groupBy($"event_type")
+        .agg(max($"h").as("kth_hash"), count(lit(1)).as("k_eff"))
+        .withColumn("kth_val",
+          expr("CAST(conv(substr(kth_hash, 1, 15), 16, 10) AS BIGINT)"))
+        // 2^60 = 16^15: the kth hash normalized to [0,1) by its first
+        // 15 hex digits. k_eff < k means the group had fewer than k
+        // distinct hashes — the sketch IS the exact set.
+        .withColumn("est_users",
+          when($"k_eff" < k, $"k_eff".cast(DoubleType))
+            .otherwise(($"k_eff" - lit(1)).cast(DoubleType) *
+              lit(1152921504606846976.0) / $"kth_val".cast(DoubleType)))
+        .select($"event_type", $"k_eff", $"kth_hash", $"est_users")
+        .orderBy($"event_type")
     })
   )
 
@@ -475,6 +525,34 @@ object AggQueries extends QueryPack {
         |      ORDER BY n_mode DESC, c_nationkey) AS rn
         |  FROM c)
         |SELECT c_mktsegment, c_nationkey AS mode_nation, n_mode
-        |FROM r WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
+
+    // Mirrors the Spark KMV exactly: same md5 hex strings, same
+    // per-day partial k-min / merged global k-min (partition-
+    // independent), same 60-bit normalization ((k-1) * 2^60 / kth) —
+    // doubles match bit-for-bit because both engines divide the same
+    // integers.
+    "sketch_kmv" ->
+      """WITH hashed AS (SELECT DISTINCT event_type,
+        |    date_trunc('day', ts) AS d,
+        |    md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+        |partial AS (SELECT event_type, h FROM (
+        |    SELECT event_type, h,
+        |      row_number() OVER (PARTITION BY event_type, d
+        |                         ORDER BY h) AS rn
+        |    FROM hashed) t WHERE rn <= 32),
+        |merged AS (SELECT event_type, h FROM (
+        |    SELECT event_type, h,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |    FROM (SELECT DISTINCT event_type, h FROM partial) u) v
+        |  WHERE rn <= 32),
+        |g AS (SELECT event_type, max(h) AS kth_hash,
+        |    count(*) AS k_eff FROM merged GROUP BY event_type)
+        |SELECT event_type, CAST(k_eff AS BIGINT) AS k_eff, kth_hash,
+        |  CASE WHEN k_eff < 32 THEN CAST(k_eff AS DOUBLE)
+        |       ELSE CAST(k_eff - 1 AS DOUBLE) * 1152921504606846976.0
+        |            / CAST(CAST('0x' || substr(kth_hash, 1, 15)
+        |                        AS BIGINT) AS DOUBLE) END AS est_users
+        |FROM g ORDER BY event_type""".stripMargin
   )
 }

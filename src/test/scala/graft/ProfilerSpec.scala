@@ -132,6 +132,31 @@ class ProfilerSpec extends SparkTestBase {
     }
   }
 
+  test("sketch_kmv: estimate within 3·RSE of exact; sketch is exact " +
+       "below k") {
+    // KMV RSE ≈ 1/sqrt(k-2) (Bar-Yossef et al. 2002); k=32 → ~18%.
+    // Cross-engine equality is the DuckDB oracle's job — this law
+    // pins that the estimator is actually ESTIMATING.
+    val k = 32
+    val rows = SparkEntry.queries("sketch_kmv")(spark, sf).collect()
+    assert(rows.nonEmpty, "no groups")
+    val exact = Tables.load(spark, sf, "events")
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rse = 1.0 / math.sqrt(k - 2)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val est = r.getAs[Double]("est_users")
+      val ex = exact(t)
+      if (r.getAs[Long]("k_eff") < k)
+        assert(est == ex.toDouble, s"$t: below-k sketch must be exact")
+      else
+        assert(math.abs(est - ex) <= 3 * rse * ex,
+          s"$t: estimate $est vs exact $ex exceeds 3·RSE")
+    }
+  }
+
   test("empty input yields one row per column with n=0 in both modes") {
     val empty = Tables.load(spark, sf, "lineitem").filter(lit(false))
     for (exact <- Seq(true, false)) {
