@@ -115,6 +115,32 @@ object Tables {
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
     } else spark.read.parquet(s"$sfDir/$table.parquet")
+
+  /** Events scan with a PUSHABLE time-range predicate (r7, verdict
+    * item 8). `load("events")` rewrites ns→µs in a projection, so a
+    * range filter on the converted `ts` sits ABOVE the projection and
+    * never reaches the parquet scan — every time-window query would
+    * read all row groups. This loader phrases the range on the RAW ns
+    * long column (what nanosAsLong exposes) BEFORE the projection:
+    * the comparison is a plain long predicate, Spark pushes it into
+    * `PushedFilters`, and parquet row-group min/max stats on a
+    * time-ordered table prune everything outside the window — the
+    * difference between scanning a day and scanning a year at 100 TB.
+    * Bounds are ISO-8601 UTC instants, [from, until).
+    */
+  def loadEventsBetween(spark: SparkSession, sfDir: String,
+                        fromUtc: String, untilUtc: String): DataFrame = {
+    sessionConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    def ns(iso: String): Long = {
+      val i = java.time.Instant.parse(iso)
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000000L),
+        i.getNano.toLong)
+    }
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("ts") >= ns(fromUtc) && col("ts") < ns(untilUtc))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }
 
 /** Cross-engine determinism helpers (SURVEY.md §7.4).

@@ -56,6 +56,20 @@ object SourceSinkQueries extends QueryPack {
         .orderBy($"l_orderkey", $"l_linenumber", $"l_extendedprice")
     }),
 
+    // Time-range scan over events with the predicate PUSHED to parquet
+    // (r7): the range is phrased on the raw ns long before the µs
+    // projection (Tables.loadEventsBetween), so row-group min/max
+    // stats prune — PlanShapeSpec asserts the PushedFilters. At 100 TB
+    // this is the difference between scanning a day and a year.
+    "scan_time_range" -> ((s, dir) => {
+      import s.implicits._
+      Tables.loadEventsBetween(s, dir,
+          "2024-01-16T00:00:00Z", "2024-01-18T00:00:00Z")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_v"))
+        .orderBy($"event_type")
+    }),
+
     // CSV round-trip of region with explicit schema (no inference).
     "source_csv" -> ((s, dir) => {
       import s.implicits._
@@ -197,6 +211,14 @@ object SourceSinkQueries extends QueryPack {
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem WHERE l_extendedprice > 90000.0
         |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
+
+    "scan_time_range" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-16'
+        |  AND ts < TIMESTAMP '2024-01-18'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "source_csv" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",

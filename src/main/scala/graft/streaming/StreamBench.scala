@@ -42,35 +42,50 @@ object StreamBench {
       sentinel = true)
     val inputRows = spark.read.parquet(replay).count()
 
+    // Two state-store providers (r7, verdict item 7): the default
+    // HDFS-backed in-memory store vs RocksDB. At 100 TB RocksDB is the
+    // production path — state spills to local SSD instead of executor
+    // heap, and changelog checkpointing bounds commit cost — so the
+    // gate tracks both. Same staged input, same exactly-once check;
+    // the provider conf is snapshotted per streaming query, so setting
+    // it between runs is sufficient.
     var sinkRows = -1L
-    val times = (1 to runs).map { i =>
-      val out = s"$work/out$i"
-      val chk = s"$work/chk$i"
-      graft.Util.deleteRecursively(new java.io.File(out))
-      graft.Util.deleteRecursively(new java.io.File(chk))
-      val t0 = System.nanoTime()
-      val stream = EventStreams.readEventStream(spark, replay)
-      val windows = StreamQueries.tumblingWatermarked(stream)
-      EventStreams.runToCompletion(
-        EventStreams.parquetSink(windows, out, chk)
-          .partitionBy("event_type"))
-      val sec = (System.nanoTime() - t0) / 1e9
-      // Exactly-once check: every run must sink the same window set.
-      val rows = spark.read.parquet(out).count()
-      if (sinkRows < 0) sinkRows = rows
-      require(rows == sinkRows && rows > 0,
-        s"run $i sank $rows rows, expected $sinkRows")
-      sec
-    }.sorted
-    val minSec = times.head
-    val medSec = times(runs / 2)
+    def runProvider(tag: String): (Double, Double) = {
+      val times = (1 to runs).map { i =>
+        val out = s"$work/out-$tag$i"
+        val chk = s"$work/chk-$tag$i"
+        graft.Util.deleteRecursively(new java.io.File(out))
+        graft.Util.deleteRecursively(new java.io.File(chk))
+        val t0 = System.nanoTime()
+        val stream = EventStreams.readEventStream(spark, replay)
+        val windows = StreamQueries.tumblingWatermarked(stream)
+        EventStreams.runToCompletion(
+          EventStreams.parquetSink(windows, out, chk)
+            .partitionBy("event_type"))
+        val sec = (System.nanoTime() - t0) / 1e9
+        // Exactly-once check: every run AND every provider must sink
+        // the same window set.
+        val rows = spark.read.parquet(out).count()
+        if (sinkRows < 0) sinkRows = rows
+        require(rows == sinkRows && rows > 0,
+          s"$tag run $i sank $rows rows, expected $sinkRows")
+        sec
+      }.sorted
+      (times.head, times(runs / 2))
+    }
+    val (minSec, medSec) = runProvider("hdfs")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (rMin, rMed) = runProvider("rocksdb")
     def f(v: Double): String = f"$v%.3f"
     val json =
       s"""{"metric":"stream_rows_per_sec","value":${f(inputRows / minSec)},""" +
         s""""unit":"rows/sec","runs":$runs,"input_rows":$inputRows,""" +
         s""""sink_rows":$sinkRows,"chunks":$chunks,""" +
         s""""sec_min":${f(minSec)},"sec_median":${f(medSec)},""" +
-        s""""rows_per_sec_median":${f(inputRows / medSec)},"sf":"$sfDir"}"""
+        s""""rows_per_sec_median":${f(inputRows / medSec)},""" +
+        s""""rocksdb":{"rows_per_sec":${f(inputRows / rMin)},""" +
+        s""""sec_min":${f(rMin)},"sec_median":${f(rMed)}},"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT",
       "target/streambench.json")
     java.nio.file.Files.createDirectories(

@@ -46,6 +46,30 @@ class PlanShapeSpec extends SparkTestBase {
       s"scan reads more than the 3 projected columns:\n$p")
   }
 
+  test("scan_time_range pushes the ns-range predicate to the events scan") {
+    // The ns→µs projection in Tables.load("events") blocks ts
+    // pushdown; loadEventsBetween phrases the range on the RAW ns
+    // long BEFORE the projection, so the scan must advertise both
+    // bounds — that's what lets parquet row-group min/max stats prune
+    // a time window at scale.
+    val p = planOf("scan_time_range")
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(ts") && p.contains("LessThan(ts"),
+      s"ts range not pushed to the events scan:\n$p")
+    // And the pushed form must agree with filtering after conversion.
+    val pushed = SparkEntry.queries("scan_time_range")(spark, sf)
+    val unpushed = {
+      import org.apache.spark.sql.functions._
+      Tables.load(spark, sf, "events")
+        .filter(col("ts") >= lit("2024-01-16 00:00:00") &&
+                col("ts") < lit("2024-01-18 00:00:00"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"))
+        .orderBy(col("event_type"))
+    }
+    assertSameRows(pushed, unpushed, "pushed vs post-projection filter")
+  }
+
   test("agg_hash is a two-phase HashAggregate inside codegen") {
     val df = SparkEntry.queries("agg_hash")(spark, sf)
     df.collect() // execute THIS plan so AQE finalizes codegen stages
