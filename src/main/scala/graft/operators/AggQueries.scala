@@ -397,6 +397,34 @@ object AggQueries extends QueryPack {
               lit(1152921504606846976.0) / $"kth_val".cast(DoubleType)))
         .select($"event_type", $"k_eff", $"kth_hash", $"est_users")
         .orderBy($"event_type")
+    }),
+
+    // EXACT distinct via OR-mergeable fixed-width bitmaps (Spark 3.5+
+    // bitmap_* family) — the warehouse pattern for incremental/
+    // distributed distinct counts: each shard (executor / ingest
+    // batch) aggregates its ids into 4 KB bucket bitmaps, partials
+    // merge by bitwise OR (associative, idempotent — re-processing a
+    // shard cannot double-count), and the final count is a popcount
+    // sum. Unlike HLL this is exact, so the DuckDB COUNT(DISTINCT)
+    // oracle hash-matches; unlike countDistinct's expand+dedupe, the
+    // shuffle payload is bounded at one 4 KB bitmap per (group,
+    // 32768-id bucket) regardless of row count. The explicit
+    // shard→merge stage is st10-style exactly-once bookkeeping made
+    // visible in batch.
+    "agg_bitmap_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+        .select($"event_type",
+          pmod($"event_id", lit(8L)).as("shard"),
+          expr("bitmap_bucket_number(user_id)").as("bkt"),
+          expr("bitmap_bit_position(user_id)").as("pos"))
+      val partial = e.groupBy($"event_type", $"shard", $"bkt")
+        .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+      val merged = partial.groupBy($"event_type", $"bkt")
+        .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      merged.groupBy($"event_type")
+        .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+        .orderBy($"event_type")
     })
   )
 
@@ -553,6 +581,13 @@ object AggQueries extends QueryPack {
         |       ELSE CAST(k_eff - 1 AS DOUBLE) * 1152921504606846976.0
         |            / CAST(CAST('0x' || substr(kth_hash, 1, 15)
         |                        AS BIGINT) AS DOUBLE) END AS est_users
-        |FROM g ORDER BY event_type""".stripMargin
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    // The bitmap pipeline is EXACT, so the oracle is the plain
+    // distinct count — any bit-position/merge bug hash-mismatches.
+    "agg_bitmap_distinct" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -170,6 +170,57 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective SMJ") {
+    // The other runtime re-plan that matters at 100 TB: when a
+    // selective dim filter feeds a shuffle join, Spark injects a bloom
+    // filter built from the filtered side and applies it as
+    // might_contain ON THE FACT SCAN SIDE — fact rows that cannot join
+    // are dropped before the shuffle, not after. Thresholds are
+    // lowered to fire at fixture scale; broadcast is pinned off so the
+    // join genuinely shuffles (the broadcast path needs no bloom).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "10MB")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    try {
+      val l = Tables.load(spark, sf, "lineitem")
+      val o = Tables.load(spark, sf, "orders")
+        .filter($"o_totalprice" > 400000)
+      val j = l.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$opt")
+      // And the filtered plan still returns the right rows.
+      val got = j.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = {
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+          "false")
+        l.join(o, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      assert(got == want, s"bloom-filtered result diverged: $got vs $want")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
   test("join_skew_salted plans SMJ on the salted keys, no broadcast") {
     // The point of the operator: the dim side must NOT broadcast (that
     // would bypass the salting) and the join must be an equi-join on
