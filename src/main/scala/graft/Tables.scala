@@ -164,4 +164,19 @@ object Det {
   /** Deterministic average: exact decimal sum / count, in double. */
   def davg(c: Column): Column =
     sum(money(c)).cast(DoubleType) / count(lit(1))
+
+  /** Cent-scale an exact DECIMAL power sum to BIGINT, raising (never
+    * wrapping or silently nulling) if the scaled value exceeds int64 —
+    * shared by agg_stats / agg_regression so a larger corpus fails
+    * loudly instead of producing silently-divergent statistics. A null
+    * from an all-null group passes through. */
+  def centsLong(base: Column, factor: Int, nm: String): Column = {
+    val c = base * factor
+    when(c > lit(Long.MaxValue) || c < lit(Long.MinValue) ||
+         (c.isNull && base.isNotNull),
+      raise_error(concat(
+        lit(s"Det.centsLong: $nm exceeds BIGINT range: "),
+        coalesce(c.cast(StringType), lit("DECIMAL(38) overflow")))))
+      .otherwise(c.cast(LongType)).as(nm)
+  }
 }

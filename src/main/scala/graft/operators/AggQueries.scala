@@ -71,21 +71,12 @@ object AggQueries extends QueryPack {
     // a bigger corpus can never produce silently-divergent stats.)
     "agg_stats" -> ((s, dir) => {
       import s.implicits._
+      // Two overflow layers guarded by Det.centsLong: the cent-scaled
+      // product exceeding BIGINT, and (at ~1e34 magnitudes) the
+      // DECIMAL(38,4) product itself nulling out in non-ANSI mode —
+      // both raise, never wrap or silently null.
       def checkedLong(base: org.apache.spark.sql.Column, factor: Int,
-                      nm: String) = {
-        val c = base * factor
-        // Two overflow layers: the cent-scaled product exceeding BIGINT,
-        // and (at ~1e34 magnitudes) the DECIMAL(38,4) product itself
-        // nulling out in non-ANSI mode — both must raise, never wrap or
-        // silently null. A null from an all-null group (base null) is
-        // legitimate and passes through.
-        when(c > lit(Long.MaxValue) || c < lit(Long.MinValue) ||
-             (c.isNull && base.isNotNull),
-          raise_error(concat(
-            lit(s"agg_stats: $nm exceeds BIGINT range: "),
-            coalesce(c.cast(StringType), lit("DECIMAL(38) overflow")))))
-          .otherwise(c.cast(LongType)).as(nm)
-      }
+                      nm: String) = Det.centsLong(base, factor, nm)
       Tables.load(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
@@ -118,6 +109,52 @@ object AggQueries extends QueryPack {
              sqrt($"n" * ($"syy_c" / 10000.0) -
                ($"sy_c" / 100.0) * ($"sy_c" / 100.0))), 12)
             .as("corr_qty_price"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // Ordinary least squares per group (r7): regr_slope / intercept /
+    // r² of extendedprice on quantity, from the SAME exact cent-scaled
+    // integer power sums as agg_stats — never from the engines' native
+    // regr_* functions, whose internal accumulation order differs.
+    // Every derived value is a fixed IEEE expression over bit-identical
+    // BIGINTs (intercept phrased sum-only, not via the rounded slope),
+    // so both engines emit identical doubles. Two-phase agg: the
+    // shuffle carries 6 numbers per group regardless of input rows.
+    "agg_regression" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(money($"l_quantity")).as("dx"),
+          sum(money($"l_quantity") * money($"l_quantity")).as("dxx"),
+          sum(money($"l_extendedprice")).as("dy"),
+          sum(money($"l_extendedprice") * money($"l_extendedprice"))
+            .as("dyy"),
+          sum(money($"l_quantity") * money($"l_extendedprice")).as("dxy"))
+        .select($"l_returnflag", $"n",
+          Det.centsLong($"dx", 100, "sx_c"),
+          Det.centsLong($"dxx", 10000, "sxx_c"),
+          Det.centsLong($"dy", 100, "sy_c"),
+          Det.centsLong($"dyy", 10000, "syy_c"),
+          Det.centsLong($"dxy", 10000, "sxy_c"))
+        .select($"l_returnflag", $"n",
+          round(($"n" * ($"sxy_c" / 10000.0) -
+              ($"sx_c" / 100.0) * ($"sy_c" / 100.0)) /
+            ($"n" * ($"sxx_c" / 10000.0) -
+              ($"sx_c" / 100.0) * ($"sx_c" / 100.0)), 12).as("slope"),
+          round((($"sy_c" / 100.0) * ($"sxx_c" / 10000.0) -
+              ($"sx_c" / 100.0) * ($"sxy_c" / 10000.0)) /
+            ($"n" * ($"sxx_c" / 10000.0) -
+              ($"sx_c" / 100.0) * ($"sx_c" / 100.0)), 12).as("intercept"),
+          round((($"n" * ($"sxy_c" / 10000.0) -
+              ($"sx_c" / 100.0) * ($"sy_c" / 100.0)) *
+             ($"n" * ($"sxy_c" / 10000.0) -
+              ($"sx_c" / 100.0) * ($"sy_c" / 100.0))) /
+            (($"n" * ($"sxx_c" / 10000.0) -
+              ($"sx_c" / 100.0) * ($"sx_c" / 100.0)) *
+             ($"n" * ($"syy_c" / 10000.0) -
+              ($"sy_c" / 100.0) * ($"sy_c" / 100.0))), 12).as("r2"))
         .orderBy($"l_returnflag")
     }),
 
@@ -467,6 +504,29 @@ object AggQueries extends QueryPack {
         |    (sqrt(n * (sxx_c / 10000.0) - (sx_c / 100.0) * (sx_c / 100.0)) *
         |     sqrt(n * (syy_c / 10000.0) - (sy_c / 100.0) * (sy_c / 100.0))),
         |    12) AS corr_qty_price
+        |FROM g ORDER BY l_returnflag""".stripMargin,
+
+    "agg_regression" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sx_c,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) * 10000 AS BIGINT) AS sxx_c,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sy_c,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS BIGINT) AS syy_c,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS BIGINT) AS sxy_c
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((n * (sxy_c / 10000.0) - (sx_c / 100.0) * (sy_c / 100.0)) /
+        |    (n * (sxx_c / 10000.0) - (sx_c / 100.0) * (sx_c / 100.0)),
+        |    12) AS slope,
+        |  round(((sy_c / 100.0) * (sxx_c / 10000.0) - (sx_c / 100.0) * (sxy_c / 10000.0)) /
+        |    (n * (sxx_c / 10000.0) - (sx_c / 100.0) * (sx_c / 100.0)),
+        |    12) AS intercept,
+        |  round(((n * (sxy_c / 10000.0) - (sx_c / 100.0) * (sy_c / 100.0)) *
+        |     (n * (sxy_c / 10000.0) - (sx_c / 100.0) * (sy_c / 100.0))) /
+        |    ((n * (sxx_c / 10000.0) - (sx_c / 100.0) * (sx_c / 100.0)) *
+        |     (n * (syy_c / 10000.0) - (sy_c / 100.0) * (sy_c / 100.0))),
+        |    12) AS r2
         |FROM g ORDER BY l_returnflag""".stripMargin,
 
     "agg_percentile" ->

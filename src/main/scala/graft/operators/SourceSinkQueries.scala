@@ -199,6 +199,35 @@ object SourceSinkQueries extends QueryPack {
              min($"event_id").as("min_id"),
              max($"event_id").as("max_id"))
         .orderBy($"event_type")
+    }),
+
+    // Schema-evolution read (r7): a long-lived 100-TB table is written
+    // by MANY job versions — early files lack columns later ones have.
+    // Stages two parquet generations from customer (v1: key+name+nation
+    // for even keys; v2: key+acctbal+segment for odd), then reads both
+    // through one `mergeSchema=true` scan: the unified schema is the
+    // field union, absent columns null-fill per file. The oracle
+    // reproduces the merged relation from the clean table via the same
+    // even/odd rule. Scale: schema merge is a FOOTER operation (one
+    // small read per file at planning); the data scan still prunes
+    // columns per file — asserted by the hash, since a wrong merge
+    // would misalign or drop fields.
+    "source_parquet_evolve" -> ((s, dir) => {
+      import s.implicits._
+      val v1 = tmp(dir, "customer_v1")
+      val v2 = tmp(dir, "customer_v2")
+      val c = Tables.load(s, dir, "customer")
+      c.filter($"c_custkey" % 2 === 0)
+        .select($"c_custkey", $"c_name", $"c_nationkey")
+        .write.mode("overwrite").parquet(v1)
+      c.filter($"c_custkey" % 2 === 1)
+        .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+        .write.mode("overwrite").parquet(v2)
+      s.read.option("mergeSchema", "true").parquet(v1, v2)
+        .select($"c_custkey", $"c_name", $"c_nationkey",
+                money($"c_acctbal").cast(DoubleType).as("acctbal"),
+                $"c_mktsegment")
+        .orderBy($"c_custkey")
     }))
 
   def oracle: Seq[(String, String)] = Seq(
@@ -262,5 +291,17 @@ object SourceSinkQueries extends QueryPack {
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
         |  min(event_id) AS min_id, max(event_id) AS max_id
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The merged read null-fills each generation's absent columns;
+    // the even/odd staging rule reproduces that from the clean table.
+    "source_parquet_evolve" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 2 = 0 THEN c_name END AS c_name,
+        |  CASE WHEN c_custkey % 2 = 0 THEN c_nationkey END AS c_nationkey,
+        |  CASE WHEN c_custkey % 2 = 1
+        |    THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE)
+        |  END AS acctbal,
+        |  CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment END AS c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin)
 }

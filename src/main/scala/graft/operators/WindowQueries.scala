@@ -165,6 +165,26 @@ object WindowQueries extends QueryPack {
              min($"ts_s").as("start_s"),
              (max($"ts_s") - min($"ts_s")).as("dur_s"))
         .orderBy($"user_id", $"sid")
+    }),
+
+    // Distribution window functions (r7): percent_rank / cume_dist —
+    // the normalized-rank forms used for per-cohort percentile
+    // features. Ordering is made UNIQUE by the (acctbal, custkey)
+    // tie-break, so both functions are single IEEE divisions of
+    // identical integers in both engines (§7.4 determinism).
+    // Scale: partitioned by (mktsegment, nationkey) — 5×25 cohorts —
+    // never by the bare 5-value segment key, so no sort task holds
+    // more than one cohort and partition count grows with the dims.
+    "win_distribution" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment", $"c_nationkey")
+        .orderBy($"c_acctbal", $"c_custkey")
+      Tables.load(s, dir, "customer")
+        .select($"c_mktsegment", $"c_nationkey", $"c_custkey",
+          $"c_acctbal",
+          round(percent_rank().over(w), 12).as("pct_rank"),
+          round(cume_dist().over(w), 12).as("cume"))
+        .orderBy($"c_mktsegment", $"c_nationkey", $"c_custkey")
     })
   )
 
@@ -276,6 +296,15 @@ object WindowQueries extends QueryPack {
         |  FROM g)
         |SELECT user_id, sid, count(*) AS n_events,
         |  min(ts_s) AS start_s, max(ts_s) - min(ts_s) AS dur_s
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
+
+    "win_distribution" ->
+      """SELECT c_mktsegment, c_nationkey, c_custkey, c_acctbal,
+        |  round(percent_rank() OVER w, 12) AS pct_rank,
+        |  round(cume_dist() OVER w, 12) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment, c_nationkey
+        |             ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_nationkey, c_custkey""".stripMargin
   )
 }
