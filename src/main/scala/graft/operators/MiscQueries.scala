@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryPack, Tables}
+import graft.{Det, QueryPack, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -118,6 +118,81 @@ object MiscQueries extends QueryPack {
         .join(broadcast(sketch), Seq("j", "bucket"))
         .groupBy($"term", $"true_cnt").agg(min($"cnt").as("est"))
         .orderBy($"true_cnt".desc, $"term")
+    }),
+
+    // Bloom-filter membership sketch (r7) — like sketch_kmv/sketch_cms,
+    // a sketch whose STATE is engine-independent (k=4 bit positions per
+    // key from md5, m=4096 bits), so the full state digest and every
+    // membership verdict hash-match DuckDB exactly. The set-bit
+    // relation is OR-mergeable by construction (distinct union — same
+    // idempotent merge as agg_bitmap_distinct), the filter is constant
+    // width regardless of row count, and the probe side is a broadcast-
+    // tiny relation: this is the data-level realization of what the
+    // runtime bloom join (InjectRuntimeFilter, PlanShapeSpec) does
+    // inside the optimizer. False-positive/no-false-negative laws in
+    // BloomSketchSpec; n_candidates here shows the probe outcome
+    // (~150 true members of 200 probes, plus any FPs) per group.
+    "sketch_bloom" -> ((s, dir) => {
+      import s.implicits._
+      val m = 4096L
+      def bloomPos(key: String) =
+        explode(array((0 until 4).map { i =>
+          pmod(expr(s"CAST(conv(substr(md5(CAST($key AS STRING) " +
+            s"|| ':$i'), 1, 8), 16, 10) AS BIGINT)"), lit(m))
+        }: _*)).as("pos")
+      val ins = Tables.load(s, dir, "events")
+        .select($"event_type", $"user_id").distinct()
+      val bits = ins.select($"event_type", bloomPos("user_id"))
+        .distinct()
+      val state = bits.groupBy($"event_type")
+        .agg(count(lit(1)).as("bits_set"),
+          md5(array_join(transform(sort_array(collect_list($"pos")),
+            _.cast(StringType)), ",")).as("state_md5"))
+      val exact = ins.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_exact"))
+      val probes = s.range(0, 200).select($"id".as("probe"))
+      val hits = probes.select($"probe", bloomPos("probe"))
+        .join(bits, Seq("pos"))
+        .groupBy($"event_type", $"probe").agg(count(lit(1)).as("nh"))
+        .filter($"nh" === 4)
+        .groupBy($"event_type").agg(count(lit(1)).as("n_candidates"))
+      state.join(exact, "event_type").join(hits, "event_type")
+        .select($"event_type", $"bits_set", $"state_md5",
+          $"n_exact", $"n_candidates")
+        .orderBy($"event_type")
+    }),
+
+    // CDC/MERGE apply (r7): reconcile a base table with a changeset of
+    // upserts/deletes — the table-maintenance primitive every
+    // incremental 100-TB pipeline runs (compaction of a CDC log onto a
+    // snapshot). The changeset here is derived deterministically from
+    // the base (updates for key%10==3, deletes for key%10==7, 50 fresh
+    // inserts), and apply is ONE full-outer hash join on the key +
+    // row-level precedence (D drops, U/I take the change row, absent
+    // keeps base) — at scale the changes side is ≪ base, so AQE
+    // broadcasts it and the base never shuffles; the whole-row output
+    // hash-checks every precedence branch.
+    "cdc_apply" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.load(s, dir, "customer")
+      val upd = base.filter(pmod($"c_custkey", lit(10L)) === 3)
+        .select($"c_custkey".as("key"), lit("U").as("op"),
+          (Det.money($"c_acctbal") + 100).cast(DoubleType).as("new_bal"))
+      val del = base.filter(pmod($"c_custkey", lit(10L)) === 7)
+        .select($"c_custkey".as("key"), lit("D").as("op"),
+          lit(null).cast(DoubleType).as("new_bal"))
+      val ins = s.range(0, 50)
+        .select(($"id" + 1000000L).as("key"), lit("I").as("op"),
+          ($"id".cast(DoubleType) + 0.25).as("new_bal"))
+      val changes = upd.unionByName(del).unionByName(ins)
+      base.join(changes, base("c_custkey") === changes("key"),
+          "full_outer")
+        .filter(coalesce($"op", lit("")) =!= "D")
+        .select(coalesce($"c_custkey", $"key").as("c_custkey"),
+          coalesce($"c_mktsegment", lit("NEWSEG")).as("seg"),
+          when($"op".isin("U", "I"), $"new_bal")
+            .otherwise($"c_acctbal").as("bal"))
+        .orderBy($"c_custkey")
     }))
 
   def oracle: Seq[(String, String)] = Seq(
@@ -201,5 +276,57 @@ object MiscQueries extends QueryPack {
         |SELECT q.term, q.true_cnt, min(sk.cnt) AS est
         |FROM q JOIN sk ON sk.j = q.j AND sk.bucket = q.bucket
         |GROUP BY q.term, q.true_cnt
-        |ORDER BY true_cnt DESC, term""".stripMargin)
+        |ORDER BY true_cnt DESC, term""".stripMargin,
+
+    // Same md5-derived positions (8 hex chars → BIGINT, the
+    // sketch_kmv hex bridge), same distinct-union merge, same
+    // all-4-bits membership rule — state digest and candidate counts
+    // are exact in both engines.
+    "sketch_bloom" ->
+      """WITH ins AS (SELECT DISTINCT event_type, user_id FROM events),
+        |pos AS (SELECT DISTINCT event_type,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' || i),
+        |         1, 8) AS BIGINT) % 4096 AS pos
+        |  FROM ins CROSS JOIN generate_series(0, 3) g(i)),
+        |st AS (SELECT event_type, count(*) AS bits_set,
+        |    md5(string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos))
+        |      AS state_md5
+        |  FROM pos GROUP BY event_type),
+        |ex AS (SELECT event_type, count(*) AS n_exact
+        |  FROM ins GROUP BY event_type),
+        |pp AS (SELECT probe,
+        |    CAST('0x' || substr(md5(CAST(probe AS VARCHAR) || ':' || i),
+        |         1, 8) AS BIGINT) % 4096 AS pos
+        |  FROM generate_series(0, 199) gp(probe)
+        |  CROSS JOIN generate_series(0, 3) g(i)),
+        |hit AS (SELECT event_type, probe
+        |  FROM pp JOIN pos USING (pos)
+        |  GROUP BY event_type, probe HAVING count(*) = 4),
+        |hc AS (SELECT event_type, count(*) AS n_candidates
+        |  FROM hit GROUP BY event_type)
+        |SELECT event_type, bits_set, state_md5, n_exact, n_candidates
+        |FROM st JOIN ex USING (event_type) JOIN hc USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    // Same derived changeset, same full-outer precedence.
+    "cdc_apply" ->
+      """WITH upd AS (SELECT c_custkey AS key, 'U' AS op,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100 AS DOUBLE)
+        |      AS new_bal
+        |  FROM customer WHERE c_custkey % 10 = 3),
+        |del AS (SELECT c_custkey AS key, 'D' AS op,
+        |    CAST(NULL AS DOUBLE) AS new_bal
+        |  FROM customer WHERE c_custkey % 10 = 7),
+        |ins AS (SELECT CAST(1000000 + k AS BIGINT) AS key, 'I' AS op,
+        |    CAST(k AS DOUBLE) + 0.25 AS new_bal
+        |  FROM generate_series(0, 49) g(k)),
+        |ch AS (SELECT * FROM upd UNION ALL SELECT * FROM del
+        |       UNION ALL SELECT * FROM ins)
+        |SELECT COALESCE(c_custkey, key) AS c_custkey,
+        |  COALESCE(c_mktsegment, 'NEWSEG') AS seg,
+        |  CASE WHEN op IN ('U', 'I') THEN new_bal
+        |       ELSE c_acctbal END AS bal
+        |FROM customer FULL OUTER JOIN ch ON c_custkey = key
+        |WHERE COALESCE(op, '') <> 'D'
+        |ORDER BY c_custkey""".stripMargin)
 }

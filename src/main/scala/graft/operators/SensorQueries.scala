@@ -182,7 +182,89 @@ object SensorQueries extends QueryPack {
         .select($"event_id", $"event_type", $"value",
           (($"value" - $"vmin") / ($"vmax" - $"vmin")).as("norm"))
         .orderBy($"event_id")
+    }),
+
+    // Exponentially-weighted moving average (r7) with alpha = 1/2 over
+    // the last up-to-16 observations per user. The geometric weights
+    // are exact powers of two, so the weighted sum over cent-scaled
+    // values is a BIGINT — the only IEEE step is ONE final division of
+    // two identical integers, which both engines round identically
+    // (the same trick that makes sketch_kmv's estimate oracle-able).
+    // The truncated tail (weight < 2^-16 ignored) is the standard
+    // streaming approximation; 16 taps ≈ 1e-5 relative truncation.
+    // Scale: one window per high-cardinality user_id, 16 lag reads
+    // per row inside a single Window node — no extra shuffle beyond
+    // the per-user sort, frames never grow with history length.
+    "ts_ewma" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy(sec($"ts"), $"event_id")
+      val e = Tables.load(s, dir, "events")
+        .withColumn("cents",
+          (Det.money($"value") * 100).cast(LongType))
+      val taps = (0 to 15).map { j =>
+        val v = if (j == 0) $"cents" else lag($"cents", j).over(w)
+        val pw = lit(1L << (15 - j))
+        (coalesce(v, lit(0L)) * pw,
+          when(v.isNotNull, pw).otherwise(lit(0L)))
+      }
+      e.select($"event_id", $"user_id", $"value",
+          taps.map(_._1).reduce(_ + _).as("wsum"),
+          taps.map(_._2).reduce(_ + _).as("wnorm"))
+        .select($"event_id", $"user_id", $"value",
+          ($"wsum".cast(DoubleType) / $"wnorm".cast(DoubleType) / 100.0)
+            .as("ewma"))
+        .orderBy($"event_id")
+    }),
+
+    // Lagged cross-correlation (r7) between the click and purchase
+    // per-15-minute-bin series at lags 0/1/2 bins — the "does activity
+    // now predict conversions later" telemetry question. Both series
+    // reduce to (bin, cents) BIGINT aggregates FIRST (the 100-TB move:
+    // the lag join runs over thousands of bins, never raw events);
+    // Pearson r comes from exact integer power sums via the same fixed
+    // IEEE formula text as agg_regression, so it hash-matches.
+    "ts_lagcorr" -> ((s, dir) => {
+      import s.implicits._
+      def series(t: String) = Tables.load(s, dir, "events")
+        .filter($"event_type" === t)
+        .withColumn("bin", floor(sec($"ts") / 900L))
+        .groupBy($"bin")
+        .agg(sum(Det.money($"value")).as("d"))
+        .select($"bin", Det.centsLong($"d", 100, "c"))
+      val x = series("click").select($"bin", $"c".as("xc"))
+      val y = series("purchase").select($"bin".as("ybin"), $"c".as("yc"))
+      val lags = s.range(0, 3).select($"id".as("lag"))
+      x.crossJoin(broadcast(lags))
+        .join(y, $"ybin" === $"bin" + $"lag")
+        .groupBy($"lag")
+        .agg(count(lit(1)).as("n_bins"),
+          sum($"xc").as("sx"), sum($"yc").as("sy"),
+          sum($"xc" * $"xc").as("sxx"), sum($"yc" * $"yc").as("syy"),
+          sum($"xc" * $"yc").as("sxy"))
+        .select($"lag", $"n_bins",
+          round(($"n_bins" * ($"sxy" / 10000.0) -
+              ($"sx" / 100.0) * ($"sy" / 100.0)) /
+            sqrt(($"n_bins" * ($"sxx" / 10000.0) -
+                ($"sx" / 100.0) * ($"sx" / 100.0)) *
+              ($"n_bins" * ($"syy" / 10000.0) -
+                ($"sy" / 100.0) * ($"sy" / 100.0))), 12).as("corr"))
+        .orderBy($"lag")
     }))
+
+  /** The 16 EWMA taps, generated once and shared by both engines'
+    * query text so the term order / weight constants cannot drift. */
+  private def ewmaTap(j: Int): (String, Long) =
+    (if (j == 0) "cents" else s"lag(cents, $j) OVER w", 1L << (15 - j))
+
+  private val ewmaSum: String = (0 to 15).map { j =>
+    val (v, pw) = ewmaTap(j); s"COALESCE($v, 0) * $pw"
+  }.mkString(" + ")
+
+  private val ewmaNorm: String = (0 to 15).map { j =>
+    val (v, pw) = ewmaTap(j)
+    s"CASE WHEN $v IS NOT NULL THEN $pw ELSE 0 END"
+  }.mkString(" + ")
 
   def oracle: Seq[(String, String)] = Seq(
     "ts_resample" ->
@@ -293,5 +375,46 @@ object SensorQueries extends QueryPack {
         |FROM events JOIN (
         |  SELECT event_type, min(value) AS vmin, max(value) AS vmax
         |  FROM events GROUP BY event_type) ext USING (event_type)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+
+    // Mirrors the Spark taps exactly (same generated term list): the
+    // weighted sum and weight total are BIGINTs; the single division
+    // of identical integers is bit-identical cross-engine.
+    "ts_ewma" ->
+      s"""WITH e AS (SELECT event_id, user_id, value,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         |    date_trunc('second', ts) AS tsec
+         |  FROM events)
+         |SELECT event_id, user_id, value,
+         |  CAST(($ewmaSum) AS DOUBLE)
+         |    / CAST(($ewmaNorm) AS DOUBLE) / 100.0 AS ewma
+         |FROM e
+         |WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
+         |ORDER BY event_id""".stripMargin,
+
+    // Same fixed IEEE formula text as agg_regression's r2 (cents
+    // descaled inside the expression), with sqrt — IEEE-correctly-
+    // rounded in both engines — for the denominator.
+    "ts_lagcorr" ->
+      """WITH x AS (SELECT
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 900 AS bin,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS xc
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |y AS (SELECT
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 900 AS ybin,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS yc
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |j AS (SELECT l.lag, COUNT(*) AS n_bins,
+        |    SUM(xc) AS sx, SUM(yc) AS sy,
+        |    SUM(xc * xc) AS sxx, SUM(yc * yc) AS syy,
+        |    SUM(xc * yc) AS sxy
+        |  FROM x CROSS JOIN (VALUES (0), (1), (2)) l(lag)
+        |  JOIN y ON ybin = bin + l.lag
+        |  GROUP BY l.lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_bins,
+        |  round((n_bins * (sxy / 10000.0) - (sx / 100.0) * (sy / 100.0)) /
+        |    sqrt((n_bins * (sxx / 10000.0) - (sx / 100.0) * (sx / 100.0)) *
+        |      (n_bins * (syy / 10000.0) - (sy / 100.0) * (sy / 100.0))),
+        |    12) AS corr
+        |FROM j ORDER BY lag""".stripMargin)
 }

@@ -487,6 +487,34 @@ object TrainQueries extends QueryPack {
           when($"is_jpeg" && $"sof_ok", $"sof_b").as("sof_offset"),
           octet_length($"payload").cast(LongType).as("n_bytes"))
         .orderBy($"doc_id")
+    }),
+
+    // Multimodal frame sampling (r7): the video-style access pattern —
+    // treat the payload as fixed-size 32-byte frames, sample every
+    // stride-th frame (stride varies per row, like per-clip fps), and
+    // emit each sampled frame's byte range + content digest. All
+    // map-side integer arithmetic + one generator (sequence→explode):
+    // the sampled-frame relation is the input to any downstream decode
+    // UDF, and at 100 TB the point is that sampling happens BEFORE any
+    // decode — a stride-8 sample plans 1/8th of the decode work, and
+    // nothing here shuffles until the contract sort. Frame digests
+    // slice the BINARY column; DuckDB mirrors in string space
+    // (byte-identical on the ASCII fixture corpus, as mm_chunks).
+    "mm_framesample" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .withColumn("payload", $"text".cast(BinaryType))
+        .withColumn("n_bytes", octet_length($"payload").cast(LongType))
+        .withColumn("n_frames", expr("n_bytes div 32"))
+        .withColumn("stride", pmod($"doc_id", lit(3L)) + 2L)
+        .select($"doc_id", $"n_frames", $"stride", $"payload",
+          explode(expr("sequence(0, n_frames - 1, stride)"))
+            .as("frame_idx"))
+        .select($"doc_id", $"n_frames", $"stride", $"frame_idx",
+          ($"frame_idx" * 32L).as("byte_off"),
+          md5(expr("substring(payload, CAST(frame_idx * 32 + 1 AS INT), 32)"))
+            .as("frame_md5"))
+        .orderBy($"doc_id", $"frame_idx")
     }))
 
   def oracle: Seq[(String, String)] = Seq(
@@ -817,5 +845,21 @@ object TrainQueries extends QueryPack {
         |  END AS height,
         |  CASE WHEN is_jpeg AND sof_ok THEN sof_b END AS sof_offset,
         |  CAST(len(hs) // 2 AS BIGINT) AS n_bytes
-        |FROM p2 ORDER BY doc_id""".stripMargin)
+        |FROM p2 ORDER BY doc_id""".stripMargin,
+
+    // String-space mirror of the binary frame walk (ASCII corpus, as
+    // mm_chunks): same stride, same byte offsets, same 32-byte digests.
+    "mm_framesample" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    CAST(octet_length(encode(text)) AS BIGINT) // 32 AS n_frames,
+        |    doc_id % 3 + 2 AS stride
+        |  FROM documents),
+        |f AS (SELECT doc_id, n_frames, stride, text,
+        |    unnest(generate_series(0, n_frames - 1, stride)) AS frame_idx
+        |  FROM d)
+        |SELECT doc_id, n_frames, stride, frame_idx,
+        |  frame_idx * 32 AS byte_off,
+        |  md5(substring(text, CAST(frame_idx * 32 + 1 AS INT), 32))
+        |    AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin)
 }
