@@ -167,11 +167,15 @@ object MiscQueries extends QueryPack {
     // incremental 100-TB pipeline runs (compaction of a CDC log onto a
     // snapshot). The changeset here is derived deterministically from
     // the base (updates for key%10==3, deletes for key%10==7, 50 fresh
-    // inserts), and apply is ONE full-outer hash join on the key +
+    // inserts), and apply is ONE full-outer join on the key +
     // row-level precedence (D drops, U/I take the change row, absent
-    // keeps base) — at scale the changes side is ≪ base, so AQE
-    // broadcasts it and the base never shuffles; the whole-row output
-    // hash-checks every precedence branch.
+    // keeps base). Full-outer cannot broadcast (both unmatched sides
+    // must survive), so it plans as a single hash-partitioned
+    // SortMergeJoin — at 100 TB the base side's shuffle disappears
+    // when base and changelog are bucketed/storage-partitioned on the
+    // key (UdfAndBucketingSpec demonstrates that co-location), which
+    // is exactly how table-format MERGE implementations schedule it.
+    // The whole-row output hash-checks every precedence branch.
     "cdc_apply" -> ((s, dir) => {
       import s.implicits._
       val base = Tables.load(s, dir, "customer")
