@@ -59,6 +59,34 @@ object StreamQueries {
               $"approx_users", $"n")
   }
 
+  /** st14 — streaming KMV distinct sketch per event_type (r7): the
+    * deterministic counterpart of st13. The KmvAgg Aggregator's state
+    * (k smallest distinct md5 hashes) is merge-invariant AND
+    * engine-independent, so the streaming result is asserted BIT-EQUAL
+    * to the DuckDB-oracled batch `sketch_kmv` — the only 2.I op whose
+    * final state is transitively pinned to a cross-engine oracle.
+    * State per group is k=32 fixed-width strings (constant, like an
+    * HLL register bank); micro-batch order cannot matter because
+    * insert/merge are commutative + idempotent. */
+  def kmvSketch(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val kmv = udaf(new graft.functions.KmvAgg(32))
+    events
+      .select($"event_type", md5($"user_id".cast(StringType)).as("h"))
+      .groupBy($"event_type")
+      .agg(kmv($"h").as("sketch"))
+      .select($"event_type",
+        size($"sketch").cast(LongType).as("k_eff"),
+        element_at($"sketch", -1).as("kth_hash"))
+      .withColumn("kth_val",
+        expr("CAST(conv(substr(kth_hash, 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("est_users",
+        when($"k_eff" < 32, $"k_eff".cast(DoubleType))
+          .otherwise(($"k_eff" - lit(1)).cast(DoubleType) *
+            lit(1152921504606846976.0) / $"kth_val".cast(DoubleType)))
+      .select($"event_type", $"k_eff", $"kth_hash", $"est_users")
+  }
+
   /** st4 — per-user session windows with a 30-minute gap. */
   def sessions(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._

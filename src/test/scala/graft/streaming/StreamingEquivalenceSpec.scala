@@ -52,6 +52,22 @@ class StreamingEquivalenceSpec extends SparkTestBase {
     assertSameRows(got, StreamQueries.tumbling(batchEvents), "st2")
   }
 
+  test("st14: streaming KMV sketch == batch UDAF == oracled sketch_kmv") {
+    val stream = EventStreams.readEventStream(
+      spark, replayDir("st14", sentinel = false))
+    val got = runToMemory(StreamQueries.kmvSketch(stream),
+      "st14_out", "complete")
+    // Micro-batch incremental state == one batch pass (merge law)...
+    assertSameRows(got, StreamQueries.kmvSketch(batchEvents),
+      "st14 vs batch UDAF")
+    // ...== the windowed-top-k batch query that DuckDB hash-verifies:
+    // the streaming state is transitively pinned to the cross-engine
+    // oracle (drop the contract ORDER BY; assertSameRows sorts).
+    assertSameRows(got,
+      graft.SparkEntry.queries("sketch_kmv")(spark, sf),
+      "st14 vs oracled sketch_kmv")
+  }
+
   test("st13: streaming HLL approx-distinct == batch estimate exactly") {
     // Registers are order-free, so chunked incremental updates and one
     // batch pass must agree BIT-EXACTLY, not just within rsd.
