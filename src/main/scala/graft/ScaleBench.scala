@@ -41,7 +41,10 @@ object ScaleBench {
     // text/sketch/vector families over the 10x corpus (embeddings
     // replicate too, so vec_* keys run at genuine 10x)
     "text_tfidf", "text_langid", "sketch_cms",
-    "vec_pq", "vec_knn_ivf", "vec_centroid")
+    "vec_pq", "vec_knn_ivf", "vec_centroid",
+    // r7 additions that read the replicated tables: BM25 retrieval,
+    // the IVF-PQ ANN composition, and binary frame sampling
+    "text_bm25", "vec_ivfpq", "mm_framesample")
 
   def stage(spark: SparkSession, base: String, out: String, m: Int): Unit = {
     import spark.implicits._
