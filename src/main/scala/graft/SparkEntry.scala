@@ -23,7 +23,8 @@ object SparkEntry {
     operators.MiscQueries,
     operators.PipelineQueries,
     operators.SensorQueries,
-    operators.DedupCluster)
+    operators.DedupCluster,
+    operators.GraphQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

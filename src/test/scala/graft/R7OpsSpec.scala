@@ -113,6 +113,28 @@ class R7OpsSpec extends SparkTestBase {
     inserted.unpersist(); r.unpersist()
   }
 
+  test("graph_pagerank: mass conservation, coverage, degree ordering") {
+    val r = q("graph_pagerank").cache()
+    val li = Tables.load(spark, sf, "lineitem")
+    val nParts = li.select($"l_partkey").distinct().count()
+    val nSupps = li.select($"l_suppkey").distinct().count()
+    assert(r.count() == nParts + nSupps, "every touched node is ranked")
+    // Integer truncation only LEAKS mass — total stays in
+    // (0.5·mass, mass]; ranks strictly positive (teleport floor).
+    val total = r.agg(sum($"rank")).head().getLong(0)
+    assert(total <= operators.GraphQueries.prMass, "mass created")
+    assert(total > operators.GraphQueries.prMass / 2, "mass collapsed")
+    assert(r.filter($"rank" <= 0).count() == 0, "non-positive rank")
+    // Suppliers aggregate far more edges than parts in this bipartite
+    // graph — their mean rank must dominate.
+    val mean = r.groupBy($"node_type")
+      .agg(avg($"rank")).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(mean("supplier") > mean("part"),
+      "high-degree side must out-rank")
+    r.unpersist()
+  }
+
   test("mm_framesample: frame geometry and digest fidelity") {
     val r = q("mm_framesample").cache()
     // Sampled frames respect the stride and stay inside the payload.
