@@ -489,6 +489,39 @@ object TrainQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // n-gram LM quality scoring (r7): the CCNet-style "how well does
+    // this document match the corpus language model" filter, with the
+    // log-probability replaced by an exact rational surrogate (the
+    // text_bm25 trick): each bigram contributes its scaled conditional
+    // frequency (c2·10^6 div c1), and the doc score is the integer
+    // mean — all BIGINT, so DuckDB hash-matches exactly. Low scores =
+    // improbable word sequences (the filtering signal); self-scored
+    // corpus means every bigram has mass (no smoothing needed).
+    // Scale: counts reduce to the distinct-bigram relation before any
+    // join (never doc × vocabulary); the doc-bigram → LM join is a
+    // plain equi-join on (w1,w2) — at 100 TB both sides co-partition
+    // on the bigram key and the per-doc mean is a two-phase agg.
+    "text_lmscore" -> ((s, dir) => {
+      import s.implicits._
+      val tok = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          posexplode(split(lower($"text"), " ")).as(Seq("pos", "w")))
+      val wd = Window.partitionBy($"doc_id").orderBy($"pos")
+      val big = tok
+        .select($"doc_id", $"w".as("w1"), lead($"w", 1).over(wd).as("w2"))
+        .filter($"w2".isNotNull)
+      val c2 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+      val c1 = big.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      val ps = c2.join(c1, "w1")
+        .select($"w1", $"w2", expr("(c2 * 1000000) div c1").as("ps"))
+      big.join(ps, Seq("w1", "w2"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"ps").as("sum_ps"))
+        .select($"doc_id", $"n_bigrams",
+          expr("sum_ps div n_bigrams").as("lm_score"))
+        .orderBy($"doc_id")
+    }),
+
     // Multimodal frame sampling (r7): the video-style access pattern —
     // treat the payload as fixed-size 32-byte frames, sample every
     // stride-th frame (stride varies per row, like per-clip fps), and
@@ -846,6 +879,28 @@ object TrainQueries extends QueryPack {
         |  CASE WHEN is_jpeg AND sof_ok THEN sof_b END AS sof_offset,
         |  CAST(len(hs) // 2 AS BIGINT) AS n_bytes
         |FROM p2 ORDER BY doc_id""".stripMargin,
+
+    // Same bigram stream (parallel unnest = posexplode), same integer
+    // surrogate — SUM cast from HUGEINT before the floor division.
+    "text_lmscore" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(range(1, len(string_split(lower(text), ' ')) + 1))
+        |      AS pos,
+        |    unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents),
+        |big AS (SELECT doc_id, w AS w1,
+        |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM tok),
+        |b2 AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM b2 GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b2 GROUP BY w1),
+        |ps AS (SELECT c2.w1, c2.w2, (c2.c2 * 1000000) // c1.c1 AS ps
+        |  FROM c2 JOIN c1 USING (w1))
+        |SELECT b2.doc_id, count(*) AS n_bigrams,
+        |  CAST(SUM(ps.ps) AS BIGINT) // count(*) AS lm_score
+        |FROM b2 JOIN ps ON b2.w1 = ps.w1 AND b2.w2 = ps.w2
+        |GROUP BY b2.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // String-space mirror of the binary frame walk (ASCII corpus, as
     // mm_chunks): same stride, same byte offsets, same 32-byte digests.

@@ -113,6 +113,24 @@ class R7OpsSpec extends SparkTestBase {
     inserted.unpersist(); r.unpersist()
   }
 
+  test("text_lmscore: probability bounds and bigram accounting") {
+    val r = q("text_lmscore").cache()
+    val docs = Tables.load(spark, sf, "documents")
+    assert(r.count() == docs.count(), "every document scored")
+    // c2 <= c1 always (a bigram can't outnumber its head's bigrams),
+    // so every per-bigram surrogate — and the integer mean — lies in
+    // (0, 10^6]; a degenerate one-bigram doc hits exactly 10^6 only
+    // if its head word is unique.
+    assert(r.filter($"lm_score" <= 0 || $"lm_score" > 1000000L)
+      .count() == 0, "score outside (0, 1e6]")
+    // n_bigrams = token count - 1 (no filtering, consecutive pairs).
+    val want = docs.select($"doc_id",
+      (size(split(lower($"text"), " ")) - 1).cast("long").as("nb"))
+    assert(r.join(want, "doc_id").filter($"n_bigrams" =!= $"nb")
+      .count() == 0, "bigram accounting")
+    r.unpersist()
+  }
+
   test("graph_pagerank: mass conservation, coverage, degree ordering") {
     val r = q("graph_pagerank").cache()
     val li = Tables.load(spark, sf, "lineitem")
