@@ -24,7 +24,9 @@ object SparkEntry {
     operators.PipelineQueries,
     operators.SensorQueries,
     operators.DedupCluster,
-    operators.GraphQueries)
+    operators.GraphQueries,
+    operators.CurationQueries,
+    operators.WarehouseQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data curation operators (SURVEY.md §2.K extension, r7b):
+  * substring-level dedup signals, deterministic dataset splits, and
+  * maximum-inner-product retrieval.
+  *
+  * - `text_dupspans` — the Lee et al. (ACL'22, "Deduplicating Training
+  *   Data Makes Language Models Better") signal: document-level dedup
+  *   misses REPEATED PASSAGES embedded in otherwise-distinct pages
+  *   (boilerplate, licenses, quoted chunks), so the unit of dedup is
+  *   the k-token span, not the document. Every k=8-token window is
+  *   fingerprinted (md5 of the space-joined span); a span seen in ≥2
+  *   distinct documents is a duplicated passage, and each document
+  *   reports how much of it is made of such passages (exact integer
+  *   permille). Scale: span fingerprints are generated entirely
+  *   map-side (one `transform` + `explode` projection — the token
+  *   array is never replicated per span), reduced to DISTINCT
+  *   (span, doc) pairs, and the only shuffles are the hash exchange
+  *   on the 128-bit fingerprint and the final doc_id aggregate. No
+  *   all-pairs comparison exists at any stage — cost is O(total
+  *   tokens), the same budget as tokenizing the corpus. The suffix
+  *   -array exactness of the paper is traded for fixed-k windows,
+  *   which is the standard distributed approximation (a span dup of
+  *   length ≥ k is caught by its first k-window).
+  * - `sample_split` — deterministic train/valid/test assignment by
+  *   hashing the STABLE document key (never `rand()`: re-runs,
+  *   retries and incremental reprocessing must land every doc in the
+  *   same split, or eval sets silently leak into training). Buckets
+  *   are the first 16 bits of md5(doc_id) mod 100 → 80/10/10. Purely
+  *   map-side until the 3-group audit aggregate.
+  * - `vec_mips` — top-k by raw inner product (the retrieval scoring
+  *   used when embeddings are trained with dot-product objectives;
+  *   cosine's normalization is wrong there). Same bounded-query-side
+  *   broadcast design and sequential-fold arithmetic as `vec_knn`, so
+  *   the doubles are bit-identical in the DuckDB mirror. At scale the
+  *   standard reduction (Bachrach et al., RecSys'14) appends
+  *   sqrt(maxNorm²−‖x‖²) as an extra dimension, turning MIPS into
+  *   cosine search — after which `vec_ivfpq` is the index path; the
+  *   brute-force form here is the correctness baseline of that
+  *   pipeline stage.
+  */
+object CurationQueries extends QueryPack {
+
+  /** Span width in tokens (Lee et al. use 50 BPE tokens at web scale;
+    * 8 fits this fixture's 30–70-token docs while exercising the same
+    * plan shape). */
+  val spanK = 8
+
+  def queries: Seq[(String, Q)] = Seq(
+
+    "text_dupspans" -> ((s, dir) => {
+      import s.implicits._
+      // Docs shorter than k tokens emit no spans. The Spark-side
+      // filter is load-bearing: sequence(1, n-7) DESCENDS for n<8
+      // (Spark generates reverse sequences), whereas DuckDB's
+      // range() is empty — the filter makes both engines drop the
+      // doc entirely.
+      val spans = Tables.load(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("t"))
+        .filter(size($"t") >= spanK)
+        .select($"doc_id", explode(transform(
+          sequence(lit(1), size($"t") - (spanK - 1)),
+          i => md5(concat_ws(" ", slice($"t", i, lit(spanK)))))).as("h"))
+        .distinct()
+      // Cross-doc multiplicity per fingerprint: spans is already
+      // distinct per (doc, h), so a plain COUNT over the h-partition
+      // is the number of distinct docs containing the span.
+      spans
+        .withColumn("n_docs",
+          count(lit(1)).over(Window.partitionBy($"h")))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when($"n_docs" >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        .select($"doc_id", $"n_spans", $"n_dup_spans",
+          expr("n_dup_spans * 1000 div n_spans").as("dup_permille"))
+        .orderBy($"doc_id")
+    }),
+
+    "sample_split" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .withColumn("bucket", expr(
+          "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)" +
+            " AS BIGINT) % 100"))
+        .withColumn("split",
+          when($"bucket" < 80, "train")
+            .when($"bucket" < 90, "valid")
+            .otherwise("test"))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"),
+          min($"doc_id").as("min_doc"),
+          max($"doc_id").as("max_doc"))
+        .orderBy($"split")
+    }),
+
+    "vec_mips" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.VectorExpressions.register(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.select($"vec_id".as("q_id"), $"embedding".as("qe"))
+        .filter($"q_id" < 10)
+      val c = e.select($"vec_id".as("c_id"), $"embedding".as("ce"))
+      broadcast(q).crossJoin(c).filter($"q_id" =!= $"c_id")
+        .withColumn("dot", expr("fdot(qe, ce)"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"dot".desc, $"c_id"))
+          .cast(LongType))
+        .filter($"rank" <= 5)
+        .select($"q_id", $"rank", $"c_id", $"dot")
+        .orderBy($"q_id", $"rank")
+    }))
+
+  def oracle: Seq[(String, String)] = Seq(
+
+    "text_dupspans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |spans AS (SELECT DISTINCT doc_id,
+        |    md5(array_to_string(t[i:i+7], ' ')) AS h
+        |  FROM toks, unnest(range(1, len(t) - 6)) AS r(i)),
+        |c AS (SELECT doc_id, h,
+        |    count(*) OVER (PARTITION BY h) AS n_docs FROM spans)
+        |SELECT doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_spans,
+        |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000 // count(*) AS dup_permille
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "sample_split" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |         AS BIGINT) % 100 AS bucket FROM documents),
+        |s AS (SELECT CASE WHEN bucket < 80 THEN 'train'
+        |    WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+        |    doc_id, n_chars FROM b)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    "vec_mips" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+        |      (a, b) -> a + b) AS dot
+        |  FROM e q CROSS JOIN e c
+        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |  ORDER BY dot DESC, c_id) AS rank FROM pairs)
+        |SELECT q_id, rank, c_id, dot
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+}

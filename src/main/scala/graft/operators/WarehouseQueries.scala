@@ -1,0 +1,191 @@
+package graft.operators
+
+import graft.{Det, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Warehouse-modeling operators (SURVEY.md §2.L extension, r7b):
+  * slowly-changing-dimension history, equi-depth bucketing, and the
+  * pairwise correlation matrix.
+  *
+  * - `dim_scd2` — SCD type-2 history build: collapse an event stream
+  *   into versioned dimension rows (valid_from / valid_to / current
+  *   flag), writing a row only when the tracked attribute CHANGES.
+  *   This is `cdc_apply`'s upstream twin: CDC reconciles a snapshot,
+  *   SCD2 keeps the full history. Two per-user window passes (lag to
+  *   detect change, lead over the collapsed rows for the validity
+  *   interval) — both partitioned by the high-cardinality user key,
+  *   O(1) frame state, one hash exchange total (the second window
+  *   reuses the first's partitioning).
+  * - `win_ntile` — equi-depth quartiles per market segment (the
+  *   feature-binning step of every tabular-training pipeline). The
+  *   window ORDER BY carries the unique c_custkey tiebreaker so tile
+  *   assignment is total (§7.4 P5); output is the per-(segment, tile)
+  *   audit aggregate, not 30k raw rows.
+  * - `agg_corrmatrix` — all three pairwise Pearson correlations of
+  *   (quantity, extendedprice, discount) per returnflag in ONE
+  *   two-phase aggregate pass (9 power sums + n, shuffle width = 5
+  *   groups). Same determinism discipline as `agg_regression`: exact
+  *   cent-scaled DECIMAL sums asserted into BIGINT (`Det.centsLong`,
+  *   loud overflow), then one fixed IEEE expression per output whose
+  *   formula text is byte-identical in the DuckDB oracle — never the
+  *   engines' native corr(), whose accumulation order differs.
+  */
+object WarehouseQueries extends QueryPack {
+
+  /** corr(x,y) from cent-scaled integer power sums, as the one fixed
+    * IEEE expression both engines evaluate (mirrors agg_regression's
+    * slope/r² shape; sqrt is IEEE-correctly-rounded in both). */
+  private def corrExpr(n: String, sx: String, sy: String, sxy: String,
+                       sxx: String, syy: String, fx: Double, fy: Double,
+                       nm: String) = {
+    val fxy = fx * fy
+    round(((col(n) * (col(sxy) / fxy)) - (col(sx) / fx) * (col(sy) / fy)) /
+      (sqrt(col(n) * (col(sxx) / (fx * fx)) -
+        (col(sx) / fx) * (col(sx) / fx)) *
+       sqrt(col(n) * (col(syy) / (fy * fy)) -
+        (col(sy) / fy) * (col(sy) / fy))), 12).as(nm)
+  }
+
+  def queries: Seq[(String, Q)] = Seq(
+
+    "dim_scd2" -> ((s, dir) => {
+      import s.implicits._
+      // Tracked attribute: the spend tier of each purchase. NULL
+      // value falls to 'high' via otherwise() — same CASE/ELSE path
+      // both engines.
+      val tiered = Tables.load(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id",
+          when($"value" < 100, "low").when($"value" < 500, "mid")
+            .otherwise("high").as("tier"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      // Pass 1: keep only change rows (first row per user counts as a
+      // change). Pass 2 (over the collapsed rows, same partitioning —
+      // Catalyst reuses the exchange): validity interval + version.
+      tiered
+        .withColumn("prev", lag($"tier", 1).over(w))
+        .filter($"prev".isNull || $"prev" =!= $"tier")
+        .withColumn("version", row_number().over(w).cast(LongType))
+        .withColumn("valid_from", unix_micros($"ts"))
+        .withColumn("valid_to", unix_micros(lead($"ts", 1).over(w)))
+        .withColumn("is_current", lead($"ts", 1).over(w).isNull)
+        .select($"user_id", $"version", $"tier",
+          $"valid_from", $"valid_to", $"is_current")
+        .orderBy($"user_id", $"version")
+    }),
+
+    "win_ntile" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "customer")
+        .withColumn("tile", ntile(4).over(
+          Window.partitionBy($"c_mktsegment")
+            .orderBy($"c_acctbal", $"c_custkey")).cast(LongType))
+        .groupBy($"c_mktsegment", $"tile")
+        .agg(count(lit(1)).as("n"),
+          Det.dsum($"c_acctbal").as("sum_bal"),
+          min($"c_custkey").as("min_cust"),
+          max($"c_custkey").as("max_cust"))
+        .orderBy($"c_mktsegment", $"tile")
+    }),
+
+    "agg_corrmatrix" -> ((s, dir) => {
+      import s.implicits._
+      import Det.money
+      Tables.load(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(money($"l_quantity")).as("dq"),
+          sum(money($"l_extendedprice")).as("dp"),
+          sum(money($"l_discount")).as("dd"),
+          sum(money($"l_quantity") * money($"l_quantity")).as("dqq"),
+          sum(money($"l_extendedprice") * money($"l_extendedprice"))
+            .as("dpp"),
+          sum(money($"l_discount") * money($"l_discount")).as("ddd"),
+          sum(money($"l_quantity") * money($"l_extendedprice")).as("dqp"),
+          sum(money($"l_quantity") * money($"l_discount")).as("dqd"),
+          sum(money($"l_extendedprice") * money($"l_discount")).as("dpd"))
+        .select($"l_returnflag", $"n",
+          Det.centsLong($"dq", 100, "sq_c"),
+          Det.centsLong($"dp", 100, "sp_c"),
+          Det.centsLong($"dd", 100, "sd_c"),
+          Det.centsLong($"dqq", 10000, "sqq_c"),
+          Det.centsLong($"dpp", 10000, "spp_c"),
+          Det.centsLong($"ddd", 10000, "sdd_c"),
+          Det.centsLong($"dqp", 10000, "sqp_c"),
+          Det.centsLong($"dqd", 10000, "sqd_c"),
+          Det.centsLong($"dpd", 10000, "spd_c"))
+        .select($"l_returnflag", $"n",
+          corrExpr("n", "sq_c", "sp_c", "sqp_c", "sqq_c", "spp_c",
+            100.0, 100.0, "corr_qty_price"),
+          corrExpr("n", "sq_c", "sd_c", "sqd_c", "sqq_c", "sdd_c",
+            100.0, 100.0, "corr_qty_disc"),
+          corrExpr("n", "sp_c", "sd_c", "spd_c", "spp_c", "sdd_c",
+            100.0, 100.0, "corr_price_disc"))
+        .orderBy($"l_returnflag")
+    }))
+
+  def oracle: Seq[(String, String)] = Seq(
+
+    "dim_scd2" ->
+      """WITH tiered AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN value < 100 THEN 'low'
+        |         WHEN value < 500 THEN 'mid' ELSE 'high' END AS tier
+        |  FROM events WHERE event_type = 'purchase'),
+        |flagged AS (SELECT *,
+        |    lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev FROM tiered),
+        |changes AS (SELECT user_id, ts, event_id, tier FROM flagged
+        |  WHERE prev IS NULL OR prev <> tier)
+        |SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS version,
+        |  tier,
+        |  epoch_us(ts) AS valid_from,
+        |  epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id)) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    IS NULL AS is_current
+        |FROM changes ORDER BY user_id, version""".stripMargin,
+
+    "win_ntile" ->
+      """WITH t AS (SELECT c_mktsegment, c_acctbal, c_custkey,
+        |    ntile(4) OVER (PARTITION BY c_mktsegment
+        |                   ORDER BY c_acctbal, c_custkey) AS tile
+        |  FROM customer)
+        |SELECT c_mktsegment, tile, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+        |  min(c_custkey) AS min_cust, max(c_custkey) AS max_cust
+        |FROM t GROUP BY c_mktsegment, tile
+        |ORDER BY c_mktsegment, tile""".stripMargin,
+
+    "agg_corrmatrix" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sq_c,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sp_c,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT) AS sd_c,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) * 10000 AS BIGINT) AS sqq_c,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS BIGINT) AS spp_c,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS sdd_c,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS BIGINT) AS sqp_c,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS sqd_c,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS spd_c
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((n * (sqp_c / 10000.0) - (sq_c / 100.0) * (sp_c / 100.0)) /
+        |    (sqrt(n * (sqq_c / 10000.0) - (sq_c / 100.0) * (sq_c / 100.0)) *
+        |     sqrt(n * (spp_c / 10000.0) - (sp_c / 100.0) * (sp_c / 100.0))),
+        |    12) AS corr_qty_price,
+        |  round((n * (sqd_c / 10000.0) - (sq_c / 100.0) * (sd_c / 100.0)) /
+        |    (sqrt(n * (sqq_c / 10000.0) - (sq_c / 100.0) * (sq_c / 100.0)) *
+        |     sqrt(n * (sdd_c / 10000.0) - (sd_c / 100.0) * (sd_c / 100.0))),
+        |    12) AS corr_qty_disc,
+        |  round((n * (spd_c / 10000.0) - (sp_c / 100.0) * (sd_c / 100.0)) /
+        |    (sqrt(n * (spp_c / 10000.0) - (sp_c / 100.0) * (sp_c / 100.0)) *
+        |     sqrt(n * (sdd_c / 10000.0) - (sd_c / 100.0) * (sd_c / 100.0))),
+        |    12) AS corr_price_disc
+        |FROM g ORDER BY l_returnflag""".stripMargin)
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Laws for the r7b additions (text_dupspans, sample_split, vec_mips,
+  * dim_scd2, win_ntile, agg_corrmatrix). All six are DuckDB-oracled;
+  * these pin the semantics the hash can't see — interval algebra,
+  * split stability, brute-force agreement, and bound checks.
+  */
+class CurationWarehouseSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def q(key: String) = SparkEntry.queries(key)(spark, sf)
+
+  test("text_dupspans: byte-identical docs are fully duplicated spans") {
+    val r = q("text_dupspans").cache()
+    // Counters are consistent: 0 <= n_dup <= n_spans, permille exact.
+    assert(r.filter($"n_dup_spans" < 0 || $"n_dup_spans" > $"n_spans")
+      .count() == 0)
+    assert(r.filter(
+      $"dup_permille" =!= expr("n_dup_spans * 1000 div n_spans"))
+      .count() == 0)
+    r.unpersist()
+    // Constructed corpus: two byte-identical docs share every span
+    // (dup_permille == 1000), a token-disjoint third shares none (0),
+    // and a 7-token doc emits no spans at all.
+    val dir = scratch("dupspans")
+    val twin = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 12).map(i => s"zzz$i").mkString(" ")
+    Seq((1L, twin, "en", "a", 1L), (2L, twin, "en", "a", 1L),
+        (3L, other, "en", "a", 1L),
+        (4L, "a b c d e f g", "en", "a", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val syn = SparkEntry.queries("text_dupspans")(spark, dir)
+      .collect().map(x =>
+        x.getAs[Long]("doc_id") -> x.getAs[Long]("dup_permille")).toMap
+    assert(syn == Map(1L -> 1000L, 2L -> 1000L, 3L -> 0L),
+      s"synthetic corpus law violated: $syn")
+  }
+
+  test("sample_split: stable, exhaustive, disjoint 80/10/10") {
+    val r = q("sample_split").collect()
+    assert(r.map(_.getAs[String]("split")).sorted.toSeq ==
+      Seq("test", "train", "valid"))
+    val total = Tables.load(spark, sf, "documents").count()
+    assert(r.map(_.getAs[Long]("n_docs")).sum == total,
+      "splits must partition the corpus exactly")
+    // Determinism: a re-run assigns identically (hash, not rand()).
+    assertSameRows(q("sample_split"), q("sample_split"),
+      "sample_split re-run")
+    // Proportions: binomial bound, |p80 - 0.8| within 5 sigma.
+    val train = r.find(_.getAs[String]("split") == "train").get
+      .getAs[Long]("n_docs").toDouble
+    val sigma = math.sqrt(total * 0.8 * 0.2)
+    assert(math.abs(train - 0.8 * total) < 5 * sigma + 1,
+      s"train fraction ${train / total} implausible for hash-uniform")
+  }
+
+  test("vec_mips: agrees with an independent brute-force ranking") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q0 = e.select($"vec_id".as("q_id"), $"embedding".as("qe"))
+      .filter($"q_id" < 10)
+    val c = e.select($"vec_id".as("c_id"), $"embedding".as("ce"))
+    // Independent path: HOF zip_with/aggregate instead of fdot.
+    val brute = broadcast(q0).crossJoin(c).filter($"q_id" =!= $"c_id")
+      .withColumn("dot", aggregate(
+        zip_with($"qe", $"ce", (a, b) =>
+          a.cast("double") * b.cast("double")),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"dot".desc, $"c_id"))
+        .cast("long"))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"rank", $"c_id", $"dot")
+    assertSameRows(q("vec_mips"), brute, "vec_mips vs HOF brute force")
+  }
+
+  test("dim_scd2: interval algebra and version contiguity") {
+    val r = q("dim_scd2").cache()
+    // Exactly one open (current) interval per user.
+    val cur = r.groupBy($"user_id")
+      .agg(sum(when($"is_current", 1).otherwise(0)).as("k"))
+    assert(cur.filter($"k" =!= 1).count() == 0,
+      "each user needs exactly one current row")
+    // valid_to chains to the NEXT version's valid_from; versions 1..n.
+    val w = Window.partitionBy($"user_id").orderBy($"version")
+    val chained = r
+      .withColumn("next_from", lead($"valid_from", 1).over(w))
+      .withColumn("rn", row_number().over(w))
+    assert(chained.filter($"valid_to".isNotNull &&
+      $"valid_to" =!= $"next_from").count() == 0,
+      "valid_to must equal the successor's valid_from")
+    assert(chained.filter($"rn" =!= $"version").count() == 0,
+      "versions must be contiguous from 1")
+    // Consecutive versions always change tier (SCD2 collapses runs).
+    assert(r.withColumn("pt", lag($"tier", 1).over(w))
+      .filter($"pt".isNotNull && $"pt" === $"tier").count() == 0,
+      "adjacent versions must differ in the tracked attribute")
+    r.unpersist()
+  }
+
+  test("win_ntile: equi-depth tiles within one row of each other") {
+    val r = q("win_ntile").cache()
+    val spread = r.groupBy($"c_mktsegment")
+      .agg((max($"n") - min($"n")).as("spread"),
+        sum($"n").as("total"), count(lit(1)).as("tiles"))
+    assert(spread.filter($"spread" > 1).count() == 0,
+      "ntile bucket sizes may differ by at most 1")
+    assert(spread.filter($"tiles" =!= 4).count() == 0)
+    val total = Tables.load(spark, sf, "customer").count()
+    assert(r.agg(sum($"n")).head().getLong(0) == total)
+    r.unpersist()
+  }
+
+  test("agg_corrmatrix: valid correlations, consistent with agg_regression") {
+    val rows = q("agg_corrmatrix").collect()
+    rows.foreach { row =>
+      Seq("corr_qty_price", "corr_qty_disc", "corr_price_disc")
+        .foreach { c =>
+          val v = row.getAs[Double](c)
+          assert(!v.isNaN && math.abs(v) <= 1.0 + 1e-12,
+            s"$c = $v outside [-1, 1]")
+        }
+    }
+    // corr(qty, price)^2 must equal agg_regression's r2 per group
+    // (same quantities, both rounded at 1e-12 — compare loosely).
+    val r2 = q("agg_regression").collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("r2"))
+      .toMap
+    rows.foreach { row =>
+      val f = row.getAs[String]("l_returnflag")
+      val c = row.getAs[Double]("corr_qty_price")
+      assert(math.abs(c * c - r2(f)) < 1e-9,
+        s"$f: corr^2 ${c * c} != r2 ${r2(f)}")
+    }
+  }
+}
