@@ -87,6 +87,33 @@ object StreamQueries {
       .select($"event_type", $"k_eff", $"kth_hash", $"est_users")
   }
 
+  /** st15 — streaming EXACT distinct via OR-merged bucket bitmaps
+    * (r7): the incremental twin of the batch `agg_bitmap_distinct`.
+    * Each micro-batch reduces map-side to (type, bucket, bitmap)
+    * partials; the state store merges them with bitmap OR, which is
+    * associative, commutative AND idempotent — so micro-batch
+    * boundaries, replays, or a reprocessed shard can never
+    * double-count, the property approximate sketches give up exactness
+    * for and naive count-distinct state can't provide without keeping
+    * the full user set. State per group is one 4 KB bitmap per
+    * (type, 32768-id bucket) regardless of row count. One streaming
+    * aggregate only (stacked streaming aggs are unsupported); the
+    * popcount-sum rollup to per-type totals happens on the RESULT
+    * table (bounded: buckets × types), asserted equal to the exact
+    * batch COUNT(DISTINCT) in StreamingEquivalenceSpec. */
+  def bitmapDistinct(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .select($"event_type",
+        expr("bitmap_bucket_number(user_id)").as("bkt"),
+        expr("bitmap_bit_position(user_id)").as("pos"))
+      .groupBy($"event_type", $"bkt")
+      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+      .select($"event_type", $"bkt",
+        expr("bitmap_count(bm)").cast(LongType).as("n_users"),
+        md5($"bm").as("state_md5"))
+  }
+
   /** st4 — per-user session windows with a 30-minute gap. */
   def sessions(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._

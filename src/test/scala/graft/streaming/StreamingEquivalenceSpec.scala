@@ -68,6 +68,24 @@ class StreamingEquivalenceSpec extends SparkTestBase {
       "st14 vs oracled sketch_kmv")
   }
 
+  test("st15: streaming bitmap distinct == batch == exact count") {
+    val stream = EventStreams.readEventStream(
+      spark, replayDir("st15", sentinel = false))
+    val got = runToMemory(StreamQueries.bitmapDistinct(stream),
+      "st15_out", "complete")
+    // Incremental OR-merged state == one batch pass (bit-level: the
+    // md5 state digests must match, not just the counts).
+    assertSameRows(got, StreamQueries.bitmapDistinct(batchEvents),
+      "st15 vs batch bitmaps")
+    // Popcount rollup == the plain exact distinct — the bitmap
+    // pipeline is exact, unlike st13/st14's estimators.
+    assertSameRows(
+      got.groupBy($"event_type").agg(sum($"n_users").as("n")),
+      batchEvents.groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("n")),
+      "st15 popcount sum vs exact distinct")
+  }
+
   test("st13: streaming HLL approx-distinct == batch estimate exactly") {
     // Registers are order-free, so chunked incremental updates and one
     // batch pass must agree BIT-EXACTLY, not just within rsd.
