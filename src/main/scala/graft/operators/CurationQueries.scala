@@ -99,6 +99,70 @@ object CurationQueries extends QueryPack {
         .orderBy($"split")
     }),
 
+    // Asymmetric containment (doc-in-doc): Jaccard misses a short doc
+    // quoted wholesale inside a longer page (the union term swamps the
+    // overlap), so boilerplate/quotation dedup needs |A∩B| / |A|.
+    // Pair enumeration is the scale trap here — r6 measured and
+    // REJECTED the LSH-OR verified-pair form as output-quadratic on
+    // clustered corpora (PLANS.md r6) — so the unit is each group's
+    // CANONICAL REFERENCE: per (lang, source), the longest doc is the
+    // reference (deterministic doc_id tiebreak) and every doc is
+    // checked only against its own group's reference → exactly N-G
+    // pairs by construction. Trigram sets stay arrays inside rows
+    // (dedup_ngram's design); the reference relation is
+    // group-cardinality and broadcasts.
+    "dedup_containment" -> ((s, dir) => {
+      import s.implicits._
+      // Guard length<3 exactly as dedup_ngram (Spark's sequence counts
+      // DOWN for stop<start; DuckDB's generate_series is empty).
+      val sh = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang", $"source", $"n_chars",
+          array_distinct(expr(
+            "CASE WHEN length(text) < 3 THEN array() " +
+              "ELSE transform(sequence(1, length(text) - 2), " +
+              "i -> substring(text, i, 3)) END")).as("shs"))
+      val ref = sh
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"lang", $"source")
+            .orderBy($"n_chars".desc, $"doc_id")))
+        .filter($"rn" === 1)
+        .select($"lang", $"source", $"doc_id".as("ref_id"),
+          $"shs".as("ref_shs"))
+      sh.join(broadcast(ref), Seq("lang", "source"))
+        .filter($"doc_id" =!= $"ref_id")
+        .withColumn("nd", size($"shs").cast(LongType))
+        .filter($"nd" > 0)
+        .withColumn("i", size(array_intersect($"shs", $"ref_shs"))
+          .cast(LongType))
+        .select($"doc_id", $"ref_id", $"nd", $"i",
+          floor($"i" * lit(1000000.0) / $"nd").as("cont_m"))
+        .orderBy($"doc_id")
+    }),
+
+    // k-anonymity audit over quasi-identifiers (segment, nation,
+    // 1000-unit balance bucket) — the privacy gate a training corpus
+    // with user-derived fields must pass before release. Output is the
+    // group-size histogram with the k<5 risk flag; two stacked
+    // aggregates, shuffle width = distinct QI combinations then
+    // distinct k values. The balance bucket is exact integer
+    // arithmetic over cents, offset +1e8 so truncating `div` and
+    // flooring `//` agree (negative balances exist in the fixture).
+    "privacy_kanon" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "customer")
+        .select($"c_mktsegment", $"c_nationkey",
+          expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " + 100000000) div 100000").as("bal_bucket"))
+        .groupBy($"c_mktsegment", $"c_nationkey", $"bal_bucket")
+        .agg(count(lit(1)).as("k"))
+        .groupBy($"k")
+        .agg(count(lit(1)).as("n_groups"))
+        .select($"k", $"n_groups",
+          ($"k" * $"n_groups").as("n_rows"),
+          ($"k" < 5).as("risky"))
+        .orderBy($"k")
+    }),
+
     "vec_mips" -> ((s, dir) => {
       import s.implicits._
       graft.functions.VectorExpressions.register(s)
@@ -144,6 +208,46 @@ object CurationQueries extends QueryPack {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    "dedup_containment" ->
+      """WITH sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(text) - 2),
+        |      i -> substring(text, i, 3))) AS sh
+        |  FROM documents),
+        |counts AS (SELECT doc_id, count(*) AS nd FROM sh GROUP BY doc_id),
+        |ref AS (SELECT lang, source, doc_id AS ref_id FROM (
+        |    SELECT lang, source, doc_id, row_number() OVER (
+        |      PARTITION BY lang, source
+        |      ORDER BY n_chars DESC, doc_id) AS rn FROM documents) t
+        |  WHERE rn = 1),
+        |pairs AS (SELECT d.doc_id, r.ref_id FROM documents d
+        |  JOIN ref r ON d.lang = r.lang AND d.source = r.source
+        |    AND d.doc_id <> r.ref_id),
+        |inter AS (SELECT p.doc_id, p.ref_id, count(*) AS i
+        |  FROM pairs p
+        |  JOIN sh a ON a.doc_id = p.doc_id
+        |  JOIN sh b ON b.doc_id = p.ref_id AND b.sh = a.sh
+        |  GROUP BY p.doc_id, p.ref_id)
+        |SELECT p.doc_id, p.ref_id, c.nd, COALESCE(inter.i, 0) AS i,
+        |  CAST(floor(COALESCE(inter.i, 0) * 1000000.0 / c.nd) AS BIGINT)
+        |    AS cont_m
+        |FROM pairs p
+        |JOIN counts c ON c.doc_id = p.doc_id
+        |LEFT JOIN inter ON inter.doc_id = p.doc_id
+        |  AND inter.ref_id = p.ref_id
+        |ORDER BY p.doc_id""".stripMargin,
+
+    "privacy_kanon" ->
+      """WITH qi AS (SELECT c_mktsegment, c_nationkey,
+        |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |     + 100000000) // 100000 AS bal_bucket FROM customer),
+        |g AS (SELECT c_mktsegment, c_nationkey, bal_bucket,
+        |    count(*) AS k FROM qi
+        |  GROUP BY c_mktsegment, c_nationkey, bal_bucket)
+        |SELECT k, count(*) AS n_groups,
+        |  CAST(k * count(*) AS BIGINT) AS n_rows,
+        |  k < 5 AS risky
+        |FROM g GROUP BY k ORDER BY k""".stripMargin,
 
     "vec_mips" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),

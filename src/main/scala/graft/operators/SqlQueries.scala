@@ -96,6 +96,29 @@ object SqlQueries extends QueryPack {
         FROM sq_orders
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority""")
+    }),
+
+    // Recursive CTE (Spark 4's WITH RECURSIVE): every customer climbs
+    // the synthetic binary-tree hierarchy key -> key div 2 to the
+    // root, enumerating its full ancestor chain — the org-chart /
+    // BOM-explosion shape relational engines need recursion for.
+    // Depth is logarithmic in the key space (~14 levels at sf0.1, far
+    // under spark.sql.cteRecursionLevelLimit=100); each level is one
+    // join-free projection + filter over the previous level, and the
+    // output aggregate is exact integers. DuckDB runs the same
+    // recursion (integer div spelled `//` there, `div` here).
+    "sql_recursive" -> ((s, dir) => {
+      Tables.load(s, dir, "customer").createOrReplaceTempView("sq_cust")
+      s.sql("""
+        WITH RECURSIVE up AS (
+          SELECT c_custkey AS start, c_custkey AS cur, 0 AS depth
+          FROM sq_cust
+          UNION ALL
+          SELECT start, cur div 2, depth + 1 FROM up WHERE cur > 1)
+        SELECT depth, count(*) AS n,
+          CAST(sum(cur) AS BIGINT) AS sum_cur,
+          min(start) AS min_start, max(start) AS max_start
+        FROM up GROUP BY depth ORDER BY depth""")
     }))
 
   def oracle: Seq[(String, String)] = Seq(
@@ -146,5 +169,16 @@ object SqlQueries extends QueryPack {
         |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big
         |FROM orders
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin)
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "sql_recursive" ->
+      """WITH RECURSIVE up AS (
+        |  SELECT c_custkey AS start, c_custkey AS cur, 0 AS depth
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT start, cur // 2, depth + 1 FROM up WHERE cur > 1)
+        |SELECT depth, count(*) AS n,
+        |  CAST(sum(cur) AS BIGINT) AS sum_cur,
+        |  min(start) AS min_start, max(start) AS max_start
+        |FROM up GROUP BY depth ORDER BY depth""".stripMargin)
 }

@@ -115,6 +115,60 @@ class CurationWarehouseSpec extends SparkTestBase {
     r.unpersist()
   }
 
+  test("sql_recursive: depth-d population is exactly #{keys >= 2^d}") {
+    // A key k contributes ancestor rows at depths 0..floor(log2 k),
+    // so the depth-d row count must equal the number of customers
+    // with c_custkey >= 2^d — an independent closed form.
+    val keys = Tables.load(spark, sf, "customer")
+      .select($"c_custkey").as[Long].collect()
+    val got = q("sql_recursive").collect()
+      .map(r => r.getAs[Int]("depth") -> r.getAs[Long]("n")).toMap
+    (0 to got.keys.max).foreach { d =>
+      // k >= 2^d for k >= 1; key 0 emits only its own depth-0 row.
+      val want = keys.count(_ >= (1L << d)).toLong +
+        (if (d == 0) keys.count(_ == 0L).toLong else 0L)
+      assert(got.getOrElse(d, 0L) == want,
+        s"depth $d: got ${got.getOrElse(d, 0L)}, want $want")
+    }
+  }
+
+  test("dedup_containment: bounds, self-exclusion, full-containment law") {
+    val r = q("dedup_containment").cache()
+    assert(r.filter($"cont_m" < 0 || $"cont_m" > 1000000).count() == 0)
+    assert(r.filter($"doc_id" === $"ref_id").count() == 0,
+      "reference must not be compared to itself")
+    assert(r.filter($"i" > $"nd").count() == 0,
+      "intersection cannot exceed the doc's own shingle count")
+    r.unpersist()
+    // Constructed group: the short doc is a verbatim substring of the
+    // long reference → containment exactly 1e6; the disjoint doc → 0.
+    val dir = scratch("containment")
+    val refText = "the quick brown fox jumps over the lazy dog again"
+    Seq((1L, refText, "en", "g", refText.length.toLong),
+        (2L, "quick brown fox", "en", "g", 15L),
+        (3L, "zzz yyy xxx www", "en", "g", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val syn = SparkEntry.queries("dedup_containment")(spark, dir)
+      .collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("cont_m"))
+      .toMap
+    assert(syn == Map(2L -> 1000000L, 3L -> 0L),
+      s"containment law violated: $syn")
+  }
+
+  test("privacy_kanon: histogram accounts for every row, flag correct") {
+    val r = q("privacy_kanon").collect()
+    val total = Tables.load(spark, sf, "customer").count()
+    assert(r.map(_.getAs[Long]("n_rows")).sum == total,
+      "k-histogram must account for every customer row")
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_rows") ==
+        row.getAs[Long]("k") * row.getAs[Long]("n_groups"))
+      assert(row.getAs[Boolean]("risky") == (row.getAs[Long]("k") < 5))
+    }
+  }
+
   test("agg_corrmatrix: valid correlations, consistent with agg_regression") {
     val rows = q("agg_corrmatrix").collect()
     rows.foreach { row =>
