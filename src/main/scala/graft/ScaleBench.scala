@@ -44,7 +44,10 @@ object ScaleBench {
     "vec_pq", "vec_knn_ivf", "vec_centroid",
     // r7 additions that read the replicated tables: BM25 retrieval,
     // the IVF-PQ ANN composition, and binary frame sampling
-    "text_bm25", "vec_ivfpq", "mm_framesample")
+    "text_bm25", "vec_ivfpq", "mm_framesample",
+    // r7b additions over documents/embeddings: span-level dedup,
+    // reference containment, and MIPS retrieval
+    "text_dupspans", "dedup_containment", "vec_mips")
 
   def stage(spark: SparkSession, base: String, out: String, m: Int): Unit = {
     import spark.implicits._

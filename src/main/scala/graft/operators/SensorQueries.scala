@@ -173,6 +173,57 @@ object SensorQueries extends QueryPack {
     // aggregate broadcast back onto the stream; the normalized value
     // is a single IEEE (value−min)/(max−min) — bit-identical
     // cross-engine.
+    // Gaps-and-islands streak detection: longest run of CONSECUTIVE
+    // purchase days per user (retention/engagement's canonical
+    // metric). The island id is day − row_number — constant within a
+    // consecutive run, strictly shifted across a gap — so streaks
+    // fall out of two stacked integer aggregates; the day relation is
+    // distinct-reduced before any window (≤ one row per user-day at
+    // any scale). All integers, exact oracle.
+    "win_streak" -> ((s, dir) => {
+      import s.implicits._
+      val days = Tables.load(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .selectExpr("user_id",
+          "unix_timestamp(date_trunc('DAY', ts)) div 86400 AS day")
+        .distinct()
+      days
+        .withColumn("island", $"day" - row_number().over(
+          Window.partitionBy($"user_id").orderBy($"day")))
+        .groupBy($"user_id", $"island")
+        .agg(count(lit(1)).as("len"))
+        .groupBy($"user_id")
+        .agg(sum($"len").as("n_days"), count(lit(1)).as("n_streaks"),
+          max($"len").as("max_streak"))
+        .orderBy($"user_id")
+    }),
+
+    // Series downsampling: one representative per (user, 6-hour
+    // bucket) — the point FARTHEST from its bucket mean (the
+    // shape-preserving pick; an LTTB-family criterion made exactly
+    // deterministic by comparing |cents·n − Σcents| — the mean
+    // inequality multiplied through by n, so no division ever
+    // happens). Per-bucket windows partition on the high-cardinality
+    // (user, bucket) key; ties break on event_id (§7.4 P5).
+    "ts_downsample" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+        .selectExpr("user_id", "event_id", "value",
+          "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
+          "unix_timestamp(date_trunc('SECOND', ts)) div 21600 AS bucket")
+      val wb = Window.partitionBy($"user_id", $"bucket")
+      e.withColumn("n", count(lit(1)).over(wb))
+        .withColumn("sumc", sum($"cents").over(wb))
+        .withColumn("crit", abs($"cents" * $"n" - $"sumc"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"user_id", $"bucket")
+            .orderBy($"crit".desc, $"event_id")))
+        .filter($"rn" === 1)
+        .select($"user_id", $"bucket", $"event_id", $"value",
+          $"n".as("n_in_bucket"))
+        .orderBy($"user_id", $"bucket")
+    }),
+
     "ts_norm" -> ((s, dir) => {
       import s.implicits._
       val e = Tables.load(s, dir, "events")
@@ -368,6 +419,36 @@ object SensorQueries extends QueryPack {
         |LEFT JOIN t2 ON t2.user_id = t1.user_id
         |LEFT JOIN t3 ON t3.user_id = t1.user_id
         |ORDER BY t1.user_id""".stripMargin,
+
+    "win_streak" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day
+        |  FROM events WHERE event_type = 'purchase'),
+        |isl AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS island
+        |  FROM days),
+        |runs AS (SELECT user_id, island, count(*) AS len
+        |  FROM isl GROUP BY user_id, island)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
+        |  count(*) AS n_streaks, max(len) AS max_streak
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ts_downsample" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 21600
+        |      AS bucket
+        |  FROM events),
+        |st AS (SELECT *, count(*) OVER wb AS n,
+        |    CAST(sum(cents) OVER wb AS BIGINT) AS sumc
+        |  FROM e WINDOW wb AS (PARTITION BY user_id, bucket)),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, bucket
+        |    ORDER BY abs(cents * n - sumc) DESC, event_id) AS rn
+        |  FROM st)
+        |SELECT user_id, bucket, event_id, value, n AS n_in_bucket
+        |FROM r WHERE rn = 1 ORDER BY user_id, bucket""".stripMargin,
 
     "ts_norm" ->
       """SELECT event_id, event_type, value,

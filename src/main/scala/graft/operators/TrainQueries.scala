@@ -427,6 +427,34 @@ object TrainQueries extends QueryPack {
     // genuinely read the big-endian segment-length field to locate
     // SOF0 — the offset cannot be hardcoded. All map-side expression
     // work (hex/conv/substring), no shuffle beyond the contract sort.
+    // Average-hash (aHash) perceptual fingerprint over the leading
+    // 8×8-ish byte grid of the payload: bit i set iff byte i exceeds
+    // the grid mean — the compare is multiplied through by 60
+    // (byte·60 > Σbytes) so it is integer-exact with no division.
+    // This is the image near-dup front-end: payloads hashing together
+    // (n_mates > 1) feed the SAME 64-bit Hamming-block index the text
+    // side uses (dedup_hamming64's 4×16-bit Manku blocks). 60 bits so
+    // every partial sum stays far inside BIGINT in both engines. Pure
+    // map-side HOF arithmetic; the only shuffle is the mate-count
+    // window over the 60-bit key.
+    "mm_ahash" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .filter(length($"text") >= 60)
+        .withColumn("b", transform(
+          split(substring($"text", 1, 60), ""),
+          c => ascii(c).cast(LongType)))
+        .withColumn("s", aggregate($"b", lit(0L), (a, x) => a + x))
+        .withColumn("ahash", expr(
+          "aggregate(transform(sequence(1, 60), " +
+            "i -> IF(element_at(b, i) * 60 > s, " +
+            "shiftleft(1L, i - 1), 0L)), 0L, (a, x) -> a + x)"))
+        .withColumn("n_mates",
+          count(lit(1)).over(Window.partitionBy($"ahash")))
+        .select($"doc_id", $"ahash", $"n_mates")
+        .orderBy($"doc_id")
+    }),
+
     "mm_headers" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
@@ -824,6 +852,24 @@ object TrainQueries extends QueryPack {
     // BLOB substring): byte k of the payload is chars 2k-1..2k of the
     // hex rendering. Hex→int is a manual base-16 fold (no conv() in
     // DuckDB).
+    "mm_ahash" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_transform(string_split(substr(text, 1, 60), ''),
+        |      c -> CAST(ascii(c) AS BIGINT)) AS b
+        |  FROM documents WHERE length(text) >= 60),
+        |s AS (SELECT doc_id, b,
+        |    list_reduce(b, (a, x) -> a + x) AS s FROM d),
+        |h AS (SELECT doc_id,
+        |    list_reduce(list_transform(range(1, 61),
+        |      i -> CASE WHEN b[i] * 60 > s
+        |           THEN CAST(1 AS BIGINT) << (i - 1)
+        |           ELSE CAST(0 AS BIGINT) END),
+        |      (a, x) -> a + x) AS ahash
+        |  FROM s)
+        |SELECT doc_id, ahash,
+        |  count(*) OVER (PARTITION BY ahash) AS n_mates
+        |FROM h ORDER BY doc_id""".stripMargin,
+
     "mm_headers" ->
       """WITH d AS (SELECT doc_id,
         |    doc_id % 640 + 1 AS w, (doc_id * 7) % 480 + 1 AS h,

@@ -90,6 +90,28 @@ object WarehouseQueries extends QueryPack {
         .orderBy($"c_mktsegment", $"tile")
     }),
 
+    // Gini impurity of the label distribution per group — the
+    // dataset-balance audit (is one status swamping a partition?).
+    // Chosen over Shannon entropy DELIBERATELY: entropy needs log(),
+    // which libm does not guarantee correctly-rounded (it would break
+    // the cross-engine hash), while Gini is rational — exact BIGINT
+    // count power sums into one deterministic IEEE division, the
+    // agg_regression discipline.
+    "agg_gini" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("c"))
+        .groupBy($"l_returnflag")
+        .agg(sum($"c").as("n"), count(lit(1)).as("n_labels"),
+          sum($"c" * $"c").as("sum_sq"))
+        .select($"l_returnflag", $"n", $"n_labels",
+          round(lit(1.0) - $"sum_sq".cast(DoubleType) /
+            ($"n".cast(DoubleType) * $"n".cast(DoubleType)), 12)
+            .as("gini"))
+        .orderBy($"l_returnflag")
+    }),
+
     "agg_corrmatrix" -> ((s, dir) => {
       import s.implicits._
       import Det.money
@@ -160,6 +182,18 @@ object WarehouseQueries extends QueryPack {
         |  min(c_custkey) AS min_cust, max(c_custkey) AS max_cust
         |FROM t GROUP BY c_mktsegment, tile
         |ORDER BY c_mktsegment, tile""".stripMargin,
+
+    "agg_gini" ->
+      """WITH counts AS (SELECT l_returnflag, l_linestatus,
+        |    count(*) AS c FROM lineitem
+        |  GROUP BY l_returnflag, l_linestatus),
+        |g AS (SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS n,
+        |    count(*) AS n_labels, CAST(sum(c * c) AS BIGINT) AS sum_sq
+        |  FROM counts GROUP BY l_returnflag)
+        |SELECT l_returnflag, n, n_labels,
+        |  round(1.0 - CAST(sum_sq AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 12) AS gini
+        |FROM g ORDER BY l_returnflag""".stripMargin,
 
     "agg_corrmatrix" ->
       """WITH g AS (

@@ -169,6 +169,88 @@ class CurationWarehouseSpec extends SparkTestBase {
     }
   }
 
+  test("win_streak: day accounting and a constructed streak") {
+    val r = q("win_streak").cache()
+    assert(r.filter($"max_streak" > $"n_days" ||
+      $"n_streaks" > $"n_days" || $"max_streak" < 1).count() == 0)
+    // n_days must equal the independent distinct-day count per user.
+    val want = Tables.load(spark, sf, "events")
+      .filter($"event_type" === "purchase")
+      .selectExpr("user_id", "date_trunc('DAY', ts) AS d").distinct()
+      .groupBy($"user_id").agg(count(lit(1)).as("n_days"))
+    assert(r.select($"user_id", $"n_days").join(want,
+      Seq("user_id", "n_days")).count() == r.count(),
+      "n_days mismatch vs independent recompute")
+    r.unpersist()
+    // Constructed series: days {1,2,3, 7,8} → 2 streaks, longest 3.
+    val dir = scratch("streak")
+    // ts is stored as raw nanos (Tables.load reads events via the
+    // nanosAsLong conf and rescales itself).
+    val rows = Seq(1L, 2L, 3L, 7L, 8L).zipWithIndex.map { case (d, i) =>
+      (i.toLong, (d * 86400L + 60L) * 1000000000L,
+        42L, "purchase", 1.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props").write.parquet(s"$dir/events.parquet")
+    val syn = SparkEntry.queries("win_streak")(spark, dir).collect()
+    assert(syn.length == 1 &&
+      syn(0).getAs[Long]("n_streaks") == 2 &&
+      syn(0).getAs[Long]("max_streak") == 3 &&
+      syn(0).getAs[Long]("n_days") == 5,
+      s"constructed streak law violated: ${syn.mkString}")
+  }
+
+  test("ts_downsample: one representative per bucket, maximal deviation") {
+    val r = q("ts_downsample").cache()
+    // Independent recompute of the winner per (user, bucket) via a
+    // groupBy + join (no window): same criterion, same tiebreak.
+    val e = Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_id",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
+        "unix_timestamp(date_trunc('SECOND', ts)) div 21600 AS bucket")
+    val stats = e.groupBy($"user_id", $"bucket")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sumc"))
+    val scored = e.join(stats, Seq("user_id", "bucket"))
+      .withColumn("crit", abs($"cents" * $"n" - $"sumc"))
+    val best = scored.groupBy($"user_id", $"bucket")
+      .agg(max(struct($"crit", -$"event_id")).as("m"))
+      .select($"user_id", $"bucket", (-$"m.col2").as("event_id"))
+    assert(r.select($"user_id", $"bucket", $"event_id")
+      .join(best, Seq("user_id", "bucket", "event_id")).count()
+      == r.count(), "representative disagrees with max-struct recompute")
+    assert(r.count() == stats.count(), "one row per populated bucket")
+    r.unpersist()
+  }
+
+  test("agg_gini: impurity bounds") {
+    q("agg_gini").collect().foreach { row =>
+      val g = row.getAs[Double]("gini")
+      val labels = row.getAs[Long]("n_labels").toDouble
+      assert(g >= -1e-12 && g <= 1.0 - 1.0 / labels + 1e-12,
+        s"gini $g outside [0, 1 - 1/$labels]")
+    }
+  }
+
+  test("mm_ahash: 60-bit range; identical payloads collide") {
+    val r = q("mm_ahash").cache()
+    assert(r.filter($"ahash" < 0 || $"ahash" >= (1L << 60)).count() == 0,
+      "ahash must fit in 60 bits")
+    r.unpersist()
+    val dir = scratch("ahash")
+    val t = ("x" * 30) + ("~" * 30) // low half then high half: mixed bits
+    Seq((1L, t, "en", "a", 60L), (2L, t, "en", "a", 60L),
+        (3L, ("q" * 61), "en", "a", 61L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val syn = SparkEntry.queries("mm_ahash")(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("ahash"), x.getAs[Long]("n_mates"))).toMap
+    assert(syn(1L) == syn(2L) && syn(1L)._2 == 2,
+      "identical payloads must share an ahash with n_mates 2")
+    assert(syn(3L)._1 == 0L && syn(3L)._2 == 1,
+      "constant payload has no byte above the mean -> hash 0")
+  }
+
   test("agg_corrmatrix: valid correlations, consistent with agg_regression") {
     val rows = q("agg_corrmatrix").collect()
     rows.foreach { row =>
