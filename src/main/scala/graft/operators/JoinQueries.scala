@@ -243,10 +243,74 @@ object JoinQueries extends QueryPack {
         .agg(dsum($"l_extendedprice").as("sum_price"),
              count(lit(1)).as("n"))
         .orderBy($"s_nationkey")
+    }),
+
+    // Interval-OVERLAP join (r7): purchases and clicks each carry a
+    // VARIABLE-length activity interval [s, e) (length = value x 10
+    // in seconds, up to ~3 h), and the query finds same-user pairs
+    // whose intervals overlap — the general interval join that as-of
+    // (point-to-latest-point) and theta-range (point-in-fixed-window)
+    // cannot express, because both endpoints vary per row. The
+    // distributed plan is the canonical bucketed interval join: each
+    // interval explodes to the 10-minute buckets it touches (≤ 3 here
+    // — fanout is ceil(len/W)+1, bounded by the interval cap), pairs
+    // equi-join on (user, bucket), a residual predicate checks real
+    // overlap, and each pair is COUNTED EXACTLY ONCE without any
+    // distinct: only the bucket containing max(s_a, s_b) — the
+    // overlap's start — reports it. No quadratic stage: per-(user,
+    // bucket) occupancy bounds all pair work.
+    "join_interval_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val W = 600L
+      def side(tpe: String, idc: String) =
+        Tables.load(s, dir, "events")
+          .filter($"event_type" === tpe)
+          .selectExpr(s"event_id AS $idc", "user_id",
+            "unix_timestamp(date_trunc('SECOND', ts)) AS s",
+            "unix_timestamp(date_trunc('SECOND', ts)) + " +
+              "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+              " div 10 AS e")
+          .filter($"e" > $"s")
+      val p = side("purchase", "p_id")
+        .withColumn("bkt", explode(expr(s"sequence(s div $W, (e - 1) div $W)")))
+      val c = side("click", "c_id")
+        .withColumn("bkt", explode(expr(s"sequence(s div $W, (e - 1) div $W)")))
+        .withColumnRenamed("s", "cs").withColumnRenamed("e", "ce")
+      p.join(c, Seq("user_id", "bkt"))
+        .filter($"s" < $"ce" && $"cs" < $"e")
+        .filter(expr(s"bkt = greatest(s, cs) div $W"))
+        .select($"p_id", $"c_id", $"user_id",
+          (least($"e", $"ce") - greatest($"s", $"cs")).as("overlap_s"))
+        .orderBy($"p_id", $"c_id")
     })
   )
 
   def oracle: Seq[(String, String)] = Seq(
+    // The oracle joins intervals directly (no buckets): the bucketed
+    // plan must produce the identical pair set, proving the
+    // explode/residual/report-once machinery loses and duplicates
+    // nothing.
+    "join_interval_overlap" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |      + CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 10
+        |      AS e
+        |  FROM events WHERE event_type = 'purchase'),
+        |p2 AS (SELECT * FROM p WHERE e > s),
+        |c AS (SELECT event_id AS c_id, user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS cs,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |      + CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 10
+        |      AS ce
+        |  FROM events WHERE event_type = 'click'),
+        |c2 AS (SELECT * FROM c WHERE ce > cs)
+        |SELECT p2.p_id, c2.c_id, p2.user_id,
+        |  least(p2.e, c2.ce) - greatest(p2.s, c2.cs) AS overlap_s
+        |FROM p2 JOIN c2 ON p2.user_id = c2.user_id
+        |  AND p2.s < c2.ce AND c2.cs < p2.e
+        |ORDER BY p_id, c_id""".stripMargin,
+
     "join_multiway" ->
       """SELECT r_name, n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

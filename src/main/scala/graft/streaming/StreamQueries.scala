@@ -309,6 +309,38 @@ object StreamQueries {
       .select($"p_id", $"c_id", $"user_id")
   }
 
+  /** st16 — stream–stream LEFT OUTER interval join (r7): st9's inner
+    * join only ever emits on a match, so its state semantics are
+    * simple; the outer variant must ALSO emit each unmatched purchase with
+    * a null click — and may only do so once the watermark proves no
+    * in-window click can still arrive (otherwise a late match would
+    * contradict an already-emitted null row). That
+    * watermark-gated-null emission is the attribution pipeline's
+    * "purchase with no preceding ad click" query, and it is exactly
+    * the state machine the inner join never exercises. Both sides'
+    * state is trimmed by watermark + the time-range condition. The
+    * equivalence replay appends the wmflush sentinel so end-of-stream
+    * outer state flushes before the query stops. */
+  def purchaseClickLeftJoin(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", "1 hour")
+      else events
+    val purchases = withWm.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+    val clicks = (if (events.isStreaming)
+        events.withWatermark("ts", "1 hour") else events)
+      .filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id".as("c_user"),
+              $"ts".as("c_ts"))
+    purchases.join(clicks,
+      $"user_id" === $"c_user" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES") &&
+        $"c_ts" <= $"p_ts" + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select($"p_id", $"c_id", $"user_id")
+  }
+
   /** st11 — foreachBatch upsert sink: maintain latest-event-per-user
     * in a parquet target by merging each micro-batch (read current →
     * union → keep max event_id per user → overwrite). Idempotent per

@@ -222,6 +222,33 @@ class CurationWarehouseSpec extends SparkTestBase {
     r.unpersist()
   }
 
+  test("join_interval_overlap: bucketed plan == direct interval join") {
+    // The bucketed explode/residual/report-once machinery must equal
+    // a direct (quadratic within user) interval join — same intervals,
+    // no buckets. Proves no pair is lost or double-counted.
+    def side(tpe: String, idc: String) =
+      Tables.load(spark, sf, "events")
+        .filter($"event_type" === tpe)
+        .selectExpr(s"event_id AS $idc", "user_id",
+          "unix_timestamp(date_trunc('SECOND', ts)) AS s",
+          "unix_timestamp(date_trunc('SECOND', ts)) + " +
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " div 10 AS e")
+        .filter($"e" > $"s")
+    val p = side("purchase", "p_id")
+    val c = side("click", "c_id")
+      .withColumnRenamed("s", "cs").withColumnRenamed("e", "ce")
+    val direct = p.join(c, Seq("user_id"))
+      .filter($"s" < $"ce" && $"cs" < $"e")
+      .select($"p_id", $"c_id", $"user_id",
+        (least($"e", $"ce") - greatest($"s", $"cs")).as("overlap_s"))
+    val got = q("join_interval_overlap")
+    assertSameRows(got, direct, "bucketed vs direct interval join")
+    assert(got.filter($"overlap_s" < 1).count() == 0,
+      "strict overlap must be >= 1 second")
+    assert(got.count() > 0, "fixture must produce overlapping pairs")
+  }
+
   test("agg_gini: impurity bounds") {
     q("agg_gini").collect().foreach { row =>
       val g = row.getAs[Double]("gini")

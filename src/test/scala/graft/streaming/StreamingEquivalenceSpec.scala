@@ -210,6 +210,44 @@ class StreamingEquivalenceSpec extends SparkTestBase {
       StreamQueries.enrichWithUserDim(batchEvents, spark, sf), "st8")
   }
 
+  test("st16: stream-stream LEFT OUTER interval join == batch join") {
+    // The generic wmflush sentinel does NOT work here: Catalyst pushes
+    // the per-type filters below the EventTimeWatermark node (into the
+    // scan), so a sentinel of a type neither side keeps never reaches
+    // either watermark tracker — and the clicks side then pins the
+    // GLOBAL watermark at max-click-ts − 1h forever (measured: the last
+    // ~2h of purchases never evict, their null rows never emit). This
+    // is the streaming-join twin of Kafka's idle-partition stall: the
+    // watermark is per-JOIN-SIDE, so each side's flush row must pass
+    // that side's own filter. Hence two TYPED far-future sentinels on
+    // reserved negative user ids (distinct ids so they cannot match
+    // each other), plus one more click file because outer-state
+    // eviction runs in the batch AFTER the watermark advances.
+    val dir = replayDir("st16", sentinel = false)
+    val maxTs = batchEvents.agg(max($"ts")).head().getTimestamp(0)
+    def far(h: Long) =
+      new java.sql.Timestamp(maxTs.getTime + h * 3600 * 1000)
+    Seq((Long.MaxValue - 1, far(48), -1L, "click", 0.0, "{}"),
+        (Long.MaxValue - 2, far(48), -2L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((Long.MaxValue - 3, far(50), -1L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stream = EventStreams.readEventStream(spark, dir)
+    // The purchase sentinel itself can never evict (the watermark
+    // stops 1h behind it), so it is excluded by its reserved id; the
+    // batch side runs on the ORIGINAL events only.
+    val got = runToMemory(StreamQueries.purchaseClickLeftJoin(stream),
+      "st16_out", "append").filter($"user_id" >= 0)
+    val want = StreamQueries.purchaseClickLeftJoin(batchEvents)
+    assertSameRows(got, want, "st16")
+    // The outer join must actually exercise the null path: the
+    // fixture contains purchases with no in-window click.
+    assert(want.filter($"c_id".isNull).count() > 0,
+      "fixture must contain unmatched purchases")
+  }
+
   test("st9: stream-stream interval join == batch join") {
     val stream = EventStreams.readEventStream(
       spark, replayDir("st9", sentinel = false))
