@@ -224,6 +224,30 @@ object SensorQueries extends QueryPack {
         .orderBy($"user_id", $"bucket")
     }),
 
+    // Day-of-week seasonal profile per event type, with the peak day
+    // flagged. The dow is computed engine-independently as
+    // (epoch_days + 4) % 7 (1970-01-01 was a Thursday; 0 = Sunday) —
+    // NEVER the engines' dayofweek(), whose numbering conventions
+    // differ (Spark 1=Sunday, DuckDB 0=Sunday). The per-dow average
+    // is one IEEE division of identical exact integers, so the peak
+    // ranking (avg desc, dow asc) is deterministic cross-engine.
+    "ts_seasonality" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .selectExpr("event_type",
+          "(unix_timestamp(date_trunc('DAY', ts)) div 86400 + 4) % 7" +
+            " AS dow",
+          "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+        .groupBy($"event_type", $"dow")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("sum_c"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"event_type")
+            .orderBy(($"sum_c" / $"n").desc, $"dow")))
+        .selectExpr("event_type", "dow", "n",
+          "round(sum_c / n / 100.0, 12) AS avg_v", "rk = 1 AS is_peak")
+        .orderBy($"event_type", $"dow")
+    }),
+
     "ts_norm" -> ((s, dir) => {
       import s.implicits._
       val e = Tables.load(s, dir, "events")
@@ -449,6 +473,21 @@ object SensorQueries extends QueryPack {
         |  FROM st)
         |SELECT user_id, bucket, event_id, value, n AS n_in_bucket
         |FROM r WHERE rn = 1 ORDER BY user_id, bucket""".stripMargin,
+
+    "ts_seasonality" ->
+      """WITH e AS (SELECT event_type,
+        |    (CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 + 4)
+        |      % 7 AS dow,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |g AS (SELECT event_type, dow, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_c
+        |  FROM e GROUP BY event_type, dow),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY sum_c / n DESC, dow) AS rk FROM g)
+        |SELECT event_type, dow, n,
+        |  round(sum_c / n / 100.0, 12) AS avg_v, rk = 1 AS is_peak
+        |FROM r ORDER BY event_type, dow""".stripMargin,
 
     "ts_norm" ->
       """SELECT event_id, event_type, value,

@@ -112,6 +112,38 @@ object WarehouseQueries extends QueryPack {
         .orderBy($"l_returnflag")
     }),
 
+    // Skewness + excess kurtosis per group — the distribution-shape
+    // audit (heavy tails / asymmetry) run before normalizing a
+    // feature. l_quantity is integral (1..50, verified), so all four
+    // power sums are exact BIGINTs (50^4 x 6e5 rows ~ 4e12, far
+    // inside int64); the moments are then ONE fixed IEEE expression
+    // whose text is byte-identical in the oracle — the denominators
+    // use d*sqrt(d), never pow(d, 1.5) (pow is not correctly-rounded
+    // everywhere; sqrt and multiply are).
+    "agg_skewkurt" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .selectExpr("l_returnflag",
+          "CAST(l_quantity AS BIGINT) AS q")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), sum($"q").as("s1"),
+          sum($"q" * $"q").as("s2"),
+          sum($"q" * $"q" * $"q").as("s3"),
+          sum($"q" * $"q" * $"q" * $"q").as("s4"))
+        .selectExpr("l_returnflag", "n",
+          "round((s3 / n - 3 * (s1 / n) * (s2 / n)" +
+            " + 2 * (s1 / n) * (s1 / n) * (s1 / n))" +
+            " / ((s2 / n - (s1 / n) * (s1 / n))" +
+            " * sqrt(s2 / n - (s1 / n) * (s1 / n))), 12) AS skew",
+          "round((s4 / n - 4 * (s1 / n) * (s3 / n)" +
+            " + 6 * (s1 / n) * (s1 / n) * (s2 / n)" +
+            " - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))" +
+            " / ((s2 / n - (s1 / n) * (s1 / n))" +
+            " * (s2 / n - (s1 / n) * (s1 / n))) - 3, 12)" +
+            " AS kurt_excess")
+        .orderBy($"l_returnflag")
+    }),
+
     "agg_corrmatrix" -> ((s, dir) => {
       import s.implicits._
       import Det.money
@@ -193,6 +225,31 @@ object WarehouseQueries extends QueryPack {
         |SELECT l_returnflag, n, n_labels,
         |  round(1.0 - CAST(sum_sq AS DOUBLE)
         |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 12) AS gini
+        |FROM g ORDER BY l_returnflag""".stripMargin,
+
+    "agg_skewkurt" ->
+      """WITH g AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)
+        |             * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)
+        |             * CAST(l_quantity AS BIGINT)
+        |             * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)
+        |             * CAST(l_quantity AS BIGINT)
+        |             * CAST(l_quantity AS BIGINT)
+        |             * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s4
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((s3 / n - 3 * (s1 / n) * (s2 / n)
+        |    + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+        |    / ((s2 / n - (s1 / n) * (s1 / n))
+        |    * sqrt(s2 / n - (s1 / n) * (s1 / n))), 12) AS skew,
+        |  round((s4 / n - 4 * (s1 / n) * (s3 / n)
+        |    + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+        |    - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+        |    / ((s2 / n - (s1 / n) * (s1 / n))
+        |    * (s2 / n - (s1 / n) * (s1 / n))) - 3, 12) AS kurt_excess
         |FROM g ORDER BY l_returnflag""".stripMargin,
 
     "agg_corrmatrix" ->

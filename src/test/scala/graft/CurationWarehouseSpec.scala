@@ -278,6 +278,44 @@ class CurationWarehouseSpec extends SparkTestBase {
       "constant payload has no byte above the mean -> hash 0")
   }
 
+  test("agg_skewkurt: agrees with Spark's native skewness/kurtosis") {
+    // Spark's native skewness()/kurtosis() are population moments too
+    // (not oracle-able cross-engine because their accumulation order
+    // varies, but fine as an in-engine reference within tolerance).
+    val native = Tables.load(spark, sf, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(skewness($"l_quantity").as("sk"),
+        kurtosis($"l_quantity").as("ku"))
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("sk"), r.getAs[Double]("ku"))).toMap
+    q("agg_skewkurt").collect().foreach { row =>
+      val f = row.getAs[String]("l_returnflag")
+      assert(math.abs(row.getAs[Double]("skew") - native(f)._1) < 1e-6,
+        s"$f skew ${row.getAs[Double]("skew")} vs native ${native(f)._1}")
+      assert(math.abs(row.getAs[Double]("kurt_excess") - native(f)._2)
+        < 1e-6,
+        s"$f kurt ${row.getAs[Double]("kurt_excess")} vs ${native(f)._2}")
+    }
+  }
+
+  test("ts_seasonality: seven days per type, exactly one peak") {
+    val r = q("ts_seasonality").cache()
+    val byType = r.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_dows"),
+        sum(when($"is_peak", 1).otherwise(0)).as("n_peaks"),
+        min($"dow").as("lo"), max($"dow").as("hi"))
+    assert(byType.filter($"n_dows" =!= 7 || $"n_peaks" =!= 1 ||
+      $"lo" =!= 0 || $"hi" =!= 6).count() == 0,
+      "each type needs dows 0..6 with exactly one peak")
+    // Row accounting: per-type n sums to the type's event count.
+    val want = Tables.load(spark, sf, "events")
+      .groupBy($"event_type").agg(count(lit(1)).as("total"))
+    val got = r.groupBy($"event_type").agg(sum($"n").as("total"))
+    assertSameRows(got, want, "ts_seasonality row accounting")
+    r.unpersist()
+  }
+
   test("agg_corrmatrix: valid correlations, consistent with agg_regression") {
     val rows = q("agg_corrmatrix").collect()
     rows.foreach { row =>
