@@ -201,6 +201,32 @@ object SourceSinkQueries extends QueryPack {
         .orderBy($"event_type")
     }),
 
+    // Dynamic partition pruning (r7): THE optimizer feature that makes
+    // star joins over partitioned 100-TB fact tables viable — the
+    // selective dim-side predicate turns into a runtime IN-filter on
+    // the fact's PARTITION column, so only matching partition
+    // directories are listed/scanned (here 2 of 5). The fact is a
+    // staged orders copy partitioned by o_orderpriority; the dim is
+    // the distinct priority list filtered to '1-%'/'2-%'. The plan
+    // must carry `dynamicpruning` in the scan's PartitionFilters —
+    // pinned in PlanShapeSpec, because a silently-disabled DPP still
+    // returns correct rows while scanning 2.5× the data.
+    "scan_dpp" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp(dir, "orders_bypriority")
+      val o = Tables.load(s, dir, "orders")
+      if (!new java.io.File(path, "_SUCCESS").exists())
+        o.write.mode("overwrite").partitionBy("o_orderpriority")
+          .parquet(path)
+      val fact = s.read.parquet(path)
+      val dim = o.select($"o_orderpriority".as("pri")).distinct()
+        .filter($"pri".startsWith("1-") || $"pri".startsWith("2-"))
+      fact.join(dim, $"o_orderpriority" === $"pri")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // Schema-evolution read (r7): a long-lived 100-TB table is written
     // by MANY job versions — early files lack columns later ones have.
     // Stages two parquet generations from customer (v1: key+name+nation
@@ -286,6 +312,14 @@ object SourceSinkQueries extends QueryPack {
         |      CAST(n_nationkey AS VARCHAR))
         |    FILTER (WHERE n_nationkey % 5 = 0) AS corrupt_sample
         |FROM nation""".stripMargin,
+
+    "scan_dpp" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "sink_parquet_part" ->
       """SELECT event_type, count(*) AS n,

@@ -124,6 +124,30 @@ object WindowQueries extends QueryPack {
         .orderBy($"o_custkey", $"o_totalprice", $"o_orderkey")
     }),
 
+    // TIME-typed range frame (r7): the trailing-1-hour rolling window
+    // every telemetry dashboard runs, phrased directly on the ordered
+    // timestamp with an INTERVAL bound — unlike win_frame_range's
+    // numeric range, the frame edge here is calendar arithmetic the
+    // engine evaluates per row. ts truncated to seconds (§7.4 P3) so
+    // frame membership is identical cross-engine; the sum is an exact
+    // decimal fold. Per-user partitions keep frames small and state
+    // O(window) regardless of history length.
+    "win_time_range" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .selectExpr("event_id", "user_id",
+          "date_trunc('SECOND', ts) AS tsec",
+          "CAST(value AS DECIMAL(18,2)) AS dv")
+        .selectExpr("event_id", "user_id",
+          "count(*) OVER (PARTITION BY user_id ORDER BY tsec" +
+            " RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)" +
+            " AS n_1h",
+          "CAST(sum(dv) OVER (PARTITION BY user_id ORDER BY tsec" +
+            " RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)" +
+            " AS DOUBLE) AS sum_1h")
+        .orderBy($"event_id")
+    }),
+
     // first_value / last_value / nth_value over the full user-day
     // frame. events.ts is ns in parquet but µs in Spark (§7.4 P3), so
     // the oracle orders by date_trunc('microseconds', ts) — identical
@@ -274,6 +298,19 @@ object WindowQueries extends QueryPack {
         |             ROWS BETWEEN UNBOUNDED PRECEDING
         |                      AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id, day, event_id""".stripMargin,
+
+    "win_time_range" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    date_trunc('second', ts) AS tsec,
+        |    CAST(value AS DECIMAL(18,2)) AS dv FROM events)
+        |SELECT event_id, user_id,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY tsec
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |    AS n_1h,
+        |  CAST(sum(dv) OVER (PARTITION BY user_id ORDER BY tsec
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS sum_1h
+        |FROM e ORDER BY event_id""".stripMargin,
 
     "win_sessionize" ->
       """WITH t AS (

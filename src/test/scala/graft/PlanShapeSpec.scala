@@ -280,6 +280,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Expand"), s"Expand in sketch plan:\n$p")
   }
 
+  test("scan_dpp carries a dynamic-pruning partition filter") {
+    // Correct rows come back with DPP silently off too — the plan
+    // must prove only matching partition directories are scanned.
+    val p = planOf("scan_dpp")
+    assert(p.contains("dynamicpruning"),
+      s"no dynamicpruningexpression in the partitioned scan:\n$p")
+  }
+
   test("ts_resample joins the grid to the reduced aggregate only") {
     // The only nested-loop join allowed is the grid cross join whose
     // build side is the 1-row bounds aggregate / 5-row type dim;
