@@ -270,6 +270,29 @@ object FnQueries extends QueryPack {
         .select($"n_nationkey", $"r.k".as("k"),
                 $"r.name".as("name"), $"r.rg".as("rg"))
         .orderBy($"n_nationkey")
+    }),
+
+    // Collated grouping (Spark 4 collations): UTF8_LCASE makes GROUP
+    // BY / equality case-insensitive WITHOUT rewriting values through
+    // lower() — at scale that keeps the original strings intact for
+    // output while the grouping key, join key, and comparisons fold
+    // case in the collator. Mixed-case input synthesized per row
+    // parity; n_variants counts the case forms merged per group. The
+    // oracle mirrors the SEMANTICS via lower() grouping (equivalent
+    // for this ASCII fixture — DuckDB 1.0 has no per-expression
+    // collation).
+    "fn_collation" -> ((s, dir) => {
+      Tables.load(s, dir, "part")
+        .selectExpr("p_partkey",
+          "CASE WHEN p_partkey % 2 = 0 THEN lower(p_type) ELSE p_type" +
+            " END AS typ")
+        .createOrReplaceTempView("col_part")
+      s.sql("""
+        SELECT count(*) AS n, count(DISTINCT typ) AS n_variants,
+          min(typ) AS v_min, max(typ) AS v_max
+        FROM col_part
+        GROUP BY collate(typ, 'UTF8_LCASE')
+        ORDER BY v_min, v_max""")
     })
   )
 
@@ -428,6 +451,13 @@ object FnQueries extends QueryPack {
     "fn_xml" ->
       """SELECT n_nationkey, n_nationkey AS k, n_name AS name,
         |  n_regionkey AS rg
-        |FROM nation ORDER BY n_nationkey""".stripMargin
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "fn_collation" ->
+      """WITH p AS (SELECT CASE WHEN p_partkey % 2 = 0
+        |    THEN lower(p_type) ELSE p_type END AS typ FROM part)
+        |SELECT count(*) AS n, count(DISTINCT typ) AS n_variants,
+        |  min(typ) AS v_min, max(typ) AS v_max
+        |FROM p GROUP BY lower(typ) ORDER BY v_min, v_max""".stripMargin
   )
 }

@@ -114,6 +114,25 @@ object StreamQueries {
         md5($"bm").as("state_md5"))
   }
 
+  /** st17 — state-store READER (Spark 4 `statestore` data source):
+    * the operational tool that makes 100-TB streaming state
+    * debuggable — the checkpoint's state store is read back as a
+    * plain batch DataFrame (no query restart, no sink replay). This
+    * projects a tumbling-aggregation checkpoint's state into the same
+    * shape `tumbling` emits, so the spec can assert state == batch
+    * recompute == what the query published. value.sum is the exact
+    * DECIMAL accumulation buffer — reading it confirms the in-flight
+    * state, not just the sink output, carries the exact-decimal
+    * discipline. */
+  def tumblingStateOf(spark: org.apache.spark.sql.SparkSession,
+                      checkpoint: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("statestore").load(checkpoint)
+      .select($"key.window.start".as("ws"), $"key.event_type",
+        $"value.count".as("n"),
+        $"value.sum".cast("double").as("sum_v"))
+  }
+
   /** st4 — per-user session windows with a 30-minute gap. */
   def sessions(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._

@@ -86,6 +86,26 @@ class StreamingEquivalenceSpec extends SparkTestBase {
       "st15 popcount sum vs exact distinct")
   }
 
+  test("st17: statestore reader exposes checkpoint state == batch") {
+    val dir = replayDir("st17", sentinel = false)
+    val chk = scratch("chk_st17")
+    val q = StreamQueries.tumbling(
+        EventStreams.readEventStream(spark, dir))
+      .writeStream.format("memory").queryName("st17_out")
+      .option("checkpointLocation", chk)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // The checkpoint's state store, read back as a batch table, must
+    // equal both the batch recompute and what the query published.
+    val state = StreamQueries.tumblingStateOf(spark, chk)
+    assertSameRows(state, StreamQueries.tumbling(batchEvents),
+      "statestore vs batch recompute")
+    assertSameRows(state, spark.table("st17_out"),
+      "statestore vs published sink rows")
+  }
+
   test("st13: streaming HLL approx-distinct == batch estimate exactly") {
     // Registers are order-free, so chunked incremental updates and one
     // batch pass must agree BIT-EXACTLY, not just within rsd.
