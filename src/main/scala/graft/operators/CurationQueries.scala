@@ -163,6 +163,33 @@ object CurationQueries extends QueryPack {
         .orderBy($"k")
     }),
 
+    // Class-balanced downsampling: cap every language at 50 docs so
+    // no class swamps the training mix (the label-balance step that
+    // runs right after agg_gini's audit flags skew). Selection is by
+    // md5 hash order with a doc_id tiebreak — deterministic, stable
+    // under resharding/retries (never rand()/limit, whose row order
+    // is partition-dependent). The output carries an md5 digest of
+    // the kept id set, so the oracle hash proves the EXACT SAME docs
+    // were selected, not just the same count. Per-class windows
+    // partition on lang; at billion-doc scale the same selection is
+    // one filter `bucket(hk) < cap/classTotal` with no window at all
+    // — the window form is exact at any cap.
+    "sample_balanced" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .withColumn("hk",
+          md5(concat(lit("bal:"), $"doc_id".cast(StringType))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"lang").orderBy($"hk", $"doc_id")))
+        .filter($"rn" <= 50)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum($"n_chars").as("sum_chars"),
+          md5(array_join(transform(sort_array(collect_list($"doc_id")),
+            _.cast(StringType)), ",")).as("kept_md5"))
+        .orderBy($"lang")
+    }),
+
     "vec_mips" -> ((s, dir) => {
       import s.implicits._
       graft.functions.VectorExpressions.register(s)
@@ -248,6 +275,17 @@ object CurationQueries extends QueryPack {
         |  CAST(k * count(*) AS BIGINT) AS n_rows,
         |  k < 5 AS risky
         |FROM g GROUP BY k ORDER BY k""".stripMargin,
+
+    "sample_balanced" ->
+      """WITH r AS (SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('bal:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS rn
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  md5(array_to_string(list_sort(list(doc_id)), ',')) AS kept_md5
+        |FROM r WHERE rn <= 50 GROUP BY lang ORDER BY lang""".stripMargin,
 
     "vec_mips" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
