@@ -201,6 +201,38 @@ object JoinQueries extends QueryPack {
         .orderBy($"p_id")
     }),
 
+    // NEAREST-tolerance as-of (r7): pandas merge_asof
+    // direction='nearest' — each purchase takes the click closest in
+    // time within ±30 min, looking BOTH ways (the backward-only form
+    // above misses a click 1 s after the purchase in favor of one
+    // 29 min before). Candidates come from the same hour-bucket
+    // explode as join_theta_range (bounded per-key fanout); winner =
+    // min |Δt|, ties broken toward the EARLIER click then c_id. The
+    // |Δt| compare is integer seconds — exact.
+    "join_asof_nearest" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type",
+          unix_timestamp(date_trunc("second", $"ts")).as("sec"))
+      val p = e.filter($"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"user_id".as("p_user"),
+          $"sec".as("p_sec"))
+        .withColumn("bkt", explode(array(
+          expr("p_sec div 1800 - 1"), expr("p_sec div 1800"),
+          expr("p_sec div 1800 + 1"))))
+      val c = e.filter($"event_type" === "click")
+        .select($"event_id".as("c_id"), $"user_id".as("c_user"),
+          $"sec".as("c_sec"), expr("sec div 1800").as("bkt"))
+      p.join(c, $"p_user" === $"c_user" && p("bkt") === c("bkt") &&
+          abs($"c_sec" - $"p_sec") <= 1800)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"p_id")
+            .orderBy(abs($"c_sec" - $"p_sec"), $"c_sec", $"c_id")))
+        .filter($"rn" === 1)
+        .select($"p_id", $"c_id", ($"c_sec" - $"p_sec").as("dt_s"))
+        .orderBy($"p_id")
+    }),
+
     // The same as-of semantics through the NATIVE operator
     // (plans/AsOfJoin.scala: LogicalPlan + Strategy + SparkPlan): one
     // O(n+m) merge per key group instead of fanning each purchase out
@@ -310,6 +342,22 @@ object JoinQueries extends QueryPack {
         |FROM p2 JOIN c2 ON p2.user_id = c2.user_id
         |  AND p2.s < c2.ce AND c2.cs < p2.e
         |ORDER BY p_id, c_id""".stripMargin,
+
+    "join_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |p AS (SELECT event_id AS p_id, user_id, sec AS p_sec FROM e
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id, sec AS c_sec FROM e
+        |  WHERE event_type = 'click'),
+        |j AS (SELECT p.p_id, c.c_id, c.c_sec - p.p_sec AS dt,
+        |    row_number() OVER (PARTITION BY p.p_id
+        |      ORDER BY abs(c.c_sec - p.p_sec), c.c_sec, c.c_id) AS rn
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND abs(c.c_sec - p.p_sec) <= 1800)
+        |SELECT p_id, c_id, dt AS dt_s FROM j WHERE rn = 1
+        |ORDER BY p_id""".stripMargin,
 
     "join_multiway" ->
       """SELECT r_name, n_name,

@@ -48,32 +48,51 @@ object WarehouseQueries extends QueryPack {
         (col(sy) / fy) * (col(sy) / fy))), 12).as(nm)
   }
 
+  /** SCD2 history build (shared by dim_scd2 and dim_snapshot).
+    * Tracked attribute: the spend tier of each purchase. NULL value
+    * falls to 'high' via otherwise() — same CASE/ELSE path both
+    * engines. Pass 1 keeps only change rows (first row per user
+    * counts as a change); pass 2, over the collapsed rows with the
+    * same partitioning (Catalyst reuses the exchange), adds the
+    * validity interval + version. */
+  private def scd2(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.load(s, dir, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id",
+        when($"value" < 100, "low").when($"value" < 500, "mid")
+          .otherwise("high").as("tier"))
+      .withColumn("prev", lag($"tier", 1).over(w))
+      .filter($"prev".isNull || $"prev" =!= $"tier")
+      .withColumn("version", row_number().over(w).cast(LongType))
+      .withColumn("valid_from", unix_micros($"ts"))
+      .withColumn("valid_to", unix_micros(lead($"ts", 1).over(w)))
+      .withColumn("is_current", lead($"ts", 1).over(w).isNull)
+      .select($"user_id", $"version", $"tier",
+        $"valid_from", $"valid_to", $"is_current")
+  }
+
   def queries: Seq[(String, Q)] = Seq(
 
-    "dim_scd2" -> ((s, dir) => {
+    "dim_scd2" -> ((s, dir) =>
+      scd2(s, dir).orderBy(col("user_id"), col("version"))),
+
+    // Point-in-time (AS OF) snapshot over the SCD2 history — the
+    // query side of dim_scd2's build side: the dimension as it stood
+    // at T is the rows whose validity interval covers T. One filter
+    // over the history; at scale the history table is partitioned by
+    // a valid_from time bucket so the snapshot prunes to a few
+    // partitions.
+    "dim_snapshot" -> ((s, dir) => {
       import s.implicits._
-      // Tracked attribute: the spend tier of each purchase. NULL
-      // value falls to 'high' via otherwise() — same CASE/ELSE path
-      // both engines.
-      val tiered = Tables.load(s, dir, "events")
-        .filter($"event_type" === "purchase")
-        .select($"user_id", $"ts", $"event_id",
-          when($"value" < 100, "low").when($"value" < 500, "mid")
-            .otherwise("high").as("tier"))
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      // Pass 1: keep only change rows (first row per user counts as a
-      // change). Pass 2 (over the collapsed rows, same partitioning —
-      // Catalyst reuses the exchange): validity interval + version.
-      tiered
-        .withColumn("prev", lag($"tier", 1).over(w))
-        .filter($"prev".isNull || $"prev" =!= $"tier")
-        .withColumn("version", row_number().over(w).cast(LongType))
-        .withColumn("valid_from", unix_micros($"ts"))
-        .withColumn("valid_to", unix_micros(lead($"ts", 1).over(w)))
-        .withColumn("is_current", lead($"ts", 1).over(w).isNull)
-        .select($"user_id", $"version", $"tier",
-          $"valid_from", $"valid_to", $"is_current")
-        .orderBy($"user_id", $"version")
+      val tUs = java.time.Instant.parse("2024-01-15T00:00:00Z")
+        .toEpochMilli * 1000L
+      scd2(s, dir)
+        .filter($"valid_from" <= tUs &&
+          ($"valid_to".isNull || $"valid_to" > tUs))
+        .select($"user_id", $"version", $"tier", $"valid_from")
+        .orderBy($"user_id")
     }),
 
     "win_ntile" -> ((s, dir) => {
@@ -203,6 +222,29 @@ object WarehouseQueries extends QueryPack {
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |    IS NULL AS is_current
         |FROM changes ORDER BY user_id, version""".stripMargin,
+
+    "dim_snapshot" ->
+      """WITH tiered AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN value < 100 THEN 'low'
+        |         WHEN value < 500 THEN 'mid' ELSE 'high' END AS tier
+        |  FROM events WHERE event_type = 'purchase'),
+        |flagged AS (SELECT *,
+        |    lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev FROM tiered),
+        |changes AS (SELECT user_id, ts, event_id, tier FROM flagged
+        |  WHERE prev IS NULL OR prev <> tier),
+        |hist AS (SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS version,
+        |    tier,
+        |    epoch_us(ts) AS valid_from,
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id)) AS valid_to
+        |  FROM changes)
+        |SELECT user_id, version, tier, valid_from FROM hist
+        |WHERE valid_from <= 1705276800000000
+        |  AND (valid_to IS NULL OR valid_to > 1705276800000000)
+        |ORDER BY user_id""".stripMargin,
 
     "win_ntile" ->
       """WITH t AS (SELECT c_mktsegment, c_acctbal, c_custkey,

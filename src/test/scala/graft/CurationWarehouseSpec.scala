@@ -249,6 +249,47 @@ class CurationWarehouseSpec extends SparkTestBase {
     assert(got.count() > 0, "fixture must produce overlapping pairs")
   }
 
+  test("join_asof_nearest: bucketed candidates find the true nearest") {
+    val got = q("join_asof_nearest").cache()
+    assert(got.filter(abs($"dt_s") > 1800).count() == 0,
+      "tolerance violated")
+    // Direct (unbucketed) recompute of the nearest click per purchase.
+    val e = Tables.load(spark, sf, "events")
+      .selectExpr("event_id", "user_id", "event_type",
+        "unix_timestamp(date_trunc('SECOND', ts)) AS sec")
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"sec".as("p_sec"))
+    val c = e.filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id", $"sec".as("c_sec"))
+    val direct = p.join(c, Seq("user_id"))
+      .filter(abs($"c_sec" - $"p_sec") <= 1800)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"p_id")
+          .orderBy(abs($"c_sec" - $"p_sec"), $"c_sec", $"c_id")))
+      .filter($"rn" === 1)
+      .select($"p_id", $"c_id", ($"c_sec" - $"p_sec").as("dt_s"))
+    assertSameRows(got, direct, "bucketed vs direct nearest")
+    got.unpersist()
+  }
+
+  test("dim_snapshot: exactly the SCD2 rows whose interval covers T") {
+    val tUs = 1705276800000000L
+    val hist = q("dim_scd2")
+    val want = hist.filter($"valid_from" <= tUs &&
+        ($"valid_to".isNull || $"valid_to" > tUs))
+      .select($"user_id", $"version", $"tier", $"valid_from")
+    assertSameRows(q("dim_snapshot"), want, "snapshot vs history filter")
+    // At most one row per user (intervals are disjoint by the scd2
+    // chaining law), and every user with history before T appears.
+    val snap = q("dim_snapshot")
+    assert(snap.groupBy($"user_id").count().filter($"count" > 1)
+      .count() == 0, "a user has two rows valid at the same instant")
+    val usersBefore = hist.filter($"valid_from" <= tUs)
+      .select($"user_id").distinct().count()
+    assert(snap.count() == usersBefore,
+      "every user whose history starts before T must have a snapshot row")
+  }
+
   test("agg_gini: impurity bounds") {
     q("agg_gini").collect().foreach { row =>
       val g = row.getAs[Double]("gini")
