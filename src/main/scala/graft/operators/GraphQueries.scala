@@ -39,26 +39,33 @@ object GraphQueries extends QueryPack {
     * ranks keep ~6 significant digits after the integer divisions). */
   val prMass = 1000000000000L
 
+  /** Edge list: distinct (part, supplier) pairs from lineitem, both
+    * directions (bipartite undirected); suppliers offset to their own
+    * id space. Built once per (session, dir) — every consumer
+    * (pagerank iterations, degree distribution, repeats) probes the
+    * same cached relation. Partitioned by dst AT BUILD TIME so
+    * pagerank's per-iteration aggregate reuses the partitioning (no
+    * exchange on the big relation inside the loop) — the
+    * one-big-shuffle-then-iterate layout that makes iterative graph
+    * jobs viable at 100 TB. */
+  private def edgeRel(s: org.apache.spark.sql.SparkSession,
+                      dir: String) = {
+    import s.implicits._
+    graft.SessionCache.cached(s, s"pr.edges:$dir") {
+      val e = Tables.load(s, dir, "lineitem")
+        .select($"l_partkey".as("p"),
+          ($"l_suppkey" + 1000000000L).as("sn"))
+        .distinct()
+      e.select($"p".as("src"), $"sn".as("dst"))
+        .unionByName(e.select($"sn".as("src"), $"p".as("dst")))
+        .repartition($"dst")
+    }
+  }
+
   def queries: Seq[(String, Q)] = Seq(
     "graph_pagerank" -> ((s, dir) => {
       import s.implicits._
-      // Edge list: distinct (part, supplier) pairs from lineitem, both
-      // directions (bipartite undirected). Suppliers offset to their
-      // own id space. Built once per (session, dir) — every iteration
-      // and repeat run probes the same cached relation.
-      // Partitioned by dst AT BUILD TIME: every iteration's aggregate
-      // then reuses this partitioning (no exchange on the big relation
-      // inside the loop) — the one-big-shuffle-then-iterate layout
-      // that makes iterative graph jobs viable at 100 TB.
-      val edges = graft.SessionCache.cached(s, s"pr.edges:$dir") {
-        val e = Tables.load(s, dir, "lineitem")
-          .select($"l_partkey".as("p"),
-            ($"l_suppkey" + 1000000000L).as("sn"))
-          .distinct()
-        e.select($"p".as("src"), $"sn".as("dst"))
-          .unionByName(e.select($"sn".as("src"), $"p".as("dst")))
-          .repartition($"dst")
-      }
+      val edges = edgeRel(s, dir)
       val deg = graft.SessionCache.cached(s, s"pr.deg:$dir") {
         edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
       }
@@ -100,6 +107,22 @@ object GraphQueries extends QueryPack {
             .as("node_type"),
           $"outdeg", $"rank")
         .orderBy($"node")
+    }),
+
+    // Degree distribution of the same graph — the first sanity check
+    // of any mined link graph (a heavy tail here is why pagerank and
+    // skew salting exist at all). Probes the shared cached edge
+    // relation; two stacked integer aggregates, shuffle width =
+    // distinct (type, degree) pairs.
+    "graph_degree_dist" -> ((s, dir) => {
+      import s.implicits._
+      edgeRel(s, dir)
+        .groupBy($"src").agg(count(lit(1)).as("deg"))
+        .select(when($"src" >= 1000000000L, "supplier")
+          .otherwise("part").as("node_type"), $"deg")
+        .groupBy($"node_type", $"deg")
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy($"node_type", $"deg")
     }))
 
   /** The ten unrolled iterations, generated from the same constants as
@@ -130,5 +153,17 @@ object GraphQueries extends QueryPack {
          |  CASE WHEN node >= 1000000000 THEN 'supplier'
          |       ELSE 'part' END AS node_type,
          |  outdeg, rank
-         |FROM r$prIters ORDER BY node""".stripMargin)
+         |FROM r$prIters ORDER BY node""".stripMargin,
+
+    "graph_degree_dist" ->
+      """WITH e AS (SELECT DISTINCT l_partkey AS p,
+        |    l_suppkey + 1000000000 AS sn FROM lineitem),
+        |ed AS (SELECT p AS src, sn AS dst FROM e
+        |  UNION ALL SELECT sn, p FROM e),
+        |d AS (SELECT src, count(*) AS deg FROM ed GROUP BY src)
+        |SELECT CASE WHEN src >= 1000000000 THEN 'supplier'
+        |    ELSE 'part' END AS node_type,
+        |  deg, count(*) AS n_nodes
+        |FROM d GROUP BY node_type, deg
+        |ORDER BY node_type, deg""".stripMargin)
 }

@@ -224,6 +224,38 @@ object SensorQueries extends QueryPack {
         .orderBy($"user_id", $"bucket")
     }),
 
+    // CUSUM drift detection (Page 1954): the classic reset-on-alarm
+    // recursion is NOT expressible in a window — but the equivalent
+    // one-sided form is: S_i = cumsum(x − target), and the statistic
+    // is S_i − min(S_0..S_i), which exceeds threshold h exactly when
+    // the reset form alarms. Both running aggregates are per-user
+    // frames with O(1) state; everything is exact integer cents
+    // (target = the user's own overall mean, cleared of its division
+    // by comparing n·x − Σx style: here target is a fixed 5000-cent
+    // reference so the statistic stays a plain BIGINT).
+    "ts_cusum" -> ((s, dir) => {
+      import s.implicits._
+      val target = 5000L // fixed reference level, cents
+      val h = 50000L     // alarm threshold, cents
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"tsec", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .selectExpr("user_id", "event_id",
+          "unix_timestamp(date_trunc('SECOND', ts)) AS tsec",
+          "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+        .withColumn("cum", sum($"cents" - target).over(w))
+        // S_i = cum_i − min(cum_0..cum_i) with the VIRTUAL cum_0 = 0
+        // (least(0, …)): without it the first rows overstate the
+        // reset-form statistic — caught by the recursion-replay law.
+        .withColumn("stat",
+          $"cum" - least(lit(0L), min($"cum").over(w)))
+        .select($"user_id", $"event_id", $"cents", $"stat",
+          ($"stat" > h).as("alarm"))
+        .orderBy($"user_id", $"tsec", $"event_id")
+    }),
+
     // Day-of-week seasonal profile per event type, with the peak day
     // flagged. The dow is computed engine-independently as
     // (epoch_days + 4) % 7 (1970-01-01 was a Thursday; 0 = Sunday) —
@@ -473,6 +505,21 @@ object SensorQueries extends QueryPack {
         |  FROM st)
         |SELECT user_id, bucket, event_id, value, n AS n_in_bucket
         |FROM r WHERE rn = 1 ORDER BY user_id, bucket""".stripMargin,
+
+    "ts_cusum" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT *, CAST(sum(cents - 5000) OVER (
+        |    PARTITION BY user_id ORDER BY tsec, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM e),
+        |st AS (SELECT *, cum - least(0, min(cum) OVER (
+        |    PARTITION BY user_id ORDER BY tsec, event_id
+        |    ROWS UNBOUNDED PRECEDING)) AS stat FROM c)
+        |SELECT user_id, event_id, cents, CAST(stat AS BIGINT) AS stat,
+        |  stat > 50000 AS alarm
+        |FROM st ORDER BY user_id, tsec, event_id""".stripMargin,
 
     "ts_seasonality" ->
       """WITH e AS (SELECT event_type,

@@ -290,6 +290,37 @@ class CurationWarehouseSpec extends SparkTestBase {
       "every user whose history starts before T must have a snapshot row")
   }
 
+  test("ts_cusum: window form equals Page's reset recursion") {
+    val rows = q("ts_cusum").collect()
+    assert(rows.forall(_.getAs[Long]("stat") >= 0),
+      "stat = cum - running min can never be negative")
+    // Per user, replay the classic recursion s = max(0, s + x - k)
+    // sequentially; it must equal the windowed statistic row by row
+    // (the rows come back in (user, tsec, event_id) order).
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      var sRec = 0L
+      rs.foreach { r =>
+        sRec = math.max(0L, sRec + r.getAs[Long]("cents") - 5000L)
+        assert(sRec == r.getAs[Long]("stat"),
+          s"user $u event ${r.getAs[Long]("event_id")}: " +
+            s"recursion $sRec != window ${r.getAs[Long]("stat")}")
+      }
+    }
+  }
+
+  test("graph_degree_dist: accounts for every directed edge and node") {
+    val dist = q("graph_degree_dist").collect()
+    val dirEdges = dist.map(r =>
+      r.getAs[Long]("deg") * r.getAs[Long]("n_nodes")).sum
+    val nodes = dist.map(_.getAs[Long]("n_nodes")).sum
+    val undirected = Tables.load(spark, sf, "lineitem")
+      .select($"l_partkey", $"l_suppkey").distinct().count()
+    assert(dirEdges == 2 * undirected,
+      s"directed edge mass $dirEdges != 2x$undirected")
+    assert(nodes == q("graph_pagerank").count(),
+      "degree distribution and pagerank must cover the same node set")
+  }
+
   test("agg_gini: impurity bounds") {
     q("agg_gini").collect().foreach { row =>
       val g = row.getAs[Double]("gini")
