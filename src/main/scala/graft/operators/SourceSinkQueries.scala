@@ -36,6 +36,9 @@ object SourceSinkQueries extends QueryPack {
     s"target/roundtrip/${sf}_$leaf"
   }
 
+  /** Paths staged THIS JVM (scan_dpp writes once per process). */
+  private val dppStaged = scala.collection.mutable.Set[String]()
+
   def queries: Seq[(String, Q)] = Seq(
     // Full parquet scan: count + exact decimal sum over lineitem.
     "scan_parquet" -> ((s, dir) => {
@@ -215,9 +218,16 @@ object SourceSinkQueries extends QueryPack {
       import s.implicits._
       val path = tmp(dir, "orders_bypriority")
       val o = Tables.load(s, dir, "orders")
-      if (!new java.io.File(path, "_SUCCESS").exists())
-        o.write.mode("overwrite").partitionBy("o_orderpriority")
-          .parquet(path)
+      // Stage once per JVM (bench runs the key 3×), but NEVER trust a
+      // copy from an earlier process: an on-disk _SUCCESS guard would
+      // go stale if the source fixture were regenerated between runs.
+      dppStaged.synchronized {
+        if (!dppStaged.contains(path)) {
+          o.write.mode("overwrite").partitionBy("o_orderpriority")
+            .parquet(path)
+          dppStaged += path
+        }
+      }
       val fact = s.read.parquet(path)
       val dim = o.select($"o_orderpriority".as("pri")).distinct()
         .filter($"pri".startsWith("1-") || $"pri".startsWith("2-"))
