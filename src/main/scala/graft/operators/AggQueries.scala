@@ -255,6 +255,19 @@ object AggQueries extends QueryPack {
     }),
 
     // GROUPING SETS — SQL entry point (no DF-API equivalent).
+    // grouping_id over a rollup (r7): the bitset that tells subtotal
+    // rows apart from genuine NULL group values — without it a
+    // nullable dimension makes rollup output ambiguous. Both engines
+    // use the same bit order (first column = most significant bit).
+    "agg_grouping_id" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          Det.dsum($"l_quantity").as("sum_qty"))
+        .orderBy($"gid", $"l_returnflag", $"l_linestatus")
+    }),
+
     "agg_grouping_sets" -> ((s, dir) => {
       s.sql(
         s"""SELECT
@@ -560,6 +573,16 @@ object AggQueries extends QueryPack {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status_g, prio_g""".stripMargin,
+
+    "agg_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
 
     "agg_grouping_sets" ->
       """SELECT

@@ -74,6 +74,19 @@ object SortSetQueries extends QueryPack {
         .orderBy($"okey")
     }),
 
+    // INTERSECT ALL (r7): multiset intersection — each orderkey
+    // survives min(count_lineitem, count_orders) times, the semantics
+    // EXCEPT ALL's sibling needs when reconciling multiplicity between
+    // a fact table and its parent. Plans as one hash aggregate pair
+    // over (value, side counts), no join.
+    "set_intersect_all" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem").select($"l_orderkey".as("okey"))
+        .intersectAll(
+          Tables.load(s, dir, "orders").select($"o_orderkey".as("okey")))
+        .orderBy($"okey")
+    }),
+
     // Exact dedup, deterministic: keep lowest doc_id per text
     // (dropDuplicates is tie-nondeterministic; window form is not).
     "dedup_exact" -> ((s, dir) => {
@@ -149,6 +162,12 @@ object SortSetQueries extends QueryPack {
     "set_except_all" ->
       """SELECT l_orderkey AS okey FROM lineitem
         |EXCEPT ALL
+        |SELECT o_orderkey FROM orders
+        |ORDER BY okey""".stripMargin,
+
+    "set_intersect_all" ->
+      """SELECT l_orderkey AS okey FROM lineitem
+        |INTERSECT ALL
         |SELECT o_orderkey FROM orders
         |ORDER BY okey""".stripMargin,
 
