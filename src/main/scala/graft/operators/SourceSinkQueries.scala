@@ -204,6 +204,39 @@ object SourceSinkQueries extends QueryPack {
         .orderBy($"event_type")
     }),
 
+    // binaryFile source (r7): the REAL multimodal ingest path — images
+    // / audio / video land as one opaque file each, and
+    // `format("binaryFile")` reads them as (path, modTime, length,
+    // content) rows without any codec. Staged one-file-per-doc from a
+    // 20-doc subset (executor-side foreach write — no driver collect;
+    // at scale the files come from object storage and this staging
+    // step doesn't exist). The oracle recomputes (fname, n_bytes,
+    // digest) from the documents table, so a hash match proves the
+    // binary round-trip is byte-exact.
+    "source_binaryfile" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp(dir, "blobs")
+      dppStaged.synchronized {
+        if (!dppStaged.contains(path)) {
+          graft.Util.deleteRecursively(new java.io.File(path))
+          new java.io.File(path).mkdirs()
+          Tables.load(s, dir, "documents").filter($"doc_id" < 20)
+            .select($"doc_id", $"text").foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(path, s"doc_${r.getLong(0)}.txt"),
+                r.getString(1).getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8))
+              ()
+            }
+          dppStaged += path
+        }
+      }
+      s.read.format("binaryFile").load(s"$path/*.txt")
+        .select(regexp_extract($"path", "([^/]+)$", 1).as("fname"),
+          $"length".as("n_bytes"), md5($"content").as("digest"))
+        .orderBy($"fname")
+    }),
+
     // Dynamic partition pruning (r7): THE optimizer feature that makes
     // star joins over partitioned 100-TB fact tables viable — the
     // selective dim-side predicate turns into a runtime IN-filter on
@@ -322,6 +355,12 @@ object SourceSinkQueries extends QueryPack {
         |      CAST(n_nationkey AS VARCHAR))
         |    FILTER (WHERE n_nationkey % 5 = 0) AS corrupt_sample
         |FROM nation""".stripMargin,
+
+    "source_binaryfile" ->
+      """SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS fname,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents WHERE doc_id < 20 ORDER BY fname""".stripMargin,
 
     "scan_dpp" ->
       """SELECT o_orderpriority, count(*) AS n,
