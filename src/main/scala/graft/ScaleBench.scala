@@ -46,8 +46,10 @@ object ScaleBench {
     // the IVF-PQ ANN composition, and binary frame sampling
     "text_bm25", "vec_ivfpq", "mm_framesample",
     // r7b additions over documents/embeddings: span-level dedup,
-    // reference containment, and MIPS retrieval
-    "text_dupspans", "dedup_containment", "vec_mips")
+    // reference containment, MIPS retrieval, perceptual hashing,
+    // and balanced downsampling
+    "text_dupspans", "dedup_containment", "vec_mips",
+    "mm_ahash", "sample_balanced")
 
   def stage(spark: SparkSession, base: String, out: String, m: Int): Unit = {
     import spark.implicits._
