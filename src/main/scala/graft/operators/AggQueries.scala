@@ -255,6 +255,26 @@ object AggQueries extends QueryPack {
     }),
 
     // GROUPING SETS — SQL entry point (no DF-API equivalent).
+    // min_by / max_by (r7): "which row was the extreme" without a
+    // self-join or window — one aggregate carries the argument along
+    // with the ordering value. BOTH engines leave ties unspecified,
+    // so the ordering value is made UNIQUE by composing cents with
+    // the orderkey (cents·10^9 + key, exact BIGINT) — the same §7.4
+    // P5 tiebreak discipline windows use, applied to an aggregate.
+    "agg_minmax_by" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .selectExpr("o_orderpriority", "o_orderkey",
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " * 1000000000 + o_orderkey AS ord")
+        .groupBy($"o_orderpriority")
+        .agg(expr("min_by(o_orderkey, ord)").as("cheapest_key"),
+          expr("max_by(o_orderkey, ord)").as("dearest_key"),
+          expr("min(ord) div 1000000000").as("min_cents"),
+          expr("max(ord) div 1000000000").as("max_cents"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // grouping_id over a rollup (r7): the bitset that tells subtotal
     // rows apart from genuine NULL group values — without it a
     // nullable dimension makes rollup output ambiguous. Both engines
@@ -573,6 +593,19 @@ object AggQueries extends QueryPack {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status_g, prio_g""".stripMargin,
+
+    "agg_minmax_by" ->
+      """WITH o AS (SELECT o_orderpriority, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * 1000000000 + o_orderkey AS ord
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  arg_min(o_orderkey, ord) AS cheapest_key,
+        |  arg_max(o_orderkey, ord) AS dearest_key,
+        |  CAST(min(ord) // 1000000000 AS BIGINT) AS min_cents,
+        |  CAST(max(ord) // 1000000000 AS BIGINT) AS max_cents
+        |FROM o GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "agg_grouping_id" ->
       """SELECT l_returnflag, l_linestatus,

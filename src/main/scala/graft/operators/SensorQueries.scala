@@ -224,6 +224,29 @@ object SensorQueries extends QueryPack {
         .orderBy($"user_id", $"bucket")
     }),
 
+    // OHLC candles (r7): open/high/low/close per (type, day) — the
+    // canonical downsample for any numeric series (finance named it,
+    // telemetry dashboards run it). High/low are plain extrema;
+    // open/close ride min_by/max_by on the UNIQUE (tsec, event_id)
+    // composite (tsec·10^7 + id — exact BIGINT), so ties at the same
+    // second cannot make the candle nondeterministic. ONE two-phase
+    // aggregate — no window, no self-join, shuffle width = days×types.
+    "ts_ohlc" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .selectExpr("event_type",
+          "unix_timestamp(date_trunc('DAY', ts)) div 86400 AS day",
+          "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
+          "unix_timestamp(date_trunc('SECOND', ts)) * 10000000" +
+            " + event_id AS seq")
+        .groupBy($"event_type", $"day")
+        .agg(expr("min_by(cents, seq)").as("open_c"),
+          max($"cents").as("high_c"), min($"cents").as("low_c"),
+          expr("max_by(cents, seq)").as("close_c"),
+          count(lit(1)).as("n"))
+        .orderBy($"event_type", $"day")
+    }),
+
     // CUSUM drift detection (Page 1954): the classic reset-on-alarm
     // recursion is NOT expressible in a window — but the equivalent
     // one-sided form is: S_i = cumsum(x − target), and the statistic
@@ -505,6 +528,21 @@ object SensorQueries extends QueryPack {
         |  FROM st)
         |SELECT user_id, bucket, event_id, value, n AS n_in_bucket
         |FROM r WHERE rn = 1 ORDER BY user_id, bucket""".stripMargin,
+
+    "ts_ohlc" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+        |      AS day,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 10000000
+        |      + event_id AS seq
+        |  FROM events)
+        |SELECT event_type, day,
+        |  arg_min(cents, seq) AS open_c, max(cents) AS high_c,
+        |  min(cents) AS low_c, arg_max(cents, seq) AS close_c,
+        |  count(*) AS n
+        |FROM e GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
 
     "ts_cusum" ->
       """WITH e AS (SELECT user_id, event_id,

@@ -321,6 +321,34 @@ class CurationWarehouseSpec extends SparkTestBase {
       "degree distribution and pagerank must cover the same node set")
   }
 
+  test("ts_ohlc: candle invariants and first/last agreement") {
+    val r = q("ts_ohlc").cache()
+    assert(r.filter($"low_c" > $"high_c" ||
+      $"open_c" < $"low_c" || $"open_c" > $"high_c" ||
+      $"close_c" < $"low_c" || $"close_c" > $"high_c").count() == 0,
+      "open/close must lie inside [low, high]")
+    // open/close must equal the window-computed first/last value.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type", $"day").orderBy($"seq")
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val e = Tables.load(spark, sf, "events")
+      .selectExpr("event_type",
+        "unix_timestamp(date_trunc('DAY', ts)) div 86400 AS day",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
+        "unix_timestamp(date_trunc('SECOND', ts)) * 10000000" +
+          " + event_id AS seq")
+    val want = e
+      .withColumn("open_c", first($"cents").over(w))
+      .withColumn("close_c", last($"cents").over(w))
+      .groupBy($"event_type", $"day", $"open_c", $"close_c")
+      .agg(max($"cents").as("high_c"), min($"cents").as("low_c"),
+        count(lit(1)).as("n"))
+      .select($"event_type", $"day", $"open_c", $"high_c",
+        $"low_c", $"close_c", $"n")
+    assertSameRows(r, want, "min_by/max_by vs window first/last")
+    r.unpersist()
+  }
+
   test("agg_gini: impurity bounds") {
     q("agg_gini").collect().foreach { row =>
       val g = row.getAs[Double]("gini")
