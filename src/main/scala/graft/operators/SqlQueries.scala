@@ -98,6 +98,22 @@ object SqlQueries extends QueryPack {
         ORDER BY o_orderpriority""")
     }),
 
+    // EXISTS in the SELECT list (r7): a boolean flag per row, not a
+    // filter — Catalyst plans this as an ExistenceJoin (a join type
+    // none of the WHERE-clause forms produce: semi keeps, anti drops,
+    // existence ANNOTATES). The 100-TB point: flagging rows costs one
+    // semi-join-shaped pass, not a COUNT subquery per row.
+    "sub_exists_select" -> ((s, dir) => {
+      Tables.load(s, dir, "customer").createOrReplaceTempView("sq_cust")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("sq_orders")
+      s.sql("""
+        SELECT c_custkey,
+          EXISTS(SELECT 1 FROM sq_orders
+                 WHERE o_custkey = c_custkey
+                   AND o_orderpriority = '1-URGENT') AS has_urgent
+        FROM sq_cust ORDER BY c_custkey""")
+    }),
+
     // Recursive CTE (Spark 4's WITH RECURSIVE): every customer climbs
     // the synthetic binary-tree hierarchy key -> key div 2 to the
     // root, enumerating its full ancestor chain — the org-chart /
@@ -170,6 +186,13 @@ object SqlQueries extends QueryPack {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "sub_exists_select" ->
+      """SELECT c_custkey,
+        |  EXISTS(SELECT 1 FROM orders
+        |         WHERE o_custkey = c_custkey
+        |           AND o_orderpriority = '1-URGENT') AS has_urgent
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "sql_recursive" ->
       """WITH RECURSIVE up AS (

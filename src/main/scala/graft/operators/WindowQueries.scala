@@ -124,6 +124,31 @@ object WindowQueries extends QueryPack {
         .orderBy($"o_custkey", $"o_totalprice", $"o_orderkey")
     }),
 
+    // IGNORE NULLS navigation (r7): carry the last KNOWN-GOOD reading
+    // past gaps — error events null their value (nullif synthesis;
+    // the fixture has no raw nulls), and last_value(IGNORE NULLS)
+    // reaches back over any run of errors. This is ts_locf's window
+    // primitive exposed as its own contract row, with lead/lag
+    // IGNORE NULLS alongside (navigation functions skip nulls only
+    // under the modifier — the default counts them as rows).
+    "win_ignore_nulls" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .selectExpr("event_id", "user_id",
+          "unix_timestamp(date_trunc('SECOND', ts)) AS tsec",
+          "CASE WHEN event_type = 'error' THEN NULL" +
+            " ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " END AS cents")
+        .selectExpr("event_id", "user_id", "cents",
+          "last_value(cents) IGNORE NULLS OVER (" +
+            "PARTITION BY user_id ORDER BY tsec, event_id" +
+            " ROWS UNBOUNDED PRECEDING) AS last_good",
+          "lag(cents) IGNORE NULLS OVER (" +
+            "PARTITION BY user_id ORDER BY tsec, event_id)" +
+            " AS prev_good")
+        .orderBy($"event_id")
+    }),
+
     // TIME-typed range frame (r7): the trailing-1-hour rolling window
     // every telemetry dashboard runs, phrased directly on the ordered
     // timestamp with an INTERVAL bound — unlike win_frame_range's
@@ -298,6 +323,21 @@ object WindowQueries extends QueryPack {
         |             ROWS BETWEEN UNBOUNDED PRECEDING
         |                      AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id, day, event_id""".stripMargin,
+
+    "win_ignore_nulls" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec,
+        |    CASE WHEN event_type = 'error' THEN NULL
+        |      ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      END AS cents
+        |  FROM events)
+        |SELECT event_id, user_id, cents,
+        |  last_value(cents IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY tsec, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS last_good,
+        |  lag(cents IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY tsec, event_id) AS prev_good
+        |FROM e ORDER BY event_id""".stripMargin,
 
     "win_time_range" ->
       """WITH e AS (SELECT event_id, user_id,

@@ -288,6 +288,13 @@ class PlanShapeSpec extends SparkTestBase {
       s"no dynamicpruningexpression in the partitioned scan:\n$p")
   }
 
+  test("sub_exists_select plans an ExistenceJoin (annotate, not filter)") {
+    // EXISTS in the SELECT list must become the annotating join type —
+    // a per-row COUNT subquery shape would scan orders once per
+    // customer.
+    assert(planOf("sub_exists_select").contains("ExistenceJoin"))
+  }
+
   test("ts_resample joins the grid to the reduced aggregate only") {
     // The only nested-loop join allowed is the grid cross join whose
     // build side is the 1-row bounds aggregate / 5-row type dim;
