@@ -34,34 +34,52 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (k, _) => only.forall(_.contains(k)) }.map {
       case (name, fn) =>
-        // Any failed run poisons the key (-1, so a failure can't
-        // masquerade as a fast query) — and ends the repeat loop:
-        // re-running a deterministically failing query buys nothing.
-        val times = Iterator.continually(()).take(runs).map { _ =>
+        def run(): Double = {
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
                    catch { case _: Throwable => false }
           if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-        }.takeWhile(_ >= 0).toVector
+        }
+        // Cold/warm split (r8, verdict item 2): the FIRST run pays the
+        // one-time session costs — index builds behind SessionCache
+        // (dedup_hamming64 signatures, minhash dictionaries, IVF
+        // codebooks), staging writes, codegen — and is reported
+        // separately as cold_s instead of being averaged into the
+        // steady-state stats. min/median then describe the warm plan,
+        // and the cold cost stays visible per key instead of hiding in
+        // a median/min ratio. A failed cold run poisons the key (-1)
+        // and skips the warm loop; any failed warm run likewise ends
+        // the repeat loop (re-running a deterministic failure buys
+        // nothing, and -1 can't masquerade as a fast query).
+        val cold = run()
+        val times =
+          if (cold < 0) Vector.empty
+          else Iterator.continually(()).take(runs).map(_ => run())
+            .takeWhile(_ >= 0).toVector
         val failed = times.length < runs
         val sorted = times.sorted
         val min = if (failed) -1.0 else sorted.head
         val med = if (failed) -1.0 else sorted(runs / 2)
-        (name, min, med, !failed)
+        (name, min, med, cold, !failed)
     }
     // ms precision keeps the whole line short enough for the driver's
     // log-tail buffer (a full-precision line was truncated mid-JSON in r2).
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    def m(get: ((String, Double, Double, Boolean)) => Double): String =
+    def m(get: ((String, Double, Double, Double, Boolean)) => Double): String =
       results.map(r => "\"" + r._1 + "\":" + fmt(get(r)))
         .mkString("{", ",", "}")
     val qs = m(_._2)
     val medians = m(_._3)
-    val errors = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
+    val colds = m(_._4)
+    val errors = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // total_s/n_keys are the machine-readable headline (r8, verdict
+    // item 7) so the driver and judges stop re-deriving totals from
+    // per-key sums and log tails. "value" stays the same sum-of-mins
+    // for driver compatibility.
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"medians":$medians,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"n_keys":${results.length},"runs":$runs,"queries":$qs,"medians":$medians,"cold":$colds,"errors":$errors,"sf":"$sfDir"}"""
     // Stdout from sbt is noisy; also persist to a file so the harness
     // (and the dev loop) can read the JSON without log scraping.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")

@@ -165,6 +165,28 @@ object Det {
   def davg(c: Column): Column =
     sum(money(c)).cast(DoubleType) / count(lit(1))
 
+  /** SQL-text twin of the centsLong loud-guard discipline, for the
+    * selectExpr-built composites (r8, advisor items 2-3): the BIGINT
+    * expression `e` must lie in [0, hiExcl) — composite ordinals like
+    * tsec*10^9 + event_id silently collide (or misorder) when the
+    * low component exceeds its radix, and `x div d` only equals the
+    * oracle's floor-division `x // d` for non-negative x. The fixture
+    * satisfies both today; this makes a future violation fail loudly
+    * instead of hash-mismatching (or worse, passing with plausible
+    * wrong answers). Output is unchanged whenever the invariant holds,
+    * so oracle SQL needs no counterpart.
+    */
+  def boundedExpr(e: String, hiExcl: Long, nm: String): String =
+    s"CASE WHEN ($e) < 0L OR ($e) >= ${hiExcl}L THEN " +
+      s"raise_error(concat('$nm out of [0, $hiExcl): ', " +
+      s"CAST(($e) AS STRING))) ELSE ($e) END"
+
+  /** Non-negativity guard for floor-vs-truncate `div` operands. */
+  def nonNegExpr(e: String, nm: String): String =
+    s"CASE WHEN ($e) < 0L THEN raise_error(concat(" +
+      s"'$nm negative (div/floor divergence): ', " +
+      s"CAST(($e) AS STRING))) ELSE ($e) END"
+
   /** Cent-scale an exact DECIMAL power sum to BIGINT, raising (never
     * wrapping or silently nulling) if the scaled value exceeds int64 —
     * shared by agg_stats / agg_regression so a larger corpus fails

@@ -299,8 +299,15 @@ object JoinQueries extends QueryPack {
           .filter($"event_type" === tpe)
           .selectExpr(s"event_id AS $idc", "user_id",
             "unix_timestamp(date_trunc('SECOND', ts)) AS s",
+            // nonNeg guard (r8, advisor item 3): the interval length
+            // uses Spark `div` (truncates) while the oracle uses
+            // DuckDB `//` (floors) — equal only for cents >= 0. The
+            // fixture holds value >= 0; a future negative would
+            // otherwise surface as a silent cross-engine divergence.
             "unix_timestamp(date_trunc('SECOND', ts)) + " +
-              "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+              graft.Det.nonNegExpr(
+                "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)",
+                "join_interval_overlap cents") +
               " div 10 AS e")
           .filter($"e" > $"s")
       val p = side("purchase", "p_id")

@@ -185,7 +185,11 @@ object SensorQueries extends QueryPack {
       val days = Tables.load(s, dir, "events")
         .filter($"event_type" === "purchase")
         .selectExpr("user_id",
-          "unix_timestamp(date_trunc('DAY', ts)) div 86400 AS day")
+          // nonNeg guard (r8): `div` truncates, the oracle's `//`
+          // floors — equal only for post-1970 timestamps, and the
+          // divergence would surface as a silent hash mismatch.
+          Det.nonNegExpr("unix_timestamp(date_trunc('DAY', ts))",
+            "win_streak epoch") + " div 86400 AS day")
         .distinct()
       days
         .withColumn("island", $"day" - row_number().over(
@@ -210,7 +214,8 @@ object SensorQueries extends QueryPack {
       val e = Tables.load(s, dir, "events")
         .selectExpr("user_id", "event_id", "value",
           "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
-          "unix_timestamp(date_trunc('SECOND', ts)) div 21600 AS bucket")
+          Det.nonNegExpr("unix_timestamp(date_trunc('SECOND', ts))",
+            "ts_downsample epoch") + " div 21600 AS bucket")
       val wb = Window.partitionBy($"user_id", $"bucket")
       e.withColumn("n", count(lit(1)).over(wb))
         .withColumn("sumc", sum($"cents").over(wb))
@@ -228,17 +233,23 @@ object SensorQueries extends QueryPack {
     // canonical downsample for any numeric series (finance named it,
     // telemetry dashboards run it). High/low are plain extrema;
     // open/close ride min_by/max_by on the UNIQUE (tsec, event_id)
-    // composite (tsec·10^7 + id — exact BIGINT), so ties at the same
-    // second cannot make the candle nondeterministic. ONE two-phase
-    // aggregate — no window, no self-join, shuffle width = days×types.
+    // composite (tsec·10^9 + id — exact BIGINT, 2024-era tsec·10^9 ≈
+    // 1.7e18 < 2^63), so ties at the same second cannot make the
+    // candle nondeterministic. event_id is loud-guarded < 10^9 (r8,
+    // advisor item 2): beyond the radix the composite silently
+    // collides, and 10^9 leaves headroom for the ScaleBench replica
+    // offsets (max ~10^8). ONE two-phase aggregate — no window, no
+    // self-join, shuffle width = days×types.
     "ts_ohlc" -> ((s, dir) => {
       import s.implicits._
       Tables.load(s, dir, "events")
         .selectExpr("event_type",
-          "unix_timestamp(date_trunc('DAY', ts)) div 86400 AS day",
+          Det.nonNegExpr("unix_timestamp(date_trunc('DAY', ts))",
+            "ts_ohlc epoch") + " div 86400 AS day",
           "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
-          "unix_timestamp(date_trunc('SECOND', ts)) * 10000000" +
-            " + event_id AS seq")
+          "unix_timestamp(date_trunc('SECOND', ts)) * 1000000000 + " +
+            Det.boundedExpr("event_id", 1000000000L, "ts_ohlc event_id") +
+            " AS seq")
         .groupBy($"event_type", $"day")
         .agg(expr("min_by(cents, seq)").as("open_c"),
           max($"cents").as("high_c"), min($"cents").as("low_c"),
@@ -534,7 +545,7 @@ object SensorQueries extends QueryPack {
         |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
         |      AS day,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 10000000
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 1000000000
         |      + event_id AS seq
         |  FROM events)
         |SELECT event_type, day,

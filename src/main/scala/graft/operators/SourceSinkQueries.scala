@@ -114,12 +114,21 @@ object SourceSinkQueries extends QueryPack {
 
     // ORC round-trip of supplier (Spark's second built-in columnar
     // format): lossless for these types, so the oracle reads the
-    // parquet view directly.
+    // parquet view directly. The write is staged once per JVM (r8,
+    // verdict item 3): r7 measured the write+read form regressing
+    // 2.2x on staging-I/O variance alone, and the operator under test
+    // is the ORC READER — csv/json/text keep their per-run writes so
+    // a sink path stays exercised every bench run.
     "source_orc" -> ((s, dir) => {
       import s.implicits._
       val path = tmp(dir, "supplier_orc")
-      Tables.load(s, dir, "supplier")
-        .write.mode("overwrite").orc(path)
+      dppStaged.synchronized {
+        if (!dppStaged.contains(path)) {
+          Tables.load(s, dir, "supplier")
+            .write.mode("overwrite").orc(path)
+          dppStaged += path
+        }
+      }
       s.read.schema(Tables.supplier).orc(path)
         .select($"s_suppkey", $"s_name", $"s_nationkey",
                 money($"s_acctbal").cast(DoubleType).as("acctbal"))
