@@ -4,52 +4,68 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One-off 10x scale-evidence harness (SURVEY.md's 100-TB mandate,
-  * r5 verdict item 8): stages an sf1-equivalent corpus from sf0.1 and
-  * times the dedup family + pipeline composition against it, so the
-  * "blocked plans scale linearly" claims in PLANS.md rest on measured
-  * wall-times, not plan-shape argument alone.
+/** 10x scale-evidence harness (SURVEY.md's 100-TB mandate; r5 verdict
+  * item 8, extended to the FULL key surface in r8 per verdict item 1):
+  * stages an sf1-equivalent corpus from sf0.1, then times EVERY
+  * `SparkEntry.queries` key once at base scale and once at 10x in the
+  * same session, so each key's "blocked/linear plan" claim in PLANS.md
+  * rests on a measured scaled/base ratio, not plan-shape argument
+  * alone. A ratio ≲ 10 on 10x data is the linear-scaling signature;
+  * anything well above gets a written adjudication in PLANS.md.
   *
-  * Staging (untimed, deterministic, /tmp only):
-  * - `documents` x M replicas. Replica i > 0 suffixes every token with
-  *   `~r<i>` and offsets doc_id by i*10^7, so the M term spaces are
-  *   DISJOINT: no minhash band, simhash block, fingerprint or gram key
-  *   ever collides across replicas. Each replica keeps sf0.1's full
-  *   within-replica duplicate structure, so candidate-pair and
-  *   component outputs scale exactly linearly in M — wall-time vs M
-  *   then isolates the ENGINE's scaling, not a workload change.
-  *   (Naive row duplication would instead inflate every duplicate
-  *   cluster M-fold and grow pair outputs quadratically.)
-  * - `embeddings` x M replicas: dims 0..3 sign-flipped by the bits of
-  *   i, so replicas of one vector land in different sign-LSH buckets
-  *   (dedup_embed's candidate join never crosses replicas; cosine
-  *   within replicas is unchanged).
-  * - remaining tables: symlinked from the base sf dir (pipeline keys
-  *   that touch orders/events read the base-scale table — they are
-  *   not the operators under test here).
+  * Staging (untimed, deterministic, /tmp only) — the DISJOINT-SHARD
+  * replication trick: each of the M replicas is a self-contained copy
+  * of sf0.1 whose key space cannot collide with any other replica's,
+  * so join fan-outs, duplicate clusters, candidate-pair counts and
+  * group sizes all scale exactly linearly in M. Naive row duplication
+  * would instead inflate every duplicate cluster / join group M-fold
+  * and grow pair outputs quadratically — measuring the WORKLOAD's
+  * blowup, not the engine's scaling.
   *
-  * Single-run protocol (not min-of-3): this is a one-off evidence run;
-  * first-run planning noise is quoted as-is and compared against the
-  * ~10x-scaled sf0.1 MEDIANS from BENCH_r05/target/bench.json.
+  * - `documents` x M: replica i > 0 suffixes every token with `~r<i>`
+  *   and offsets doc_id by i*10^7 — term spaces are disjoint, so no
+  *   minhash band, simhash block, fingerprint or gram key ever
+  *   collides across replicas, while each replica keeps sf0.1's full
+  *   within-replica duplicate structure.
+  * - `embeddings` x M: dims 0..3 sign-flipped by the bits of i, so
+  *   replicas of one vector land in different sign-LSH buckets; vec_id
+  *   offset by i*10^7 (matching doc_id's step — the two id spaces stay
+  *   aligned for keys that join them).
+  * - TPC-H facts x M (customer/supplier/part/orders/lineitem): every
+  *   join key (c_custkey, s_suppkey, p_partkey, o_orderkey+o_custkey,
+  *   l_orderkey+l_partkey+l_suppkey) offset by i*10^6 — equi-joins
+  *   stay strictly within-replica and fan-outs scale linearly.
+  *   Non-key attributes (dates, prices, flags, c_nationkey) are
+  *   UNCHANGED: 10x customers across the same 25 nations is exactly
+  *   what a real 10x looks like, and filter selectivities stay
+  *   constant. Step 10^6 > max base key (149,999) keeps replicas
+  *   disjoint, and at M=10 the maxima stay inside every loud guard:
+  *   o_orderkey < 9.2*10^6 ≪ 10^9 (agg_minmax_by ordinal),
+  *   event_id < 9.1*10^6 < 10^7 (ts_ohlc ordinal).
+  * - `events` x M: event_id and user_id offset by i*10^6; ts/value/
+  *   props unchanged. 10x users with unchanged per-user history keeps
+  *   session windows and funnels per-user-bounded (the realistic 10x:
+  *   more users, not 10x-longer histories). Staged from the RAW
+  *   parquet (nanosAsLong ⇒ ts is a plain ns BIGINT), so the staged
+  *   file round-trips through both Tables.load ("ts div 1000") and
+  *   loadEventsBetween's pushable ns-range predicate unchanged.
+  * - `region`/`nation`: symlinked — real dimension tables do not grow
+  *   with fact volume, and every plan broadcasts them anyway.
+  *
+  * Min-of-2 per scale per key: the first run pays that scale's
+  * one-time costs (codegen, parquet footers, SessionCache index
+  * builds — cache keys embed the data dir, so each scale pays its
+  * own), the second measures the warm plan; the min is the warm
+  * number and the RATIO compares warm-to-warm, which is the engine-
+  * scaling question. (A single-run protocol measured cold-base vs
+  * warm-scaled and produced ratios < 1 on 10x data — meaningless.)
   */
 object ScaleBench {
-  val keys: Seq[String] = Seq(
-    "dedup_exact", "dedup_near", "dedup_minhash", "dedup_simhash",
-    "dedup_hamming", "dedup_hamming64", "dedup_ngram", "dedup_embed",
-    "dedup_components", "dedup_apply", "text_contamination",
-    "pipeline_corpus",
-    // text/sketch/vector families over the 10x corpus (embeddings
-    // replicate too, so vec_* keys run at genuine 10x)
-    "text_tfidf", "text_langid", "sketch_cms",
-    "vec_pq", "vec_knn_ivf", "vec_centroid",
-    // r7 additions that read the replicated tables: BM25 retrieval,
-    // the IVF-PQ ANN composition, and binary frame sampling
-    "text_bm25", "vec_ivfpq", "mm_framesample",
-    // r7b additions over documents/embeddings: span-level dedup,
-    // reference containment, MIPS retrieval, perceptual hashing,
-    // and balanced downsampling
-    "text_dupspans", "dedup_containment", "vec_mips",
-    "mm_ahash", "sample_balanced")
+
+  /** Per-replica key offset for the TPC-H facts + events (see above). */
+  private val factStep = 1000000L
+  /** Per-replica key offset for documents/embeddings (kept from r5). */
+  private val docStep = 10000000L
 
   def stage(spark: SparkSession, base: String, out: String, m: Int): Unit = {
     import spark.implicits._
@@ -61,28 +77,55 @@ object ScaleBench {
         .foreach(p => Files.delete(p))
     }
     Files.createDirectories(outP)
-    val docs = Tables.load(spark, base, "documents")
     val reps = spark.range(0, m).select($"id".cast("int").as("rep"))
-    val staged = docs.crossJoin(broadcast(reps))
+    def rep(c: String, step: Long) =
+      (col(c) + $"rep".cast("long") * step).as(c)
+
+    val docs = Tables.load(spark, base, "documents")
+    docs.crossJoin(broadcast(reps))
       .select(
-        ($"doc_id" + $"rep".cast("long") * 10000000L).as("doc_id"),
+        rep("doc_id", docStep),
         when($"rep" === 0, $"text").otherwise(
           array_join(transform(split($"text", " "),
             w => concat(w, lit("~r"), $"rep")), " ")).as("text"),
         $"lang", $"source")
       .withColumn("n_chars", length($"text"))
-    staged.repartition(32).write.parquet(s"$out/documents.parquet")
-    val embs = Tables.load(spark, base, "embeddings")
-    embs.crossJoin(broadcast(reps))
+      .repartition(32).write.parquet(s"$out/documents.parquet")
+
+    Tables.load(spark, base, "embeddings").crossJoin(broadcast(reps))
       .select(
-        ($"vec_id" + $"rep".cast("long") * 10000000L).as("vec_id"),
+        rep("vec_id", docStep),
         expr("transform(embedding, (x, j) -> CASE WHEN j < 4 AND " +
           "shiftright(rep, CAST(j AS INT)) % 2 = 1 THEN -x ELSE x END)")
           .as("embedding"),
         $"label")
       .repartition(8).write.parquet(s"$out/embeddings.parquet")
-    Tables.schemas.keys.filterNot(Set("documents", "embeddings")).foreach {
-      t => Files.createSymbolicLink(
+
+    /** Replicate a fact table, offsetting exactly the join-key columns. */
+    def fact(table: String, keys: Seq[String], parts: Int): Unit = {
+      val t = Tables.load(spark, base, table)
+      t.crossJoin(broadcast(reps))
+        .select(t.columns.toIndexedSeq.map { c =>
+          if (keys.contains(c)) rep(c, factStep) else col(c)
+        }: _*)
+        .repartition(parts).write.parquet(s"$out/$table.parquet")
+    }
+    fact("customer", Seq("c_custkey"), 4)
+    fact("supplier", Seq("s_suppkey"), 2)
+    fact("part", Seq("p_partkey"), 4)
+    fact("orders", Seq("o_orderkey", "o_custkey"), 8)
+    fact("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), 32)
+
+    // events: from the RAW parquet so ts stays a plain ns BIGINT.
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    ev.crossJoin(broadcast(reps))
+      .select(ev.columns.toIndexedSeq.map { c =>
+        if (c == "event_id" || c == "user_id") rep(c, factStep) else col(c)
+      }: _*)
+      .repartition(8).write.parquet(s"$out/events.parquet")
+
+    Seq("region", "nation").foreach { t =>
+      Files.createSymbolicLink(
         Paths.get(s"$out/$t.parquet"), Paths.get(s"$base/$t.parquet"))
     }
   }
@@ -90,8 +133,13 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "10").toInt
+    require(mult <= 10, // event_id guard: (m-1)*10^6 + 10^5 must stay < 10^7
+      s"SPARK_GRAFT_SCALE_MULT > 10 would breach the ts_ohlc ordinal guard")
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Dev loop: SPARK_GRAFT_ONLY=k1,k2 stages + times just those keys.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -100,26 +148,49 @@ object ScaleBench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     stage(spark, base, out, mult)
-    val counts = Seq("documents", "embeddings")
+    val counts = Seq("documents", "embeddings", "lineitem", "events")
       .map(t => t -> Tables.load(spark, out, t).count()).toMap
-    val results = keys.map { name =>
+    val keys = SparkEntry.queries.keys.toSeq.sorted
+      .filter(k => only.forall(_.contains(k)))
+    def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      val ok = try { SparkEntry.queries(name)(spark, out).count(); true }
-               catch { case _: Throwable => false }
-      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      println(f"  $name%-20s ${if (ok) f"$sec%8.2f s" else "FAILED"}")
-      name -> sec
+      val ok = try { SparkEntry.queries(name)(spark, dir).count(); true }
+               catch { case e: Throwable =>
+                 println(s"  $name FAILED: ${e.getClass.getSimpleName}: " +
+                   s"${String.valueOf(e.getMessage).take(200)}")
+                 false }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    // warm min: run twice, keep the min; -1 (failure) short-circuits.
+    def warm(name: String, dir: String): Double = {
+      val a = time(name, dir)
+      if (a < 0) a else math.min(a, time(name, dir))
+    }
+    val results = keys.map { name =>
+      val b = warm(name, base)
+      val s10 = warm(name, out)
+      val ratio = if (b > 0 && s10 >= 0) s10 / b else -1.0
+      println(f"  $name%-24s base ${b}%8.2f s   ${mult}x ${s10}%8.2f s" +
+        f"   ratio ${ratio}%6.2f")
+      (name, b, s10, ratio)
     }
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"scale_total","value":${fmt(total)},""" +
-      s""""unit":"sec","mult":$mult,"docs":${counts("documents")},""" +
-      s""""vecs":${counts("embeddings")},"queries":$qs,"base":"$base"}"""
+    def m(get: ((String, Double, Double, Double)) => Double): String =
+      results.map(r => "\"" + r._1 + "\":" + fmt(get(r)))
+        .mkString("{", ",", "}")
+    val totalB = results.map(_._2).filter(_ >= 0).sum
+    val total10 = results.map(_._3).filter(_ >= 0).sum
+    val json = s"""{"metric":"scale_total","value":${fmt(total10)},""" +
+      s""""unit":"sec","mult":$mult,"n_keys":${results.length},""" +
+      s""""base_total":${fmt(totalB)},""" +
+      s""""docs":${counts("documents")},"vecs":${counts("embeddings")},""" +
+      s""""lineitem":${counts("lineitem")},"events":${counts("events")},""" +
+      s""""queries":${m(_._3)},"base_s":${m(_._2)},"ratio":${m(_._4)},""" +
+      s""""base":"$base"}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/scalebench.json"), json)
     println(json)
+    SessionCache.clear(spark)
     spark.stop()
   }
 }

@@ -314,6 +314,75 @@ object SensorQueries extends QueryPack {
         .orderBy($"event_type", $"dow")
     }),
 
+    // End-to-end sensor pipeline composition (r8, verdict item 8) —
+    // the sensor-domain twin of pipeline_corpus: raw CSV sensor lines
+    // (with a deterministic corruption every 13th line) → LineParser
+    // ingest+validate (the SAME parser the streaming pipeline runs) →
+    // 15-minute resample with zero-filled gaps → rolling anomaly flag
+    // on the REDUCED series → OHLC daily publish. One oracled key
+    // proving the §2.N stages compose.
+    //
+    // Scale design: the parse is a map-side projection
+    // (to_csv/from_csv round-trip, both codegen'd); everything after
+    // the first groupBy runs on the (type, bin) series — thousands of
+    // rows per year regardless of raw volume — so the 5-partition
+    // anomaly window is over the reduced series, never raw events
+    // (same argument as ts_lagcorr). Cents stay exact BIGINTs; the
+    // only window-order key is the unique integer bin.
+    "pipeline_sensor" -> ((s, dir) => {
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val csvOpts = Map("timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSS")
+      // Stage 1 — ingest: render raw CSV lines (every 13th corrupted,
+      // keyed on event_id so the oracle reproduces the split), parse +
+      // validate through LineParser. The .SSS ms-truncation is
+      // harmless: every downstream time derivation is second-level.
+      val lines = Tables.load(s, dir, "events")
+        .select(when($"event_id" % 13 === 0,
+            concat(lit("corrupt line #"), $"event_id"))
+          .otherwise(to_csv(struct($"event_id", $"ts", $"user_id",
+            $"event_type", $"value", $"props"), csvOpts.asJava))
+          .as("value"))
+      val valid = graft.streaming.LineParser.parseValid(lines)
+      // Stage 2 — resample to the zero-filled 15-minute grid per type.
+      val e = valid.selectExpr("event_type",
+        Det.nonNegExpr("unix_timestamp(date_trunc('SECOND', ts))",
+          "pipeline_sensor epoch") + " div 900 AS bin",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+      val agg = e.groupBy($"event_type", $"bin")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("sum_c"))
+      val grid = e.agg(min($"bin").as("lo"), max($"bin").as("hi"))
+        .select(explode(sequence($"lo", $"hi")).as("bin"))
+        .crossJoin(e.select($"event_type").distinct())
+      val series = grid.join(agg, Seq("event_type", "bin"), "left")
+        .select($"event_type", $"bin",
+          coalesce($"n", lit(0L)).as("n"),
+          coalesce($"sum_c", lit(0L)).as("sum_c"))
+      // Stage 3 — rolling anomaly on the reduced series: bin total
+      // exceeds 2x the trailing-8-bin mean, compared multiplicatively
+      // over exact integers (ts_anomaly's discipline).
+      val w = Window.partitionBy($"event_type").orderBy($"bin")
+        .rowsBetween(-7, Window.currentRow)
+      val flagged = series
+        .withColumn("wsum", sum($"sum_c").over(w))
+        .withColumn("wn", count(lit(1)).over(w))
+        .withColumn("anom", $"sum_c" * $"wn" > $"wsum" * 2)
+      // Stage 4 — publish: daily OHLC candles of the binned series
+      // plus the anomalous-bin count. bin is unique per group, so
+      // min_by/max_by are deterministic without a composite.
+      flagged
+        .selectExpr("*",
+          Det.nonNegExpr("bin * 900", "pipeline_sensor binsec") +
+            " div 86400 AS day")
+        .groupBy($"event_type", $"day")
+        .agg(expr("min_by(sum_c, bin)").as("open_c"),
+          max($"sum_c").as("high_c"), min($"sum_c").as("low_c"),
+          expr("max_by(sum_c, bin)").as("close_c"),
+          count(lit(1)).as("n_bins"),
+          sum(when($"anom", 1L).otherwise(0L)).as("n_anom"))
+        .orderBy($"event_type", $"day")
+    }),
+
     "ts_norm" -> ((s, dir) => {
       import s.implicits._
       val e = Tables.load(s, dir, "events")
@@ -584,6 +653,44 @@ object SensorQueries extends QueryPack {
         |SELECT event_type, dow, n,
         |  round(sum_c / n / 100.0, 12) AS avg_v, rk = 1 AS is_peak
         |FROM r ORDER BY event_type, dow""".stripMargin,
+
+    // Reproduces the corruption split (event_id % 13) and validity
+    // filter from the clean table, then mirrors the resample/anomaly/
+    // OHLC stages over exact integer cents.
+    "pipeline_sensor" ->
+      """WITH raw AS (SELECT * FROM events
+        |  WHERE event_id % 13 <> 0
+        |    AND event_type IN ('click','view','purchase','signup','error')
+        |    AND value >= 0.0 AND value <= 10000.0),
+        |e AS (SELECT event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 900 AS bin,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM raw),
+        |agg AS (SELECT event_type, bin, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_c
+        |  FROM e GROUP BY event_type, bin),
+        |grid AS (SELECT t.event_type, g.bin
+        |  FROM (SELECT DISTINCT event_type FROM e) t
+        |  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS bin
+        |    FROM (SELECT min(bin) AS lo, max(bin) AS hi FROM e)) g),
+        |series AS (SELECT grid.event_type, grid.bin,
+        |    COALESCE(agg.n, 0) AS n, COALESCE(agg.sum_c, 0) AS sum_c
+        |  FROM grid LEFT JOIN agg
+        |    ON agg.event_type = grid.event_type AND agg.bin = grid.bin),
+        |fl AS (SELECT *, CAST(sum(sum_c) OVER w AS BIGINT) AS wsum,
+        |    count(*) OVER w AS wn
+        |  FROM series
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bin
+        |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+        |fz AS (SELECT *, sum_c * wn > wsum * 2 AS anom,
+        |    bin * 900 // 86400 AS day FROM fl)
+        |SELECT event_type, day,
+        |  arg_min(sum_c, bin) AS open_c, max(sum_c) AS high_c,
+        |  min(sum_c) AS low_c, arg_max(sum_c, bin) AS close_c,
+        |  count(*) AS n_bins,
+        |  CAST(sum(CASE WHEN anom THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
+        |FROM fz GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
 
     "ts_norm" ->
       """SELECT event_id, event_type, value,

@@ -124,6 +124,13 @@ object SqlQueries extends QueryPack {
     // output aggregate is exact integers. DuckDB runs the same
     // recursion (integer div spelled `//` there, `div` here).
     "sql_recursive" -> ((s, dir) => {
+      // Total recursion output is n_customers × ~log2(max key) rows —
+      // ~2M at sf0.1 (ScaleBench r8 measured the default 10^6
+      // spark.sql.cteRecursionRowLimit guard tripping at 10×). The
+      // limit is a runaway-recursion safety valve, not a memory bound
+      // (each level is one narrow projection), so size it to the
+      // workload's known log-depth output instead of the default.
+      s.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
       Tables.load(s, dir, "customer").createOrReplaceTempView("sq_cust")
       s.sql("""
         WITH RECURSIVE up AS (

@@ -23,13 +23,18 @@ import org.apache.spark.sql.Row
 object EventStreams {
 
   /** st1 — parquet file stream source over a replay directory, with
-    * the explicit events schema (file sources cannot infer). */
+    * the explicit events schema (file sources cannot infer).
+    * `maxFilesPerTrigger <= 0` leaves the option unset: under
+    * `Trigger.AvailableNow` that drains ALL staged files in one
+    * micro-batch — the single-pass mode the throughput sweep uses to
+    * isolate per-row pipeline cost from per-batch commit-log cost. */
   def readEventStream(spark: SparkSession, dir: String,
-                      maxFilesPerTrigger: Int = 1): DataFrame =
-    spark.readStream
-      .schema(Tables.events)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(dir)
+                      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val r = spark.readStream.schema(Tables.events)
+    (if (maxFilesPerTrigger > 0)
+       r.option("maxFilesPerTrigger", maxFilesPerTrigger)
+     else r).parquet(dir)
+  }
 
   /** Stage the batch events table as an ordered sequence of chunk
     * files under `replayDir`, so the file source replays it as a

@@ -49,22 +49,33 @@ object StreamBench {
     // gate tracks both. Same staged input, same exactly-once check;
     // the provider conf is snapshotted per streaming query, so setting
     // it between runs is sufficient.
+    //
+    // Batch-size sweep (r8, verdict item 6): the fixed ~1.2 s/trigger
+    // micro-batch overhead (source listing + state commit + sink
+    // commit-log write) dominates at sf0.1 and hides the per-row
+    // pipeline cost. Each provider runs three chunkings of the SAME
+    // staged input: maxFilesPerTrigger unset (one AvailableNow pass —
+    // per-row cost with exactly one commit), 5 (~3 micro-batches) and
+    // 1 (chunks+1 micro-batches, the replay-fidelity mode). The
+    // rows/s spread across the sweep IS the commit-cost isolation:
+    // single-pass is the pipeline's throughput ceiling, the mft=1
+    // deficit divided by the extra batch count is the per-batch cost.
     var sinkRows = -1L
-    def runProvider(tag: String): (Double, Double) = {
+    def runConfig(tag: String, mft: Int): (Double, Double) = {
       val times = (1 to runs).map { i =>
         val out = s"$work/out-$tag$i"
         val chk = s"$work/chk-$tag$i"
         graft.Util.deleteRecursively(new java.io.File(out))
         graft.Util.deleteRecursively(new java.io.File(chk))
         val t0 = System.nanoTime()
-        val stream = EventStreams.readEventStream(spark, replay)
+        val stream = EventStreams.readEventStream(spark, replay, mft)
         val windows = StreamQueries.tumblingWatermarked(stream)
         EventStreams.runToCompletion(
           EventStreams.parquetSink(windows, out, chk)
             .partitionBy("event_type"))
         val sec = (System.nanoTime() - t0) / 1e9
-        // Exactly-once check: every run AND every provider must sink
-        // the same window set.
+        // Exactly-once check: every run, chunking AND provider must
+        // sink the same window set.
         val rows = spark.read.parquet(out).count()
         if (sinkRows < 0) sinkRows = rows
         require(rows == sinkRows && rows > 0,
@@ -73,19 +84,29 @@ object StreamBench {
       }.sorted
       (times.head, times(runs / 2))
     }
-    val (minSec, medSec) = runProvider("hdfs")
+    def f(v: Double): String = f"$v%.3f"
+    val sweep = Seq(("single", 0), ("mft5", 5), ("mft1", 1))
+    def runProvider(provider: String): String =
+      sweep.map { case (cfg, mft) =>
+        val (mn, md) = runConfig(s"$provider-$cfg", mft)
+        s""""$cfg":{"rows_per_sec":${f(inputRows / mn)},""" +
+          s""""sec_min":${f(mn)},"sec_median":${f(md)}}"""
+      }.mkString("{", ",", "}")
+    val hdfs = runProvider("hdfs")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val (rMin, rMed) = runProvider("rocksdb")
-    def f(v: Double): String = f"$v%.3f"
+    val rocks = runProvider("rocksdb")
+    // Headline value stays the hdfs mft=1 replay-fidelity number for
+    // continuity with the r6/r7 records.
+    val headline = {
+      val i = hdfs.indexOf("\"mft1\":{\"rows_per_sec\":")
+      hdfs.substring(i + 23, hdfs.indexOf(",", i))
+    }
     val json =
-      s"""{"metric":"stream_rows_per_sec","value":${f(inputRows / minSec)},""" +
+      s"""{"metric":"stream_rows_per_sec","value":$headline,""" +
         s""""unit":"rows/sec","runs":$runs,"input_rows":$inputRows,""" +
         s""""sink_rows":$sinkRows,"chunks":$chunks,""" +
-        s""""sec_min":${f(minSec)},"sec_median":${f(medSec)},""" +
-        s""""rows_per_sec_median":${f(inputRows / medSec)},""" +
-        s""""rocksdb":{"rows_per_sec":${f(inputRows / rMin)},""" +
-        s""""sec_min":${f(rMin)},"sec_median":${f(rMed)}},"sf":"$sfDir"}"""
+        s""""hdfs":$hdfs,"rocksdb":$rocks,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT",
       "target/streambench.json")
     java.nio.file.Files.createDirectories(

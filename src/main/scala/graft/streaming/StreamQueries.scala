@@ -232,6 +232,68 @@ object StreamQueries {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class UserSeenT(n: Long, lastMs: Long, timerMs: Long)
+
+  /** st7c (r8, verdict item 4) — EVENT-TIME TIMER on the
+    * `transformWithState` surface: the API's marquee feature, which
+    * st7's NoTimeout processor leaves unexercised. The sensor-offline
+    * monitor re-expressed as a StatefulProcessor: per user, keep
+    * (count, last-seen-ms) in a ValueState plus the one registered
+    * timer's timestamp, re-arm the timer to last-seen + 2 h on every
+    * input batch (delete-then-register — exactly one live timer per
+    * key, so a user active across many batches fires once, not once
+    * per batch), and emit the OfflineAlert from `handleExpiredTimer`
+    * when the watermark passes the armed time. State is O(1) per user
+    * and cleared on alert; the emitted row must equal st12's
+    * flatMapGroupsWithState alert AND the batch recompute
+    * (StreamingEquivalenceSpec st7c). Requires the RocksDB provider,
+    * like every transformWithState query. */
+  class OfflineAlertProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventRow, OfflineAlert] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+      TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var seen: ValueState[UserSeenT] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[UserSeenT]("seen",
+        org.apache.spark.sql.Encoders.product[UserSeenT], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timers: TimerValues): Iterator[OfflineAlert] = {
+      var s = if (seen.exists()) seen.get() else UserSeenT(0L, 0L, -1L)
+      rows.foreach { e =>
+        s = UserSeenT(s.n + 1, math.max(s.lastMs, e.ts.getTime), s.timerMs)
+      }
+      val want = s.lastMs + 2L * 3600 * 1000
+      if (s.timerMs != want) {
+        if (s.timerMs >= 0) getHandle.deleteTimer(s.timerMs)
+        getHandle.registerTimer(want)
+        s = UserSeenT(s.n, s.lastMs, want)
+      }
+      seen.update(s)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[OfflineAlert] =
+      if (!seen.exists()) Iterator.empty
+      else {
+        val s = seen.get()
+        seen.clear()
+        Iterator.single(OfflineAlert(key, s.lastMs / 1000, s.n))
+      }
+  }
+
+  def offlineAlertsTws(events: Dataset[EventRow]): Dataset[OfflineAlert] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.toDF().withWatermark("ts", "1 hour").as[EventRow]
+      .groupByKey(_.user_id)
+      .transformWithState(new OfflineAlertProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Batch analogue of st7's FINAL state per user. */
   def userSummaryBatch(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._

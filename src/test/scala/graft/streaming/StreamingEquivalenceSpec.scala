@@ -204,6 +204,36 @@ class StreamingEquivalenceSpec extends SparkTestBase {
     }
   }
 
+  test("st7c: transformWithState event-time TIMER emits offline alerts == batch") {
+    // The timer twin of st12 on the Spark 4 API: every real user's
+    // summary must arrive via handleExpiredTimer once the sentinel
+    // advances the watermark past last-seen + 2h, and must equal the
+    // batch recompute. The sentinel user (-1) never fires: its own
+    // timer sits 3h past the final watermark.
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val stream = EventStreams.readEventStream(
+        spark, replayDir("st7c", sentinel = true))
+      val got = runToMemory(
+        StreamQueries.offlineAlertsTws(
+          stream.as[StreamQueries.EventRow]).toDF(),
+        "st7c_out", "append")
+      assertSameRows(got,
+        StreamQueries.offlineAlertsBatch(batchEvents), "st7c")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("st12: event-time-timeout offline alerts fire for every drained user") {
     // Sentinel pushes the final watermark ~47h past the last real
     // event — > the 2h offline threshold for every real user, so each
