@@ -137,9 +137,14 @@ object ScaleBench {
       s"SPARK_GRAFT_SCALE_MULT > 10 would breach the ts_ohlc ordinal guard")
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Dev loop: SPARK_GRAFT_ONLY=k1,k2 stages + times just those keys.
+    // Dev loop: SPARK_GRAFT_ONLY=k1,k2 times just those keys;
+    // SPARK_GRAFT_SCALE_STAGE=skip reuses an existing staged dir
+    // (staging is deterministic, so a re-stage only matters after a
+    // stage()-logic change).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val skipStage = sys.env.get("SPARK_GRAFT_SCALE_STAGE").contains("skip") &&
+      Files.exists(Paths.get(s"$out/lineitem.parquet"))
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -147,7 +152,7 @@ object ScaleBench {
     Tables.sessionConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    stage(spark, base, out, mult)
+    if (!skipStage) stage(spark, base, out, mult)
     val counts = Seq("documents", "embeddings", "lineitem", "events")
       .map(t => t -> Tables.load(spark, out, t).count()).toMap
     val keys = SparkEntry.queries.keys.toSeq.sorted

@@ -163,6 +163,31 @@ object CurationQueries extends QueryPack {
         .orderBy($"k")
     }),
 
+    // l-diversity audit (r8) — k-anonymity's necessary complement: a
+    // group can be large (k-safe) yet expose its members anyway if
+    // every record shares ONE sensitive value. QI = (nation, 2000-unit
+    // balance bucket); sensitive attribute = market segment; l = the
+    // group's distinct-segment count. Output is the l histogram with
+    // the l<3 risk flag — two stacked aggregates, shuffle width =
+    // distinct QI combinations then distinct l values, same +1e8
+    // offset as privacy_kanon so `div` and `//` agree on the fixture's
+    // negative balances.
+    "privacy_ldiversity" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "customer")
+        .select($"c_nationkey",
+          expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " + 100000000) div 200000").as("bal_bucket"),
+          $"c_mktsegment")
+        .groupBy($"c_nationkey", $"bal_bucket")
+        .agg(countDistinct($"c_mktsegment").as("l"),
+          count(lit(1)).as("k"))
+        .groupBy($"l")
+        .agg(count(lit(1)).as("n_groups"), sum($"k").as("n_rows"))
+        .select($"l", $"n_groups", $"n_rows", ($"l" < 3).as("risky"))
+        .orderBy($"l")
+    }),
+
     // Class-balanced downsampling: cap every language at 50 docs so
     // no class swamps the training mix (the label-balance step that
     // runs right after agg_gini's audit flags skew). Selection is by
@@ -263,6 +288,19 @@ object CurationQueries extends QueryPack {
         |LEFT JOIN inter ON inter.doc_id = p.doc_id
         |  AND inter.ref_id = p.ref_id
         |ORDER BY p.doc_id""".stripMargin,
+
+    "privacy_ldiversity" ->
+      """WITH qi AS (SELECT c_nationkey,
+        |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |     + 100000000) // 200000 AS bal_bucket,
+        |    c_mktsegment FROM customer),
+        |g AS (SELECT c_nationkey, bal_bucket,
+        |    count(DISTINCT c_mktsegment) AS l, count(*) AS k FROM qi
+        |  GROUP BY c_nationkey, bal_bucket)
+        |SELECT l, count(*) AS n_groups,
+        |  CAST(sum(k) AS BIGINT) AS n_rows,
+        |  l < 3 AS risky
+        |FROM g GROUP BY l ORDER BY l""".stripMargin,
 
     "privacy_kanon" ->
       """WITH qi AS (SELECT c_mktsegment, c_nationkey,

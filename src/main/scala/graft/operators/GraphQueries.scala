@@ -123,6 +123,58 @@ object GraphQueries extends QueryPack {
         .groupBy($"node_type", $"deg")
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy($"node_type", $"deg")
+    }),
+
+    // Triangle counting (r8) over the supplier projection of the
+    // part↔supplier graph (suppliers are linked when they co-supply a
+    // part — the bipartite pagerank graph itself is triangle-free by
+    // construction). The two scale decisions ARE the operator:
+    //   1. Hub skip: parts supplied by > 8 suppliers are excluded
+    //      before projection — a hub part emits O(d²) edges, and at
+    //      crawl scale hub skipping (or sampling) is how projection
+    //      graphs stay linear in the fact table. The cap is part of
+    //      the operator's declared semantics and mirrored verbatim in
+    //      the oracle.
+    //   2. Degree-ordered orientation (compact-forward, Latapy 2008):
+    //      each undirected edge points from its lower-(degree, id)
+    //      endpoint, so every wedge is generated exactly once FROM
+    //      the lower-degree vertex — join fanout is bounded by the
+    //      oriented out-degree (≤ √(2m) on any graph), never by a hub
+    //      supplier's full neighborhood. The oracle counts the same
+    //      triangles with naive id-ordering — the per-triangle count
+    //      is orientation-invariant, so cross-engine equality holds
+    //      while the Spark plan keeps the skew-safe shape.
+    // Output: one row (n_nodes, n_edges, n_triangles) — the single-row
+    // aggregates combine by broadcast cross join.
+    "graph_triangles" -> ((s, dir) => {
+      import s.implicits._
+      val ps = Tables.load(s, dir, "lineitem")
+        .select($"l_partkey".as("p"), $"l_suppkey".as("v")).distinct()
+      val okParts = ps.groupBy($"p").agg(count(lit(1)).as("d"))
+        .filter($"d" <= 8).select($"p")
+      val pp = ps.join(okParts, "p")
+      val ed = pp.as("x").join(pp.as("y"), "p")
+        .filter($"x.v" < $"y.v")
+        .select($"x.v".as("u"), $"y.v".as("v")).distinct()
+      val deg = ed.select($"u".as("n"))
+        .unionAll(ed.select($"v".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("d"))
+      val or = ed
+        .join(deg.select($"n".as("u"), $"d".as("du")), "u")
+        .join(deg.select($"n".as("v"), $"d".as("dv")), "v")
+        .select(
+          when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"),
+            struct($"u".as("s"), $"v".as("t")))
+            .otherwise(struct($"v".as("s"), $"u".as("t"))).as("e"))
+        .select($"e.s".as("s"), $"e.t".as("t"))
+      val tri = or.as("e1")
+        .join(or.as("e2"), $"e1.t" === $"e2.s")
+        .join(or.as("e3"),
+          $"e1.s" === $"e3.s" && $"e2.t" === $"e3.t")
+        .agg(count(lit(1)).as("n_triangles"))
+      val nn = deg.agg(count(lit(1)).as("n_nodes"))
+      val ne = ed.agg(count(lit(1)).as("n_edges"))
+      nn.crossJoin(ne).crossJoin(tri)
     }))
 
   /** The ten unrolled iterations, generated from the same constants as
@@ -139,6 +191,22 @@ object GraphQueries extends QueryPack {
   }.mkString(",\n")
 
   def oracle: Seq[(String, String)] = Seq(
+    "graph_triangles" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS v
+        |  FROM lineitem),
+        |ok AS (SELECT p FROM ps GROUP BY p HAVING count(*) <= 8),
+        |pp AS (SELECT ps.p, ps.v FROM ps JOIN ok USING (p)),
+        |ed AS (SELECT DISTINCT x.v AS u, y.v AS v
+        |  FROM pp x JOIN pp y ON x.p = y.p AND x.v < y.v),
+        |tri AS (SELECT count(*) AS n_triangles
+        |  FROM ed e1
+        |  JOIN ed e2 ON e1.v = e2.u
+        |  JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |nn AS (SELECT count(DISTINCT n) AS n_nodes FROM
+        |  (SELECT u AS n FROM ed UNION ALL SELECT v FROM ed)),
+        |ne AS (SELECT count(*) AS n_edges FROM ed)
+        |SELECT n_nodes, n_edges, n_triangles FROM nn, ne, tri""".stripMargin,
+
     "graph_pagerank" ->
       s"""WITH e AS (SELECT DISTINCT l_partkey AS p,
          |    1000000000 + l_suppkey AS sn FROM lineitem),

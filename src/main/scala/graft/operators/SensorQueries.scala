@@ -142,6 +142,30 @@ object SensorQueries extends QueryPack {
         .orderBy($"event_id")
     }),
 
+    // Adjacent-sequence pattern match (r8): the MATCH_RECOGNIZE-style
+    // op funnel_steps does NOT cover — funnel finds the first
+    // *reachable* chain anywhere in a user's history, this finds
+    // view→click→purchase as three CONSECUTIVE events in the user's
+    // ordered stream. Two leads over one (user, time, id) window —
+    // a single shuffle on the high-cardinality user key, no
+    // self-joins; the pattern predicate evaluates map-side after the
+    // sort, so the op scales as one window pass at any history depth.
+    // Order key (sec, event_id) is collision-free (event_id unique).
+    "win_seqpattern" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
+      Tables.load(s, dir, "events")
+        .select($"user_id", $"event_type", sec($"ts").as("sec"),
+          $"event_id")
+        .withColumn("t1", lead($"event_type", 1).over(w))
+        .withColumn("t2", lead($"event_type", 2).over(w))
+        .filter($"event_type" === "view" && $"t1" === "click" &&
+          $"t2" === "purchase")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_matches"), min($"sec").as("first_sec"))
+        .orderBy($"user_id")
+    }),
+
     // Ordered-funnel analysis: per user, the first view, the first
     // click strictly after that view, and the first purchase strictly
     // after that click — the event-sequence op behind conversion
@@ -337,23 +361,51 @@ object SensorQueries extends QueryPack {
       // keyed on event_id so the oracle reproduces the split), parse +
       // validate through LineParser. The .SSS ms-truncation is
       // harmless: every downstream time derivation is second-level.
+      // The fixture stages events as one parquet file, so the scan is
+      // one partition — and from_csv (interpreted UnivocityParser, the
+      // honest cost of CSV ingest) would run single-threaded at
+      // ~2.5 µs/row. A round-robin repartition of the raw lines before
+      // the parse spreads it across the session's cores; at 100 TB the
+      // ingest arrives as many files and this becomes a no-op, but the
+      // principle stands: never let a text-parse stage inherit the
+      // file layout's parallelism.
       val lines = Tables.load(s, dir, "events")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(when($"event_id" % 13 === 0,
             concat(lit("corrupt line #"), $"event_id"))
           .otherwise(to_csv(struct($"event_id", $"ts", $"user_id",
             $"event_type", $"value", $"props"), csvOpts.asJava))
           .as("value"))
-      val valid = graft.streaming.LineParser.parseValid(lines)
+      // Materialize the parsed (bronze→silver) relation BEFORE the
+      // validity filter. Left declarative, PushPredicateThroughNonJoin
+      // substitutes the `from_csv` expression into every conjunct of
+      // isValid, and CsvToStructs is codegen-fallback so no CSE
+      // rescues it — each row was parsed ~7 times (measured 4.6 s vs
+      // 1.3 s at sf0.1; PLANS.md r8). The barrier parses once per
+      // row; at 100 TB this IS the staged typed table a real ingest
+      // writes between parse and validation.
+      val valid = graft.streaming.LineParser.parse(lines)
+        .localCheckpoint(true)
+        .filter(graft.streaming.LineParser.isValid)
       // Stage 2 — resample to the zero-filled 15-minute grid per type.
       val e = valid.selectExpr("event_type",
         Det.nonNegExpr("unix_timestamp(date_trunc('SECOND', ts))",
           "pipeline_sensor epoch") + " div 900 AS bin",
         "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+      // The reduced (type, bin) relation feeds three consumers (the
+      // series join, the global grid bounds, the type list). Left
+      // declarative, column pruning rewrites each subtree differently
+      // so ReusedExchange never fires and the expensive parse scan
+      // runs three times (measured 3.5 s at sf0.1). Materializing the
+      // ~thousands-of-rows reduction once per invocation is the same
+      // move a 100-TB pipeline makes — write the reduced series, then
+      // derive grid/bounds from the table, never re-scan the corpus.
       val agg = e.groupBy($"event_type", $"bin")
         .agg(count(lit(1)).as("n"), sum($"cents").as("sum_c"))
-      val grid = e.agg(min($"bin").as("lo"), max($"bin").as("hi"))
+        .localCheckpoint(true)
+      val grid = agg.agg(min($"bin").as("lo"), max($"bin").as("hi"))
         .select(explode(sequence($"lo", $"hi")).as("bin"))
-        .crossJoin(e.select($"event_type").distinct())
+        .crossJoin(agg.select($"event_type").distinct())
       val series = grid.join(agg, Seq("event_type", "bin"), "left")
         .select($"event_type", $"bin",
           coalesce($"n", lit(0L)).as("n"),
@@ -557,6 +609,21 @@ object SensorQueries extends QueryPack {
         |      AS gap_sec
         |  FROM events) t
         |ORDER BY event_id""".stripMargin,
+
+    "win_seqpattern" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+        |    event_id FROM events),
+        |w AS (SELECT user_id, event_type, sec,
+        |    lead(event_type, 1) OVER
+        |      (PARTITION BY user_id ORDER BY sec, event_id) AS t1,
+        |    lead(event_type, 2) OVER
+        |      (PARTITION BY user_id ORDER BY sec, event_id) AS t2
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_matches, min(sec) AS first_sec
+        |FROM w
+        |WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "funnel_steps" ->
       """WITH e AS (SELECT user_id, event_type,

@@ -36,6 +36,35 @@ object EventStreams {
      else r).parquet(dir)
   }
 
+  /** Fixed base for staged-chunk modification times — any stable epoch
+    * works; only the strict per-chunk ordering matters. */
+  private val chunkEpochMs: Long =
+    java.time.Instant.parse("2026-01-01T00:00:00Z").toEpochMilli
+
+  /** Move a just-written single-part chunk from its temp write dir
+    * into `dir` under a deterministic name with a strictly increasing
+    * modification time. FileStreamSource replays files ordered by
+    * (modTime, path); part files written back-to-back can tie at the
+    * filesystem's modTime granularity, and the tiebreak over random
+    * part-UUID paths then replays chunks out of order — which makes a
+    * time-ordered staging look like >watermark-late data and silently
+    * drops rows. Explicit stamps make replay order a staged invariant
+    * instead of a timing accident. */
+  private[streaming] def promoteChunk(tmpDir: String, dir: String,
+                                      idx: Int, ext: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val parts = new java.io.File(tmpDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(ext))
+    require(parts.length == 1,
+      s"expected exactly 1 part file in $tmpDir, found ${parts.length}")
+    Files.createDirectories(Paths.get(dir))
+    val dst = Paths.get(dir, f"chunk-$idx%05d$ext")
+    Files.move(parts.head.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+    require(dst.toFile.setLastModified(chunkEpochMs + idx * 60000L),
+      s"could not stamp modTime on $dst")
+    graft.Util.deleteRecursively(new java.io.File(tmpDir))
+  }
+
   /** Stage the batch events table as an ordered sequence of chunk
     * files under `replayDir`, so the file source replays it as a
     * stream in event-time order. Optionally append a far-future
@@ -60,8 +89,10 @@ object EventStreams {
     try {
       val n = withChunk.agg(max($"chunk")).head().getInt(0)
       (0 to n).foreach { i =>
+        val tmp = s"${replayDir}_tmp"
         withChunk.filter($"chunk" === i).drop("chunk")
-          .coalesce(1).write.mode("append").parquet(replayDir)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        promoteChunk(tmp, replayDir, i, ".parquet")
       }
     } finally withChunk.unpersist()
     if (sentinel) {
@@ -70,7 +101,9 @@ object EventStreams {
       val far = new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000)
       val row = Seq((Long.MaxValue, far, -1L, "wmflush", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      row.coalesce(1).write.mode("append").parquet(replayDir)
+      val tmp = s"${replayDir}_tmp"
+      row.coalesce(1).write.mode("overwrite").parquet(tmp)
+      promoteChunk(tmp, replayDir, chunks + 1, ".parquet")
     }
   }
 

@@ -294,6 +294,45 @@ object StreamQueries {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** st18 (r8) — the namesake sensor pipeline end-to-end on the
+    * STREAM side, the incremental twin of the batch `pipeline_sensor`
+    * key: raw CSV sensor lines → `from_csv` parse + validate (the
+    * SAME LineParser the batch key runs) → watermarked 15-minute
+    * tumbling windows of exact integer cents per type. One function,
+    * stream/batch agnostic — StreamingEquivalenceSpec runs it over
+    * `readStream.text` and `read.text` and asserts identical windows.
+    *
+    * Watermark-placement pitfall, found the hard way (the st18 spec
+    * failed by exactly the final two windows): the watermark is
+    * WRITTEN between parse and validity filter, but Catalyst's
+    * PushPredicateThroughNonJoin splits the filter's conjuncts and
+    * pushes every one that does not reference the event-time column
+    * (`event_type IN (...)`, the value range, the id null-checks)
+    * BELOW the EventTimeWatermark node. A "parseable but invalid"
+    * flush sentinel (unknown event_type) is therefore killed before
+    * it ever reaches the watermark operator — the batch's progress
+    * shows numInputRows=1 with NO eventTime stats, the watermark
+    * stays at maxRealTs - 1h, and the last real windows are silently
+    * never emitted in append mode. The corrupt (all-null) lines are
+    * equally filtered below the watermark, so null event times never
+    * hit the stats collector. Consequence: an append-mode flush
+    * sentinel must be a VALID heartbeat event (the spec uses a
+    * far-future in-range `click`), and its own never-flushed window
+    * is excluded on the batch side of the equivalence check. State
+    * per group is one (count, sum) pair per (15-min window, type);
+    * the watermark bounds the store. */
+  def sensorPipeline(lines: DataFrame): DataFrame = {
+    import lines.sparkSession.implicits._
+    LineParser.parse(lines)
+      .withWatermark("ts", "1 hour")
+      .filter(LineParser.isValid)
+      .groupBy(window($"ts", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("sum_c"))
+      .select($"window.start".as("ws"), $"event_type", $"n", $"sum_c")
+  }
+
   /** Batch analogue of st7's FINAL state per user. */
   def userSummaryBatch(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._

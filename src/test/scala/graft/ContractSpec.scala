@@ -22,7 +22,8 @@ class ContractSpec extends AnyFunSuite {
     val qs = SparkEntry.queries
     // Single-row global aggregates are trivially ordered.
     val singleRow =
-      Set("scan_parquet", "source_json_corrupt", "source_csv_malformed")
+      Set("scan_parquet", "source_json_corrupt", "source_csv_malformed",
+        "graph_triangles")
     SparkEntry.packs.flatMap(_.oracle).foreach { case (k, sql) =>
       assert(qs.contains(k), s"oracle '$k' has no query")
       assert(singleRow(k) || sql.toUpperCase.contains("ORDER BY"),

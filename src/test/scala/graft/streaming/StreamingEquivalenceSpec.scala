@@ -44,6 +44,64 @@ class StreamingEquivalenceSpec extends SparkTestBase {
     spark.table(name)
   }
 
+  /** Stage events as raw CSV LINES for st18 (the text-source twin of
+    * stageReplay): every 13th line corrupted (pipeline_sensor's rule),
+    * time-ordered 5-chunk text files, plus a far-future VALID
+    * heartbeat line whose ts flushes every real window. It must be
+    * valid: Catalyst pushes the validity filter's non-event-time
+    * conjuncts below the watermark node, so an invalid sentinel never
+    * reaches the watermark operator (see sensorPipeline's scaladoc). */
+  private def lineReplayDir(name: String): String = {
+    import scala.jdk.CollectionConverters._
+    val dir = scratch(s"replay_$name")
+    val csvOpts = Map("timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSS")
+    val ev = Tables.load(spark, sf, "events").orderBy($"ts", $"event_id")
+      .select(when($"event_id" % 13 === 0,
+          concat(lit("corrupt line #"), $"event_id"))
+        .otherwise(to_csv(struct($"event_id", $"ts", $"user_id",
+          $"event_type", $"value", $"props"), csvOpts.asJava))
+        .as("value"))
+    val per = math.max(1L, (ev.count() + 4) / 5)
+    val chunked = ev.coalesce(1)
+      .withColumn("chunk", (monotonically_increasing_id() / per).cast("int"))
+    (0 to 4).foreach { i =>
+      val tmp = s"${dir}_tmp"
+      chunked.filter($"chunk" === i).select($"value")
+        .coalesce(1).write.mode("overwrite").text(tmp)
+      EventStreams.promoteChunk(tmp, dir, i, ".txt")
+    }
+    val maxTs = Tables.load(spark, sf, "events").agg(max($"ts"))
+      .head().getTimestamp(0)
+    val farIso = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+      .format(new java.util.Date(maxTs.getTime + 48L * 3600 * 1000))
+    val tmp = s"${dir}_tmp"
+    Seq(s"9223372036854775807,$farIso,-1,click,0.0,{}").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(tmp)
+    EventStreams.promoteChunk(tmp, dir, 6, ".txt")
+    dir
+  }
+
+  test("st18: full sensor pipeline over a raw CSV line stream == batch") {
+    // The streaming twin of the oracled batch `pipeline_sensor` key:
+    // same corrupt-line rule, same LineParser, same exact-cents
+    // windows — replayed incrementally in 6 micro-batches, final
+    // append-mode output must equal one batch pass over the same text.
+    // The heartbeat sentinel's own far-future window is the one row
+    // append mode can never emit (the watermark stops 1h short of it),
+    // so the batch side excludes windows past the real data.
+    val dir = lineReplayDir("st18")
+    val maxTs = Tables.load(spark, sf, "events").agg(max($"ts"))
+      .head().getTimestamp(0)
+    val stream = spark.readStream.option("maxFilesPerTrigger", 1)
+      .text(dir)
+    val got = runToMemory(StreamQueries.sensorPipeline(stream),
+      "st18_out", "append")
+    val want = StreamQueries.sensorPipeline(spark.read.text(dir))
+      .filter($"ws" <= lit(maxTs))
+    assert(got.count() > 0, "st18 emitted nothing")
+    assertSameRows(got, want, "st18 stream vs batch")
+  }
+
   test("st1+st2: tumbling window over file stream == batch (complete)") {
     val stream = EventStreams.readEventStream(
       spark, replayDir("st2", sentinel = false))
