@@ -47,6 +47,26 @@ object SourceSinkQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("sum_price"))
     }),
 
+    // Hidden file-metadata columns (r8): `_metadata.file_path` /
+    // `file_size` / `row_index` are the lineage surface a 100-TB
+    // pipeline debugs with (which file produced this row, without a
+    // re-listing join). The oracle can't see Spark's metadata struct,
+    // so the output is layout-independent: row accounting must agree
+    // with a plain scan, and every row must carry a non-empty path and
+    // positive size (all_paths/all_sized booleans) — proving the
+    // plumbing populates per-row, not that the fixture has N files.
+    "scan_metadata" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .select($"event_id",
+          col("_metadata.file_path").as("fp"),
+          col("_metadata.file_size").as("fs"))
+        .agg(count(lit(1)).as("n_rows"),
+          min($"event_id").as("min_id"), max($"event_id").as("max_id"),
+          min($"fp".isNotNull && length($"fp") > 0).as("all_paths"),
+          min($"fs" > 0L).as("all_sized"))
+    }),
+
     // Projection + predicate pushdown: 3 columns, pushable filter.
     // PlanShapeSpec asserts PushedFilters + pruned ReadSchema.
     "scan_pruned" -> ((s, dir) => {
@@ -313,6 +333,12 @@ object SourceSinkQueries extends QueryPack {
       """SELECT count(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem""".stripMargin,
+
+    "scan_metadata" ->
+      """SELECT count(*) AS n_rows,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  TRUE AS all_paths, TRUE AS all_sized
+        |FROM events""".stripMargin,
 
     "scan_pruned" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice

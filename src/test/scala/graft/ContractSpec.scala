@@ -23,7 +23,7 @@ class ContractSpec extends AnyFunSuite {
     // Single-row global aggregates are trivially ordered.
     val singleRow =
       Set("scan_parquet", "source_json_corrupt", "source_csv_malformed",
-        "graph_triangles")
+        "graph_triangles", "scan_metadata")
     SparkEntry.packs.flatMap(_.oracle).foreach { case (k, sql) =>
       assert(qs.contains(k), s"oracle '$k' has no query")
       assert(singleRow(k) || sql.toUpperCase.contains("ORDER BY"),
