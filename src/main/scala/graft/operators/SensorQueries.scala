@@ -142,6 +142,34 @@ object SensorQueries extends QueryPack {
         .orderBy($"event_id")
     }),
 
+    // Discrete derivative per sensor type (r8): rate of change between
+    // consecutive readings — the canonical sensor op (flow from
+    // volume, power from energy). One lag window per type; numerator
+    // and denominator stay exact integers (cents, seconds) and the
+    // division is the single final IEEE step (ts_ewma's discipline).
+    // Same-second pairs are emitted with a NULL rate (denominator 0 is
+    // undefined, not infinite); order key (sec, event_id) is
+    // collision-free.
+    "ts_rate" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"sec", $"event_id")
+      Tables.load(s, dir, "events")
+        .select($"event_id", $"event_type",
+          sec($"ts").as("sec"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        .withColumn("prev_sec", lag($"sec", 1).over(w))
+        .withColumn("prev_c", lag($"cents", 1).over(w))
+        .filter($"prev_sec".isNotNull)
+        .select($"event_id", $"event_type",
+          ($"cents" - $"prev_c").as("delta_c"),
+          ($"sec" - $"prev_sec").as("delta_s"),
+          when($"sec" > $"prev_sec",
+            ($"cents" - $"prev_c").cast("double") /
+              ($"sec" - $"prev_sec").cast("double")).as("rate"))
+        .orderBy($"event_id")
+    }),
+
     // Adjacent-sequence pattern match (r8): the MATCH_RECOGNIZE-style
     // op funnel_steps does NOT cover — funnel finds the first
     // *reachable* chain anywhere in a user's history, this finds
@@ -608,6 +636,26 @@ object SensorQueries extends QueryPack {
         |              ORDER BY date_trunc('second', ts), event_id)
         |      AS gap_sec
         |  FROM events) t
+        |ORDER BY event_id""".stripMargin,
+
+    "ts_rate" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (SELECT event_id, event_type, sec, cents,
+        |    lag(sec, 1) OVER
+        |      (PARTITION BY event_type ORDER BY sec, event_id) AS prev_sec,
+        |    lag(cents, 1) OVER
+        |      (PARTITION BY event_type ORDER BY sec, event_id) AS prev_c
+        |  FROM e)
+        |SELECT event_id, event_type,
+        |  cents - prev_c AS delta_c,
+        |  sec - prev_sec AS delta_s,
+        |  CASE WHEN sec > prev_sec THEN
+        |    CAST(cents - prev_c AS DOUBLE) / CAST(sec - prev_sec AS DOUBLE)
+        |  END AS rate
+        |FROM w WHERE prev_sec IS NOT NULL
         |ORDER BY event_id""".stripMargin,
 
     "win_seqpattern" ->

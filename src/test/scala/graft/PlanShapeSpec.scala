@@ -304,4 +304,38 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin") ||
       p.contains("SortMergeJoin"), s"gap-fill join missing:\n$p")
   }
+
+  test("graph_triangles: all equi-joins, no cartesian wedge closure") {
+    // The wedge generation and closure must be hash/merge EQUI-joins
+    // on oriented endpoints — a CartesianProduct here is the all-pairs
+    // O(V²) degeneration the degree orientation exists to prevent.
+    // (The only nested-loop joins allowed are the final three
+    // single-row count aggregates combined by broadcast cross join.)
+    val p = planOf("graph_triangles")
+    assert(!p.contains("CartesianProduct"),
+      s"wedge closure degenerated to cartesian:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"no equi-join in the triangle plan:\n$p")
+  }
+
+  test("win_seqpattern: one window pass, no self-join") {
+    // The operator's reason to exist: both leads share ONE
+    // (user_id)(sec, event_id) window — a SortMergeJoin in the plan
+    // means it regressed to the 3-way self-join shape the R8OpsSpec
+    // law uses as its independent check.
+    val p = planOf("win_seqpattern")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"window pass missing:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"seqpattern regressed to a self-join:\n$p")
+  }
+
+  test("scan_metadata reads lineage from the scan, not a re-listing join") {
+    // _metadata must come from the file scan itself (a hidden struct
+    // column) — any join in this plan means a re-listing side channel.
+    val p = planOf("scan_metadata")
+    assert(!p.contains("Join"), s"metadata via join, not scan:\n$p")
+    assert(p.toLowerCase.contains("_metadata"),
+      s"hidden metadata column missing from scan:\n$p")
+  }
 }
