@@ -1,0 +1,116 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Reusable, parameterized text-deduplication building blocks — the
+  * public library surface behind the oracled `dedup_*` query keys
+  * (SURVEY.md §2.H/§2.K). Everything is DataFrame-in / DataFrame-out
+  * with caller-named input columns and documented output columns, so a
+  * user can run the same pipelines over their own tables; the keyed
+  * queries in `operators.TrainQueries` are thin adapters over these
+  * functions, which keeps the DuckDB oracles as the equivalence proof
+  * for BOTH surfaces.
+  *
+  * Determinism contract (same as the packs, SURVEY.md §7.4): pure
+  * integer hashing — affine maps over a dense, order-by-term
+  * dictionary; no floating point anywhere.
+  */
+object TextDedup {
+
+  /** Default affine minhash coefficients (k=8) — the pack's constants. */
+  val DefaultCoeffs: Seq[(Long, Long)] =
+    Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
+      .zip(Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L))
+
+  /** Distinct (doc_id, term) token-SET relation from a raw text
+    * column (whitespace tokenization, lower-cased, empties dropped).
+    * Output: (doc_id, term). */
+  def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+
+  /** Term frequencies (doc_id, term, tf) — simhash's weighted input. */
+  def termFreqs(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Deterministic dense dictionary over any frame with a `term`
+    * column: term → 1-based `tid`, ordered by term. The single
+    * unpartitioned window runs over the DISTINCT term set (vocabulary-
+    * sized, never corpus-sized). Output: (term, tid). */
+  def dictionary(terms: DataFrame): DataFrame =
+    terms.select(col("term")).distinct()
+      .withColumn("tid",
+        row_number().over(Window.orderBy(col("term"))).cast(LongType))
+
+  /** k affine-permutation minhash signatures (m1..mk) plus banded LSH
+    * join keys (band1..band_{k/bandRows}) per document. `tok` is a
+    * (doc_id, term) relation, `dict` a (term, tid) dictionary (built
+    * once, broadcast — the build-once-probe-many index artifact).
+    * Candidate generation downstream is a band equi-join: documents
+    * sharing ANY band key are near-dup candidates — bucketed, never
+    * all-pairs. Output: (doc_id, m1..mk, band1..). */
+  def minhashSignatures(tok: DataFrame, dict: DataFrame,
+      coeffs: Seq[(Long, Long)] = DefaultCoeffs,
+      prime: Long = 10007L, bandRows: Int = 2): DataFrame = {
+    require(coeffs.nonEmpty && coeffs.length % bandRows == 0,
+      s"coeffs (${coeffs.length}) must be a multiple of bandRows ($bandRows)")
+    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("tid") * a + b, lit(prime))).as(s"m${i + 1}")
+    }
+    val sigs = tok.join(broadcast(dict), "term")
+      .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bands = (0 until coeffs.length / bandRows).map { bi =>
+      (0 until bandRows).map(r => col(s"m${bi * bandRows + r + 1}"))
+        .reduce((acc, m) => acc * prime + m).as(s"band${bi + 1}")
+    }
+    sigs.select(col("doc_id") +:
+      coeffs.indices.map(i => col(s"m${i + 1}")) ++: bands: _*)
+  }
+
+  /** 16-bit tf-weighted SimHash per document from a (doc_id, term,
+    * tf) relation — one corpus shuffle (the groupBy), per-bit vote
+    * sums inside a single aggregate, codegen `termhash` char fold.
+    * Output: (doc_id, simhash). */
+  def simhash16(tf: DataFrame, multiplier: Long = 131L,
+      modulus: Long = 65536L): DataFrame = {
+    graft.functions.TermHash.register(tf.sparkSession)
+    val h = tf.withColumn("h",
+      expr(s"termhash(term, ${multiplier}L, ${modulus}L)"))
+    val voteSums = (0 until 16).map { j =>
+      sum(when(expr(s"(h div ${1L << j}) % 2") === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"sw$j")
+    }
+    h.groupBy(col("doc_id")).agg(voteSums.head, voteSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(j =>
+          when(col(s"sw$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Hamming-ball near-dup candidate pairs over (doc_id, simhash)
+    * signatures: block by the top byte (differing top bytes already
+    * imply distance ≥ 1 there), exact bit_count(xor) ≤ maxDist within
+    * blocks — the self-join key is the 8-bit block, never all-pairs.
+    * Output: (da, db, hdist) with da < db. */
+  def hammingCandidates(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val s = sigs.withColumn("blk", expr("simhash div 256"))
+    val a = s.select(col("blk"), col("doc_id").as("da"),
+      col("simhash").as("sa"))
+    val b = s.select(col("blk"), col("doc_id").as("db"),
+      col("simhash").as("sb"))
+    a.join(b, Seq("blk")).filter(col("da") < col("db"))
+      .withColumn("hdist", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+      .filter(col("hdist") <= maxDist)
+      .select(col("da"), col("db"), col("hdist"))
+  }
+}

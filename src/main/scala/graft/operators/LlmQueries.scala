@@ -344,25 +344,16 @@ object LlmQueries extends QueryPack {
     // broadcast) against all candidates — one candidate scan, window
     // top-k per query. Folds are sequential ⇒ cosines bit-identical
     // cross-engine, so ranking on the raw double is safe.
+    // Thin adapter over graft.api.VectorSearch.knnCosine (r8) — the
+    // DuckDB oracle proves the API function, not just the keyed demo.
     "vec_knn" -> ((s, dir) => {
       import s.implicits._
-      graft.functions.VectorExpressions.register(s)
       val e = Tables.load(s, dir, "embeddings")
-        .withColumn("ss", expr("fnorm2(embedding)"))
-      val q = e.select($"vec_id".as("q_id"), $"embedding".as("qe"),
-                       $"ss".as("qss")).filter($"q_id" < 10)
-      val c = e.select($"vec_id".as("c_id"), $"embedding".as("ce"),
-                       $"ss".as("css"))
-      val pairs = broadcast(q).crossJoin(c).filter($"q_id" =!= $"c_id")
-        .withColumn("dot", expr("fdot(qe, ce)"))
-        .withColumn("cos", $"dot" / sqrt($"qss" * $"css"))
-      pairs
-        .withColumn("rank", row_number().over(
-          Window.partitionBy($"q_id").orderBy($"cos".desc, $"c_id"))
-          .cast(LongType))
-        .filter($"rank" <= 5)
-        .select($"q_id", $"rank", $"c_id",
-                round($"cos", 6).as("cos_r"))
+      graft.api.VectorSearch.knnCosine(
+          e.filter($"vec_id" < 10), e, k = 5,
+          qIdCol = "vec_id", qVecCol = "embedding",
+          cIdCol = "vec_id", cVecCol = "embedding")
+        .select($"q_id", $"rank", $"c_id", round($"cos", 6).as("cos_r"))
         .orderBy($"q_id", $"rank")
     }),
 

@@ -181,16 +181,14 @@ object SensorQueries extends QueryPack {
     // Order key (sec, event_id) is collision-free (event_id unique).
     "win_seqpattern" -> ((s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
-      Tables.load(s, dir, "events")
-        .select($"user_id", $"event_type", sec($"ts").as("sec"),
-          $"event_id")
-        .withColumn("t1", lead($"event_type", 1).over(w))
-        .withColumn("t2", lead($"event_type", 2).over(w))
-        .filter($"event_type" === "view" && $"t1" === "click" &&
-          $"t2" === "purchase")
-        .groupBy($"user_id")
-        .agg(count(lit(1)).as("n_matches"), min($"sec").as("first_sec"))
+      // Thin adapter over graft.api.Events.seqPattern (r8), which
+      // generalizes to any pattern length via k−1 leads in one window.
+      graft.api.Events.seqPattern(
+          Tables.load(s, dir, "events")
+            .select($"user_id", $"event_type", sec($"ts").as("sec"),
+              $"event_id"),
+          "user_id", "event_type", "sec", "event_id",
+          Seq("view", "click", "purchase"))
         .orderBy($"user_id")
     }),
 

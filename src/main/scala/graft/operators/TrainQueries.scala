@@ -53,25 +53,12 @@ object TrainQueries extends QueryPack {
     * inside ONE groupBy — no ×16 bit-position explode and a single
     * corpus shuffle end to end. */
   private[operators] def simhashSigs(s: org.apache.spark.sql.SparkSession,
-                          dir: String): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    val tf = Tables.load(s, dir, "documents")
-      .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
-      .filter($"term" =!= "")
-      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    graft.functions.TermHash.register(s)
-    // codegen termhash == the HOF fold bit-for-bit (TermHashSpec law)
-    val h = tf.withColumn("h", expr("termhash(term, 131L, 65536L)"))
-    val voteSums = (0 until 16).map { j =>
-      sum(when(expr(s"(h div ${1L << j}) % 2") === 1, $"tf")
-        .otherwise(-$"tf")).as(s"sw$j")
-    }
-    h.groupBy($"doc_id").agg(voteSums.head, voteSums.tail: _*)
-      .select($"doc_id",
-        (0 until 16).map(j =>
-          when(col(s"sw$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-  }
+                          dir: String): org.apache.spark.sql.DataFrame =
+    // Thin adapter over the public parameterized surface (r8) — the
+    // codegen termhash == the HOF fold bit-for-bit (TermHashSpec law).
+    graft.api.TextDedup.simhash16(
+      graft.api.TextDedup.termFreqs(
+        Tables.load(s, dir, "documents"), "doc_id", "text"))
 
   /** 64-bit SimHash as FOUR independent 16-bit blocks (term-hash
     * multipliers 131/137/139/149) — the Manku et al. (WWW'07)
@@ -108,21 +95,13 @@ object TrainQueries extends QueryPack {
     // MinHash signature (k=8, affine hashes over the term dictionary)
     // + 4 LSH band keys (r=2). Banding docs into buckets by b1..b4 is
     // the scale path to near-dup candidate pairs.
+    // Thin adapter over the public parameterized surface (r8):
+    // graft.api.TextDedup.minhashSignatures — the DuckDB oracle is the
+    // equivalence proof for BOTH the keyed query and the API function.
     "dedup_minhash" -> ((s, dir) => {
       import s.implicits._
-      val tok = TextBlocking.tokens(s, dir)
-      val hashed =
-        tok.join(broadcast(TextBlocking.corpusDict(s, dir)), "term")
-      val mins = MA.zip(MB).zipWithIndex.map { case ((a, b), i) =>
-        min(pmod($"tid" * a + b, lit(10007L))).as(s"m${i + 1}")
-      }
-      hashed.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
-        .select($"doc_id",
-          $"m1", $"m2", $"m3", $"m4", $"m5", $"m6", $"m7", $"m8",
-          ($"m1" * 10007 + $"m2").as("band1"),
-          ($"m3" * 10007 + $"m4").as("band2"),
-          ($"m5" * 10007 + $"m6").as("band3"),
-          ($"m7" * 10007 + $"m8").as("band4"))
+      graft.api.TextDedup.minhashSignatures(
+          TextBlocking.tokens(s, dir), TextBlocking.corpusDict(s, dir))
         .orderBy($"doc_id")
     }),
 
@@ -142,19 +121,10 @@ object TrainQueries extends QueryPack {
     // differing top byte means Hamming distance ≥ 1 there already),
     // then exact bit_count(xor) ≤ 3 within blocks. The self-join key
     // is the 8-bit block, never all-pairs.
+    // Thin adapter over graft.api.TextDedup.hammingCandidates (r8).
     "dedup_hamming" -> ((s, dir) => {
       import s.implicits._
-      val sig = simhashSigs(s, dir)
-        .withColumn("blk", expr("simhash div 256"))
-      val a = sig.select($"blk", $"doc_id".as("da"),
-                         $"simhash".as("sa"))
-      val b = sig.select($"blk", $"doc_id".as("db"),
-                         $"simhash".as("sb"))
-      a.join(b, Seq("blk")).filter($"da" < $"db")
-        .withColumn("hdist",
-          expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
-        .filter($"hdist" <= 3)
-        .select($"da", $"db", $"hdist")
+      graft.api.TextDedup.hammingCandidates(simhashSigs(s, dir))
         .orderBy($"da", $"db")
     }),
 

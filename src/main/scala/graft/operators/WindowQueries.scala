@@ -197,22 +197,14 @@ object WindowQueries extends QueryPack {
     // (user, session). Epoch-second integers throughout (§7.4 P3).
     // Scale: both windows partition by user_id (high cardinality),
     // never by a low-cardinality key; state per task is one row.
+    // Thin adapter over graft.api.Events.sessionize (r8).
     "win_sessionize" -> ((s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"ts_s", $"event_id")
-      Tables.load(s, dir, "events")
-        .select($"user_id", $"event_id",
-          unix_timestamp(date_trunc("second", $"ts")).as("ts_s"))
-        .withColumn("gap",
-          when(lag($"ts_s", 1).over(w).isNull ||
-               $"ts_s" - lag($"ts_s", 1).over(w) >= 1800L, 1L)
-            .otherwise(0L))
-        .withColumn("sid", sum($"gap").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy($"user_id", $"sid")
-        .agg(count(lit(1)).as("n_events"),
-             min($"ts_s").as("start_s"),
-             (max($"ts_s") - min($"ts_s")).as("dur_s"))
+      graft.api.Events.sessionize(
+          Tables.load(s, dir, "events")
+            .select($"user_id", $"event_id",
+              unix_timestamp(date_trunc("second", $"ts")).as("ts_s")),
+          "user_id", "ts_s", "event_id", gapSec = 1800L)
         .orderBy($"user_id", $"sid")
     }),
 

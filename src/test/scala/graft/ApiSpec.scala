@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The public `graft.api` surface must be GENERIC: same functions the
+  * oracled keys delegate to (equivalence proven by those oracles),
+  * exercised here on ad-hoc non-fixture frames with caller-chosen
+  * column names — the "a user could switch their own tables to this
+  * library" claim, tested.
+  */
+class ApiSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("TextDedup end-to-end on an ad-hoc corpus finds the near-dups") {
+    val corpus = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"),
+      (102L, "the quick brown fox jumps over the lazy cat"),
+      (103L, "completely different content about spark engines"),
+      (104L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("article_id", "body")
+    val tok = api.TextDedup.tokens(corpus, "article_id", "body")
+    val dict = api.TextDedup.dictionary(tok)
+    val sigs = api.TextDedup.minhashSignatures(tok, dict)
+    // Exact duplicates 101/104 must share EVERY band; the unrelated
+    // 103 must not collide with them on all bands.
+    val bands = sigs.select($"doc_id", $"band1", $"band2", $"band3",
+      $"band4").collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(bands(101L) == bands(104L), "exact dups must share all bands")
+    assert(bands(101L) != bands(103L), "unrelated docs collide everywhere")
+
+    val sh = api.TextDedup.simhash16(
+      api.TextDedup.termFreqs(corpus, "article_id", "body"))
+    val cand = api.TextDedup.hammingCandidates(sh, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((101L, 104L)),
+      "identical docs must be Hamming candidates at distance 0")
+  }
+
+  test("VectorSearch.knnCosine on ad-hoc embeddings ranks by cosine") {
+    val qs = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "v")
+    val corpus = Seq(
+      (10L, Array(0.9f, 0.1f)),   // nearly parallel — best
+      (11L, Array(0.0f, 1.0f)),   // orthogonal — worst
+      (12L, Array(0.7f, 0.7f))    // diagonal — middle
+    ).toDF("id", "v")
+    val r = api.VectorSearch.knnCosine(qs, corpus, k = 3,
+        qIdCol = "id", qVecCol = "v", cIdCol = "id", cVecCol = "v")
+      .orderBy($"rank").collect()
+    assert(r.map(_.getLong(2)).toSeq == Seq(10L, 12L, 11L),
+      s"cosine ranking wrong: ${r.mkString(",")}")
+  }
+
+  test("Events.seqPattern generalizes to a 2-step and a 4-step pattern") {
+    val ev = Seq(
+      (1L, "a", 10L, 1L), (1L, "b", 20L, 2L), (1L, "c", 30L, 3L),
+      (1L, "d", 40L, 4L),
+      (2L, "a", 10L, 5L), (2L, "c", 20L, 6L) // no a→b adjacency
+    ).toDF("who", "kind", "at", "seq")
+    val two = api.Events.seqPattern(ev, "who", "kind", "at", "seq",
+      Seq("a", "b")).collect()
+    assert(two.length == 1 && two.head.getLong(0) == 1L &&
+      two.head.getLong(1) == 1L, "a→b must match once for entity 1 only")
+    val four = api.Events.seqPattern(ev, "who", "kind", "at", "seq",
+      Seq("a", "b", "c", "d")).collect()
+    assert(four.length == 1 && four.head.getLong(2) == 10L,
+      "4-step pattern must match from the first event")
+  }
+
+  test("Events.sessionize splits on the gap threshold") {
+    val ev = Seq(
+      (7L, 0L, 1L), (7L, 100L, 2L),    // session 1
+      (7L, 2000L, 3L),                 // gap 1900 >= 1800 → session 2
+      (8L, 0L, 4L)
+    ).toDF("uid", "t", "eid")
+    val r = api.Events.sessionize(ev, "uid", "t", "eid", gapSec = 1800L)
+      .orderBy($"user_id", $"sid").collect()
+    assert(r.length == 3, s"expected 3 sessions, got ${r.length}")
+    assert(r(0).getLong(2) == 2 && r(1).getLong(2) == 1,
+      "entity 7 must split 2+1 across the gap")
+  }
+}
