@@ -1,0 +1,99 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Reusable sensor time-series building blocks — the public surface
+  * behind the oracled `ts_*` keys (SURVEY.md §2.N, the namesake
+  * domain). `resample` reshapes to a dense grid; the other functions
+  * AUGMENT the caller's frame (all input columns preserved, result
+  * columns appended) so they compose like `withColumn`. Every window
+  * partitions by the caller's series key and orders by the
+  * collision-free (time, id) composite; every running scan is
+  * frame-bounded (no whole-partition buffering).
+  */
+object TimeSeries {
+
+  private def seriesWindow(seriesCol: String, tsSecCol: String,
+      idCol: String) =
+    Window.partitionBy(col(seriesCol)).orderBy(col(tsSecCol), col(idCol))
+
+  /** Resample to a fixed-width grid per series, zero-filling empty
+    * bins: the plot/join-ready densification of a sparse stream. The
+    * grid spans the GLOBAL [min, max] bin range crossed with the
+    * distinct series keys; everything after the first groupBy runs on
+    * the reduced (series, bin) relation. Output: (series, bin,
+    * bin_start_sec, n, sum_v). */
+  def resample(events: DataFrame, seriesCol: String, tsSecCol: String,
+      valueCol: String, binSec: Long): DataFrame = {
+    val e = events.select(col(seriesCol).as("series"),
+        col(tsSecCol).as("sec"), col(valueCol).as("value"))
+      .withColumn("bin", floor(col("sec") / binSec))
+    val agg = e.groupBy(col("series"), col("bin"))
+      .agg(count(lit(1)).as("n"), graft.Det.dsum(col("value")).as("sum_v"))
+    val grid = e.agg(min(col("bin")).as("lo"), max(col("bin")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("bin"))
+      .crossJoin(e.select(col("series")).distinct())
+    grid.join(agg, Seq("series", "bin"), "left")
+      .select(col("series"), col("bin").cast(LongType).as("bin"),
+        (col("bin") * binSec).cast(LongType).as("bin_start_sec"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_v"), lit(0.0)).as("sum_v"))
+  }
+
+  /** Last-observation-carried-forward: appends `filled` — the latest
+    * at-or-before `valueCol` of the rows matching `isObservation`
+    * within the same series (NULL until the first observation). One
+    * frame-bounded running window; all input columns preserved. */
+  def locf(events: DataFrame, seriesCol: String, tsSecCol: String,
+      idCol: String, valueCol: String, isObservation: Column)
+      : DataFrame = {
+    val w = seriesWindow(seriesCol, tsSecCol, idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__obs", when(isObservation, col(valueCol)))
+      .withColumn("filled", last(col("__obs"), ignoreNulls = true).over(w))
+      .drop("__obs")
+  }
+
+  /** Rolling spike detection: appends (wsum, wn, spike) where `spike`
+    * means `valueCol` exceeds `factor`× the trailing `lookback`-row
+    * mean of its series — compared MULTIPLICATIVELY over exact
+    * decimal sums (value·n > factor·sum): no float accumulation, no
+    * division. All input columns preserved. */
+  def rollingSpike(events: DataFrame, seriesCol: String, tsSecCol: String,
+      idCol: String, valueCol: String, lookback: Int = 20,
+      factor: Int = 2): DataFrame = {
+    val w = seriesWindow(seriesCol, tsSecCol, idCol)
+      .rowsBetween(-(lookback - 1), Window.currentRow)
+    events
+      .withColumn("wsum", sum(graft.Det.money(col(valueCol))).over(w))
+      .withColumn("wn", count(lit(1)).over(w))
+      .withColumn("spike",
+        graft.Det.money(col(valueCol)) * col("wn") > col("wsum") * factor)
+  }
+
+  /** Discrete derivative between consecutive readings per series:
+    * appends (delta_v, delta_s, rate) and DROPS each series' first
+    * row (no predecessor). `valueScaled` must be an exact integer
+    * representation (e.g. cents); deltas stay exact integers and
+    * `rate` is the single final IEEE division — NULL on same-second
+    * pairs (undefined, not infinite). All input columns preserved. */
+  def rate(events: DataFrame, seriesCol: String, tsSecCol: String,
+      idCol: String, valueScaled: Column): DataFrame = {
+    val w = seriesWindow(seriesCol, tsSecCol, idCol)
+    events
+      .withColumn("__v", valueScaled)
+      .withColumn("__psec", lag(col(tsSecCol), 1).over(w))
+      .withColumn("__pv", lag(col("__v"), 1).over(w))
+      .filter(col("__psec").isNotNull)
+      .withColumn("delta_v", col("__v") - col("__pv"))
+      .withColumn("delta_s", col(tsSecCol) - col("__psec"))
+      .withColumn("rate",
+        when(col(tsSecCol) > col("__psec"),
+          col("delta_v").cast("double") / col("delta_s").cast("double")))
+      .drop("__v", "__psec", "__pv")
+  }
+}

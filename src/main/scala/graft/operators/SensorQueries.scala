@@ -37,36 +37,26 @@ object SensorQueries extends QueryPack {
     // Resample to a regular 15-minute grid per event type, filling
     // empty bins with zero — the plot/join-ready shape of a raw
     // event stream.
+    // Thin adapter over graft.api.TimeSeries.resample (r8).
     "ts_resample" -> ((s, dir) => {
       import s.implicits._
-      val e = Tables.load(s, dir, "events")
-        .withColumn("bin", floor(sec($"ts") / 900L))
-      val agg = e.groupBy($"event_type", $"bin")
-        .agg(count(lit(1)).as("n"), Det.dsum($"value").as("sum_v"))
-      val bounds = e.agg(min($"bin").as("lo"), max($"bin").as("hi"))
-      val grid = bounds
-        .select(explode(sequence($"lo", $"hi")).as("bin"))
-        .crossJoin(e.select($"event_type").distinct())
-      grid.join(agg, Seq("event_type", "bin"), "left")
-        .select($"event_type", $"bin".cast(LongType).as("bin"),
-          ($"bin" * 900L).cast(LongType).as("bin_start_sec"),
-          coalesce($"n", lit(0L)).as("n"),
-          coalesce($"sum_v", lit(0.0)).as("sum_v"))
+      graft.api.TimeSeries.resample(
+          Tables.load(s, dir, "events").withColumn("sec", sec($"ts")),
+          "event_type", "sec", "value", binSec = 900L)
+        .withColumnRenamed("series", "event_type")
         .orderBy($"event_type", $"bin")
     }),
 
     // Last-observation-carried-forward: at every event, the value of
     // the user's latest purchase at-or-before it (NULL until the first
     // purchase) — the standard sparse-sensor densification.
+    // Thin adapter over graft.api.TimeSeries.locf (r8).
     "ts_locf" -> ((s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"user_id")
-        .orderBy(sec($"ts"), $"event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.load(s, dir, "events")
-        .withColumn("obs",
-          when($"event_type" === "purchase", $"value"))
-        .withColumn("filled", last($"obs", ignoreNulls = true).over(w))
+      graft.api.TimeSeries.locf(
+          Tables.load(s, dir, "events").withColumn("sec", sec($"ts")),
+          "user_id", "sec", "event_id", "value",
+          isObservation = $"event_type" === "purchase")
         .select($"event_id", $"user_id", $"event_type", $"value",
                 $"filled")
         .orderBy($"event_id")
@@ -112,16 +102,13 @@ object SensorQueries extends QueryPack {
     // Rolling anomaly flag: value exceeds 2× the trailing-20-row mean
     // for that user. Compared multiplicatively over exact decimals
     // (value·n > 2·sum), so no float accumulation or decimal division.
+    // Thin adapter over graft.api.TimeSeries.rollingSpike (r8).
     "ts_anomaly" -> ((s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"user_id")
-        .orderBy(sec($"ts"), $"event_id")
-        .rowsBetween(-19, Window.currentRow)
-      Tables.load(s, dir, "events")
-        .withColumn("wsum", sum(Det.money($"value")).over(w))
-        .withColumn("wn", count(lit(1)).over(w))
-        .withColumn("spike",
-          Det.money($"value") * $"wn" > $"wsum" * 2)
+      graft.api.TimeSeries.rollingSpike(
+          Tables.load(s, dir, "events").withColumn("sec", sec($"ts")),
+          "user_id", "sec", "event_id", "value",
+          lookback = 20, factor = 2)
         .select($"event_id", $"user_id", $"value",
           $"wsum".cast(DoubleType).as("wsum"), $"wn", $"spike")
         .orderBy($"event_id")
@@ -150,23 +137,16 @@ object SensorQueries extends QueryPack {
     // Same-second pairs are emitted with a NULL rate (denominator 0 is
     // undefined, not infinite); order key (sec, event_id) is
     // collision-free.
+    // Thin adapter over graft.api.TimeSeries.rate (r8).
     "ts_rate" -> ((s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"event_type").orderBy($"sec", $"event_id")
-      Tables.load(s, dir, "events")
-        .select($"event_id", $"event_type",
-          sec($"ts").as("sec"),
-          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
-            .as("cents"))
-        .withColumn("prev_sec", lag($"sec", 1).over(w))
-        .withColumn("prev_c", lag($"cents", 1).over(w))
-        .filter($"prev_sec".isNotNull)
-        .select($"event_id", $"event_type",
-          ($"cents" - $"prev_c").as("delta_c"),
-          ($"sec" - $"prev_sec").as("delta_s"),
-          when($"sec" > $"prev_sec",
-            ($"cents" - $"prev_c").cast("double") /
-              ($"sec" - $"prev_sec").cast("double")).as("rate"))
+      graft.api.TimeSeries.rate(
+          Tables.load(s, dir, "events").withColumn("sec", sec($"ts")),
+          "event_type", "sec", "event_id",
+          valueScaled =
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .select($"event_id", $"event_type", $"delta_v".as("delta_c"),
+          $"delta_s", $"rate")
         .orderBy($"event_id")
     }),
 

@@ -68,6 +68,41 @@ class ApiSpec extends SparkTestBase {
       "4-step pattern must match from the first event")
   }
 
+  test("TimeSeries augment-style ops on an ad-hoc frame") {
+    val readings = Seq(
+      ("probe-A", 0L, 1L, 10.0, "calib"),
+      ("probe-A", 60L, 2L, 11.0, "reading"),
+      ("probe-A", 120L, 3L, 99.0, "reading"),  // spike vs trailing mean
+      ("probe-B", 0L, 4L, 5.0, "reading")
+    ).toDF("probe", "t", "rid", "temp", "kind")
+    // locf fills only from matching observations and keeps ALL columns.
+    val f = api.TimeSeries.locf(readings, "probe", "t", "rid", "temp",
+      isObservation = $"kind" === "reading")
+    assert(f.columns.contains("kind") && f.columns.contains("filled"),
+      "locf must augment, not reshape")
+    val a1 = f.filter($"rid" === 1L).head()
+    assert(a1.isNullAt(a1.fieldIndex("filled")),
+      "calibration row precedes any reading — filled must be NULL")
+    // rollingSpike flags the jump, not the steady rows.
+    val sp = api.TimeSeries.rollingSpike(readings, "probe", "t", "rid",
+      "temp", lookback = 3, factor = 2)
+    val spikes = sp.filter($"spike").select($"rid")
+      .collect().map(_.getLong(0)).toSet
+    assert(spikes == Set(3L), s"expected only rid=3 flagged, got $spikes")
+    // rate: exact deltas, NULL rate on a same-second pair.
+    val same = Seq(("p", 10L, 1L, 100L), ("p", 10L, 2L, 150L))
+      .toDF("pr", "t", "rid", "cents")
+    val r = api.TimeSeries.rate(same, "pr", "t", "rid", $"cents")
+      .head()
+    assert(r.getLong(r.fieldIndex("delta_v")) == 50L &&
+      r.isNullAt(r.fieldIndex("rate")),
+      "same-second pair must keep exact delta but NULL rate")
+    // resample zero-fills the series' empty bins over the global span.
+    val rs = api.TimeSeries.resample(readings, "probe", "t", "temp", 60L)
+    assert(rs.filter($"series" === "probe-B" && $"n" === 0L).count() == 2,
+      "probe-B must get zero-filled bins across the global grid")
+  }
+
   test("Events.sessionize splits on the gap threshold") {
     val ev = Seq(
       (7L, 0L, 1L), (7L, 100L, 2L),    // session 1
