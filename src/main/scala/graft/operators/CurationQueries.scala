@@ -147,19 +147,15 @@ object CurationQueries extends QueryPack {
     // distinct k values. The balance bucket is exact integer
     // arithmetic over cents, offset +1e8 so truncating `div` and
     // flooring `//` agree (negative balances exist in the fixture).
+    // Thin adapter over graft.api.Curation.kAnonymity (r8).
     "privacy_kanon" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "customer")
-        .select($"c_mktsegment", $"c_nationkey",
-          expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
-            " + 100000000) div 100000").as("bal_bucket"))
-        .groupBy($"c_mktsegment", $"c_nationkey", $"bal_bucket")
-        .agg(count(lit(1)).as("k"))
-        .groupBy($"k")
-        .agg(count(lit(1)).as("n_groups"))
-        .select($"k", $"n_groups",
-          ($"k" * $"n_groups").as("n_rows"),
-          ($"k" < 5).as("risky"))
+      graft.api.Curation.kAnonymity(
+          Tables.load(s, dir, "customer"),
+          Seq($"c_mktsegment", $"c_nationkey",
+            expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+              " + 100000000) div 100000").as("bal_bucket")),
+          k = 5)
         .orderBy($"k")
     }),
 
@@ -172,19 +168,15 @@ object CurationQueries extends QueryPack {
     // distinct QI combinations then distinct l values, same +1e8
     // offset as privacy_kanon so `div` and `//` agree on the fixture's
     // negative balances.
+    // Thin adapter over graft.api.Curation.lDiversity (r8).
     "privacy_ldiversity" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "customer")
-        .select($"c_nationkey",
-          expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
-            " + 100000000) div 200000").as("bal_bucket"),
-          $"c_mktsegment")
-        .groupBy($"c_nationkey", $"bal_bucket")
-        .agg(countDistinct($"c_mktsegment").as("l"),
-          count(lit(1)).as("k"))
-        .groupBy($"l")
-        .agg(count(lit(1)).as("n_groups"), sum($"k").as("n_rows"))
-        .select($"l", $"n_groups", $"n_rows", ($"l" < 3).as("risky"))
+      graft.api.Curation.lDiversity(
+          Tables.load(s, dir, "customer"),
+          Seq($"c_nationkey",
+            expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+              " + 100000000) div 200000").as("bal_bucket")),
+          sensitive = $"c_mktsegment", l = 3)
         .orderBy($"l")
     }),
 
@@ -199,14 +191,13 @@ object CurationQueries extends QueryPack {
     // partition on lang; at billion-doc scale the same selection is
     // one filter `bucket(hk) < cap/classTotal` with no window at all
     // — the window form is exact at any cap.
+    // Thin adapter over graft.api.Curation.sampleBalanced (r8); the
+    // kept_md5 digest proves the EXACT SAME docs were selected
+    // cross-engine, not just the same count.
     "sample_balanced" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "documents")
-        .withColumn("hk",
-          md5(concat(lit("bal:"), $"doc_id".cast(StringType))))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"lang").orderBy($"hk", $"doc_id")))
-        .filter($"rn" <= 50)
+      graft.api.Curation.sampleBalanced(
+          Tables.load(s, dir, "documents"), "lang", "doc_id", cap = 50)
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_kept"),
           sum($"n_chars").as("sum_chars"),

@@ -103,6 +103,35 @@ class ApiSpec extends SparkTestBase {
       "probe-B must get zero-filled bins across the global grid")
   }
 
+  test("Curation audits and balanced sampling on an ad-hoc frame") {
+    val people = Seq(
+      ("NW", 30, "acme", 1L), ("NW", 30, "acme", 2L),   // k=2, l=1
+      ("NW", 40, "acme", 3L),                           // k=1, l=1
+      ("SE", 30, "acme", 4L), ("SE", 30, "globex", 5L)  // k=2, l=2
+    ).toDF("region", "age_band", "employer", "pid")
+    val ka = api.Curation.kAnonymity(people,
+      Seq($"region", $"age_band"), k = 2)
+      .orderBy($"k").collect()
+    assert(ka.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L), (2L, 2L)), "k histogram wrong")
+    val ld = api.Curation.lDiversity(people,
+      Seq($"region", $"age_band"), $"employer", l = 2)
+      .orderBy($"l").collect()
+    // groups: (NW,30) l=1, (NW,40) l=1, (SE,30) l=2
+    assert(ld.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+      .toSeq == Seq((1L, 2L, true), (2L, 1L, false)), "l histogram wrong")
+    val kept = api.Curation.sampleBalanced(people, "region", "pid", cap = 2)
+    assert(kept.columns.toSeq == people.columns.toSeq,
+      "sampler must preserve the caller's columns")
+    val perClass = kept.groupBy($"region").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perClass == Map("NW" -> 2L, "SE" -> 2L), s"cap broken: $perClass")
+    // Determinism: same salt → same selection, regardless of layout.
+    val again = api.Curation.sampleBalanced(
+      people.repartition(7), "region", "pid", cap = 2)
+    assertSameRows(kept, again, "balanced sample not layout-stable")
+  }
+
   test("Events.sessionize splits on the gap threshold") {
     val ev = Seq(
       (7L, 0L, 1L), (7L, 100L, 2L),    // session 1
