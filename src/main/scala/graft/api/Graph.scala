@@ -1,0 +1,89 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Reusable link-analysis building blocks over a caller-supplied
+  * DIRECTED edge frame — the public surface behind the oracled
+  * `graph_*` keys (SURVEY.md §2.K). Determinism (§7.4): the pagerank
+  * iteration is FIXED-POINT INTEGER arithmetic (integer floor
+  * divisions, order-free integer sums), so results are bit-identical
+  * regardless of partition count or engine.
+  *
+  * Scale notes: callers should pre-partition `edges` by dst and cache
+  * it when iterating (the keyed queries do, via SessionCache); the
+  * rank vector broadcasts here (node-dimension relation) — at
+  * billion-node scale it would co-partition with edges on node id
+  * instead, same dataflow.
+  */
+object Graph {
+
+  /** Damped PageRank over directed (src, dst) edges, `iters` rounds of
+    * synchronous power iteration on an integer mass pool. Every node
+    * must have at least one in-edge for the inner join to keep the
+    * full node set (symmetrize the edge frame first if not — the keyed
+    * queries do). Damping is d=0.85 expressed exactly as integer
+    * *85/100 and *15/100 floors. Output: (node, outdeg, rank). */
+  def pagerank(edges: DataFrame, iters: Int = 10,
+      mass: Long = 1000000000000L,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nTot = deg.agg(count(lit(1)).as("n_nodes"))
+    var r = deg.crossJoin(broadcast(nTot))
+      .select(col("src").as("node"), col("outdeg"), col("n_nodes"),
+        expr(s"${mass}L div n_nodes").as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(broadcast(r.select(col("node"),
+          expr("rank div outdeg").as("c"))), col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      r = deg.crossJoin(broadcast(nTot))
+        .join(broadcast(contrib), col("src") === col("dst"))
+        .select(col("src").as("node"), col("outdeg"), col("n_nodes"),
+          expr(s"((in_sum * 85) div 100) + " +
+            s"(((${mass}L div n_nodes) * 15) div 100)").as("rank"))
+    }
+    r.select(col("node"), col("outdeg"), col("rank"))
+  }
+
+  /** Out-degree histogram: (deg, n_nodes) — the first sanity check of
+    * any mined link graph. Two stacked integer aggregates. */
+  def degreeDistribution(edges: DataFrame, srcCol: String = "src")
+      : DataFrame =
+    edges.groupBy(col(srcCol).as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+
+  /** Triangle count over an UNDIRECTED edge frame given as unique
+    * (u, v) pairs with u < v. Degree-ordered compact-forward
+    * orientation (Latapy 2008): each edge points from its lower-
+    * (degree, id) endpoint, so wedge fanout is bounded by the oriented
+    * out-degree (≤ √(2m)), never a hub's full neighborhood. The count
+    * is orientation-invariant. Output: one row (n_nodes, n_edges,
+    * n_triangles). */
+  def triangles(edges: DataFrame, uCol: String = "u",
+      vCol: String = "v"): DataFrame = {
+    val ed = edges.select(col(uCol).as("u"), col(vCol).as("v"))
+    val deg = ed.select(col("u").as("n"))
+      .unionAll(ed.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val or = ed
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    val tri = or.as("e1")
+      .join(or.as("e2"), col("e1.t") === col("e2.s"))
+      .join(or.as("e3"),
+        col("e1.s") === col("e3.s") && col("e2.t") === col("e3.t"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    val ne = ed.agg(count(lit(1)).as("n_edges"))
+    nn.crossJoin(ne).crossJoin(tri)
+  }
+}

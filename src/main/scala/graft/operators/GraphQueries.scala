@@ -63,44 +63,15 @@ object GraphQueries extends QueryPack {
   }
 
   def queries: Seq[(String, Q)] = Seq(
+    // Thin adapter over graft.api.Graph.pagerank (r8): the symmetric
+    // edge relation comes from the session-cached edgeRel, and the
+    // converged rank vector stays an INDEX artifact (at scale: a
+    // quality-score table materialized once, joined everywhere) under
+    // the same session-cache accounting as the dedup components.
     "graph_pagerank" -> ((s, dir) => {
       import s.implicits._
-      val edges = edgeRel(s, dir)
-      val deg = graft.SessionCache.cached(s, s"pr.deg:$dir") {
-        edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-      }
-      val nTot = deg.agg(count(lit(1)).as("n_nodes"))
-      // The converged rank vector is an INDEX artifact (at scale: a
-      // quality-score table materialized once, joined everywhere), so
-      // it gets the same session-cache accounting as the dedup
-      // components relation — built once per (session, dir), probed by
-      // every consumer/repeat.
       val ranks = graft.SessionCache.cached(s, s"pr.ranks:$dir") {
-      // r0: every node starts with an equal integer share of the mass.
-      var r = deg.crossJoin(broadcast(nTot))
-        .select($"src".as("node"), $"outdeg", $"n_nodes",
-          expr(s"$prMass div n_nodes").as("rank"))
-      for (_ <- 1 to prIters) {
-        // Each node splits its rank equally over its out-edges
-        // (integer floor), neighbors sum what arrives, damping mixes
-        // in the teleport share. Every node has in-edges (the graph is
-        // symmetric), so the inner join keeps the full node set.
-        // The rank VECTOR broadcasts (node-dimension relation —
-        // dimension-sized here; at billion-node scale it would instead
-        // co-partition with edges on node id), so the join is map-side
-        // over the dst-partitioned cached edges and the aggregate
-        // needs no new exchange: zero wide shuffles per iteration.
-        val contrib = edges
-          .join(broadcast(r.select($"node",
-            expr("rank div outdeg").as("c"))), $"src" === $"node")
-          .groupBy($"dst").agg(sum($"c").as("in_sum"))
-        r = deg.crossJoin(broadcast(nTot))
-          .join(broadcast(contrib), $"src" === $"dst")
-          .select($"src".as("node"), $"outdeg", $"n_nodes",
-            expr(s"((in_sum * 85) div 100) + " +
-              s"((($prMass div n_nodes) * 15) div 100)").as("rank"))
-      }
-      r
+        graft.api.Graph.pagerank(edgeRel(s, dir), prIters, prMass)
       }
       ranks.select($"node",
           when($"node" >= 1000000000L, "supplier").otherwise("part")
@@ -162,25 +133,8 @@ object GraphQueries extends QueryPack {
           .filter($"x.v" < $"y.v")
           .select($"x.v".as("u"), $"y.v".as("v")).distinct()
       }
-      val deg = ed.select($"u".as("n"))
-        .unionAll(ed.select($"v".as("n")))
-        .groupBy($"n").agg(count(lit(1)).as("d"))
-      val or = ed
-        .join(deg.select($"n".as("u"), $"d".as("du")), "u")
-        .join(deg.select($"n".as("v"), $"d".as("dv")), "v")
-        .select(
-          when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"),
-            struct($"u".as("s"), $"v".as("t")))
-            .otherwise(struct($"v".as("s"), $"u".as("t"))).as("e"))
-        .select($"e.s".as("s"), $"e.t".as("t"))
-      val tri = or.as("e1")
-        .join(or.as("e2"), $"e1.t" === $"e2.s")
-        .join(or.as("e3"),
-          $"e1.s" === $"e3.s" && $"e2.t" === $"e3.t")
-        .agg(count(lit(1)).as("n_triangles"))
-      val nn = deg.agg(count(lit(1)).as("n_nodes"))
-      val ne = ed.agg(count(lit(1)).as("n_edges"))
-      nn.crossJoin(ne).crossJoin(tri)
+      // Thin adapter over graft.api.Graph.triangles (r8).
+      graft.api.Graph.triangles(ed)
     }))
 
   /** The ten unrolled iterations, generated from the same constants as

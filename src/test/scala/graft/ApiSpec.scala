@@ -132,6 +132,29 @@ class ApiSpec extends SparkTestBase {
     assertSameRows(kept, again, "balanced sample not layout-stable")
   }
 
+  test("Graph ops on a hand-computable ad-hoc graph") {
+    // K4 on nodes 1..4 plus a pendant 5—1: C(4,3)=4 triangles.
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L)).toDF("a", "b")
+    val t = api.Graph.triangles(und, uCol = "a", vCol = "b").head()
+    assert((t.getLong(0), t.getLong(1), t.getLong(2)) == ((5L, 7L, 4L)),
+      s"K4+pendant: expected (5 nodes, 7 edges, 4 triangles), got $t")
+    // Pagerank on the symmetrized graph: mass stays in the pool
+    // (integer floors only leak downward) and the hub (node 1,
+    // degree 4) must outrank the pendant (node 5, degree 1).
+    val sym = und.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(und.select($"b".as("src"), $"a".as("dst")))
+    val pr = api.Graph.pagerank(sym, iters = 10, mass = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(pr.keySet == Set(1L, 2L, 3L, 4L, 5L), "node set lost")
+    assert(pr.values.sum <= 1000000L, "integer pagerank created mass")
+    assert(pr(1L) > pr(5L), "hub must outrank the pendant node")
+    val dd = api.Graph.degreeDistribution(sym)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dd == Map(4L -> 1L, 3L -> 3L, 1L -> 1L),
+      s"degree histogram wrong: $dd")
+  }
+
   test("Events.sessionize splits on the gap threshold") {
     val ev = Seq(
       (7L, 0L, 1L), (7L, 100L, 2L),    // session 1
