@@ -93,53 +93,88 @@ object Tables {
     "documents" -> documents, "embeddings" -> embeddings)
 
   /** Session conf every graft session needs. `nanosAsLong` lets Spark 4
-    * read events.ts (parquet TIMESTAMP(NANOS), otherwise refused); set
-    * once at session build (Verify/Bench/tests) rather than per-load so
-    * concurrent queries never race on session state.
+    * read a TIMESTAMP(NANOS) events.ts generation (otherwise refused);
+    * the UTC session timezone makes the NTZ→LTZ cast in `load` a
+    * numeric identity AND keeps DuckDB (naive timestamps) and Spark
+    * arithmetic aligned. Set once at session build (Verify/Bench/tests)
+    * rather than per-load so concurrent queries never race on session
+    * state.
     */
-  val sessionConfs: Map[String, String] =
-    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+  val sessionConfs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC")
 
-  /** events.ts is read as raw nanos (see sessionConfs) and
-    * floor-divided to µs — identical truncation to what date_trunc over
-    * the ns value yields in DuckDB, so §7.4 P3 still holds. `div` (not
-    * floating floor) because 2024-era nanos exceed double's 53-bit
-    * mantissa; truncation == floor for the post-1970 fixture range.
+  /** The physical encoding of events.ts differs across fixture
+    * generations (a fact table regenerated over years does this at
+    * 100 TB too — cf. source_parquet_evolve), so the loader probes the
+    * RESOLVED scan type once (one footer read, the same one the scan
+    * needs anyway) and branches:
+    *  - LongType (TIMESTAMP(NANOS) under nanosAsLong): floor-divide
+    *    ns→µs — identical truncation to DuckDB's date_trunc over the ns
+    *    value, so §7.4 P3 holds. `div` (not floating floor) because
+    *    2024-era nanos exceed double's 53-bit mantissa.
+    *  - TimestampNTZType / TimestampType (TIMESTAMP(MICROS), either
+    *    isAdjustedToUTC flavor): plain cast to the session type — a
+    *    numeric identity under the pinned UTC session timezone.
+    * Either way downstream code sees one canonical `ts: TIMESTAMP`.
     * The conf re-set here is an idempotent guard for driver-owned
     * sessions (e.g. the smoke check) that didn't go through our mains.
     */
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
     if (table == "events") {
       sessionConfs.foreach { case (k, v) => spark.conf.set(k, v) }
-      spark.read.parquet(s"$sfDir/$table.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      import org.apache.spark.sql.functions._
+      val df = spark.read.parquet(s"$sfDir/$table.parquet")
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType | TimestampType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case other => sys.error(
+          s"events.ts: unsupported physical type $other — " +
+            "expected ns-long, TIMESTAMP_NTZ, or TIMESTAMP")
+      }
     } else spark.read.parquet(s"$sfDir/$table.parquet")
 
   /** Events scan with a PUSHABLE time-range predicate (r7, verdict
-    * item 8). `load("events")` rewrites ns→µs in a projection, so a
+    * item 8). `load("events")` canonicalizes ts in a projection, so a
     * range filter on the converted `ts` sits ABOVE the projection and
     * never reaches the parquet scan — every time-window query would
-    * read all row groups. This loader phrases the range on the RAW ns
-    * long column (what nanosAsLong exposes) BEFORE the projection:
-    * the comparison is a plain long predicate, Spark pushes it into
-    * `PushedFilters`, and parquet row-group min/max stats on a
-    * time-ordered table prune everything outside the window — the
-    * difference between scanning a day and scanning a year at 100 TB.
-    * Bounds are ISO-8601 UTC instants, [from, until).
+    * read all row groups. This loader phrases the range on the RAW
+    * column in its NATIVE type BEFORE the projection — long-ns bounds
+    * for a nanos generation, (NTZ) timestamp literals for a micros
+    * generation — so Spark pushes both bounds into `PushedFilters` and
+    * parquet row-group min/max stats on a time-ordered table prune
+    * everything outside the window (timestamp stats prune exactly as
+    * long stats did) — the difference between scanning a day and
+    * scanning a year at 100 TB. Bounds are ISO-8601 UTC instants,
+    * [from, until).
     */
   def loadEventsBetween(spark: SparkSession, sfDir: String,
                         fromUtc: String, untilUtc: String): DataFrame = {
     sessionConfs.foreach { case (k, v) => spark.conf.set(k, v) }
-    def ns(iso: String): Long = {
-      val i = java.time.Instant.parse(iso)
+    import org.apache.spark.sql.functions._
+    val from = java.time.Instant.parse(fromUtc)
+    val until = java.time.Instant.parse(untilUtc)
+    def ns(i: java.time.Instant): Long =
       Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000000L),
         i.getNano.toLong)
+    def ntz(i: java.time.Instant): java.time.LocalDateTime =
+      java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.filter(col("ts") >= ns(from) && col("ts") < ns(until))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.filter(col("ts") >= lit(ntz(from)) && col("ts") < lit(ntz(until)))
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType =>
+        df.filter(col("ts") >= lit(from) && col("ts") < lit(until))
+      case other => sys.error(
+        s"events.ts: unsupported physical type $other — " +
+          "expected ns-long, TIMESTAMP_NTZ, or TIMESTAMP")
     }
-    import org.apache.spark.sql.functions._
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .filter(col("ts") >= ns(fromUtc) && col("ts") < ns(untilUtc))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }
 

@@ -80,7 +80,8 @@ object SourceSinkQueries extends QueryPack {
     }),
 
     // Time-range scan over events with the predicate PUSHED to parquet
-    // (r7): the range is phrased on the raw ns long before the µs
+    // (r7): the range is phrased on the raw column in its native
+    // fixture type (long ns / NTZ timestamp) before the canonicalizing
     // projection (Tables.loadEventsBetween), so row-group min/max
     // stats prune — PlanShapeSpec asserts the PushedFilters. At 100 TB
     // this is the difference between scanning a day and a year.

@@ -46,12 +46,13 @@ class PlanShapeSpec extends SparkTestBase {
       s"scan reads more than the 3 projected columns:\n$p")
   }
 
-  test("scan_time_range pushes the ns-range predicate to the events scan") {
-    // The ns→µs projection in Tables.load("events") blocks ts
-    // pushdown; loadEventsBetween phrases the range on the RAW ns
-    // long BEFORE the projection, so the scan must advertise both
-    // bounds — that's what lets parquet row-group min/max stats prune
-    // a time window at scale.
+  test("scan_time_range pushes the time-range predicate to the events scan") {
+    // The ts-canonicalizing projection in Tables.load("events") blocks
+    // ts pushdown; loadEventsBetween phrases the range on the RAW
+    // column in its native fixture type (long ns / NTZ timestamp)
+    // BEFORE the projection, so the scan must advertise both bounds —
+    // that's what lets parquet row-group min/max stats prune a time
+    // window at scale, for either fixture generation.
     val p = planOf("scan_time_range")
     assert(p.contains("PushedFilters") &&
       p.contains("GreaterThanOrEqual(ts") && p.contains("LessThan(ts"),
