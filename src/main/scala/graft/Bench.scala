@@ -24,43 +24,64 @@ object Bench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JVM/codegen/parquet-footer first-touch otherwise
-    // lands entirely on the alphabetically-first query.
+    // lands entirely on the alphabetically-first query. Per-table
+    // try/catch (r9 verdict item 3): a bad table must cost THAT
+    // table's keys in the timed loop below, not the whole artifact —
+    // the r9 fixture regeneration killed the entire bench here.
     Tables.schemas.keys.foreach { t =>
-      Tables.load(spark, sfDir, t).count()
+      try Tables.load(spark, sfDir, t).count()
+      catch { case e: Throwable =>
+        System.err.println(s"bench warmup: table '$t' failed to load: " +
+          e.toString.linesIterator.next())
+      }
     }
     // Dev loop: SPARK_GRAFT_ONLY=k1,k2 times just those keys.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (k, _) => only.forall(_.contains(k)) }.map {
-      case (name, fn) =>
-        def run(): Double = {
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true }
-                   catch { case _: Throwable => false }
-          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-        }
-        // Cold/warm split (r8, verdict item 2): the FIRST run pays the
-        // one-time session costs — index builds behind SessionCache
-        // (dedup_hamming64 signatures, minhash dictionaries, IVF
-        // codebooks), staging writes, codegen — and is reported
-        // separately as cold_s instead of being averaged into the
-        // steady-state stats. min/median then describe the warm plan,
-        // and the cold cost stays visible per key instead of hiding in
-        // a median/min ratio. A failed cold run poisons the key (-1)
-        // and skips the warm loop; any failed warm run likewise ends
-        // the repeat loop (re-running a deterministic failure buys
-        // nothing, and -1 can't masquerade as a fast query).
-        val cold = run()
-        val times =
-          if (cold < 0) Vector.empty
-          else Iterator.continually(()).take(runs).map(_ => run())
-            .takeWhile(_ >= 0).toVector
-        val failed = times.length < runs
-        val sorted = times.sorted
-        val min = if (failed) -1.0 else sorted.head
-        val med = if (failed) -1.0 else sorted(runs / 2)
-        (name, min, med, cold, !failed)
+    val keys = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (k, _) => only.forall(_.contains(k)) }
+    def runOne(fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    def loadavg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    // Ambient-proofing (r8 verdict item 2 / r9 item 8): passes are
+    // INTERLEAVED — pass 0 runs every key cold, then each warm pass
+    // runs every key once — so a co-tenant noise spike poisons one
+    // PASS (visible in its loadavg reading, below), never all N
+    // samples of one key the way key-major repeats did. The cold pass
+    // pays the one-time session costs per key — index builds behind
+    // SessionCache (dedup_hamming64 signatures, IVF codebooks),
+    // staging writes, codegen — and is reported separately as cold_s;
+    // min/median over the warm passes describe the steady-state plan.
+    // A failed cold run poisons the key (-1) and warm passes skip it;
+    // a failed warm run likewise pins the key at -1 (re-running a
+    // deterministic failure buys nothing, and -1 can't masquerade as
+    // a fast query).
+    val loads = collection.mutable.ArrayBuffer[Double](loadavg)
+    val cold: Map[String, Double] =
+      keys.map { case (k, fn) => k -> runOne(fn) }.toMap
+    loads += loadavg
+    val warm = collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    (1 to runs).foreach { _ =>
+      keys.foreach { case (k, fn) =>
+        val alive = cold(k) >= 0 && !warm(k).contains(-1.0)
+        if (alive) warm(k) = warm(k) :+ runOne(fn)
+      }
+      loads += loadavg
+    }
+    val results = keys.map { case (k, _) =>
+      val times = warm(k).filter(_ >= 0)
+      val failed = times.length < runs
+      val sorted = times.sorted
+      val min = if (failed) -1.0 else sorted.head
+      val med = if (failed) -1.0 else sorted(runs / 2)
+      (k, min, med, cold(k), !failed)
     }
     // ms precision keeps the whole line short enough for the driver's
     // log-tail buffer (a full-precision line was truncated mid-JSON in r2).
@@ -77,9 +98,12 @@ object Bench {
     // total_s/n_keys are the machine-readable headline (r8, verdict
     // item 7) so the driver and judges stop re-deriving totals from
     // per-key sums and log tails. "value" stays the same sum-of-mins
-    // for driver compatibility.
+    // for driver compatibility. "loadavg" holds one 1-min reading per
+    // pass boundary (start, after cold, after each warm pass) so a
+    // noisy co-tenant window is attributable to specific passes.
+    val loadsJson = loads.map(v => f"$v%.2f").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"n_keys":${results.length},"runs":$runs,"queries":$qs,"medians":$medians,"cold":$colds,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"n_keys":${results.length},"runs":$runs,"loadavg":$loadsJson,"queries":$qs,"medians":$medians,"cold":$colds,"errors":$errors,"sf":"$sfDir"}"""
     // Stdout from sbt is noisy; also persist to a file so the harness
     // (and the dev loop) can read the JSON without log scraping.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
