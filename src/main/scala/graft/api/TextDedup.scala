@@ -1,9 +1,7 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Reusable, parameterized text-deduplication building blocks — the
   * public library surface behind the oracled `dedup_*` query keys
@@ -15,8 +13,13 @@ import org.apache.spark.sql.types.LongType
   * for BOTH surfaces.
   *
   * Determinism contract (same as the packs, SURVEY.md §7.4): pure
-  * integer hashing — affine maps over a dense, order-by-term
-  * dictionary; no floating point anywhere.
+  * integer hashing — affine maps over map-side polynomial term hashes
+  * (the codegen `termhash`); no floating point anywhere, and no
+  * corpus-wide vocabulary structure in any signature path (r9 verdict
+  * item 5: a dense term dictionary needs a global ordering, which at
+  * 10^8–10^9-term vocabularies is a guaranteed straggler — hashed term
+  * ids are embarrassingly parallel and collision-bounded by the
+  * modulus, which is what MinHash assumes of its permutations anyway).
   */
 object TextDedup {
 
@@ -44,30 +47,51 @@ object TextDedup {
       .agg(count(lit(1)).as("tf"))
 
   /** Deterministic dense dictionary over any frame with a `term`
-    * column: term → 1-based `tid`, ordered by term. The single
-    * unpartitioned window runs over the DISTINCT term set (vocabulary-
-    * sized, never corpus-sized). Output: (term, tid). */
-  def dictionary(terms: DataFrame): DataFrame =
-    terms.select(col("term")).distinct()
-      .withColumn("tid",
-        row_number().over(Window.orderBy(col("term"))).cast(LongType))
+    * column: term → 1-based `tid`, ordered by term — for callers that
+    * genuinely need DENSE ids (embedding matrices, array indexing).
+    * Distributed id assignment (r9 verdict item 5): range-repartition
+    * by term + sort-within-partitions gives globally ordered
+    * partitions, and `zipWithIndex` assigns dense offsets per
+    * partition — the whole vocabulary never flows through one task
+    * the way a `row_number()` over an unpartitioned window does.
+    * (The signature paths below deliberately do NOT use this: hashed
+    * term ids need no vocabulary pass at all.)
+    * Output: (term, tid). */
+  def dictionary(terms: DataFrame): DataFrame = {
+    val spark = terms.sparkSession
+    import spark.implicits._
+    val sorted = terms.select(col("term")).distinct()
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"))
+    sorted.as[String].rdd.zipWithIndex()
+      .map { case (t, i) => (t, i + 1L) }
+      .toDF("term", "tid")
+  }
 
   /** k affine-permutation minhash signatures (m1..mk) plus banded LSH
     * join keys (band1..band_{k/bandRows}) per document. `tok` is a
-    * (doc_id, term) relation, `dict` a (term, tid) dictionary (built
-    * once, broadcast — the build-once-probe-many index artifact).
-    * Candidate generation downstream is a band equi-join: documents
-    * sharing ANY band key are near-dup candidates — bucketed, never
-    * all-pairs. Output: (doc_id, m1..mk, band1..). */
-  def minhashSignatures(tok: DataFrame, dict: DataFrame,
+    * (doc_id, term) relation; term ids come from the codegen
+    * `termhash` polynomial fold mod `prime` — computed MAP-SIDE per
+    * token, so the only shuffle in the whole signature build is the
+    * per-doc groupBy (no vocabulary distinct, no dictionary join, no
+    * global ordering anywhere; the r8 dense-dictionary form cost a
+    * corpus-wide distinct + an unpartitioned window that single-tasks
+    * a 100-TB vocabulary). Candidate generation downstream is a band
+    * equi-join: documents sharing ANY band key are near-dup
+    * candidates — bucketed, never all-pairs.
+    * Output: (doc_id, m1..mk, band1..). */
+  def minhashSignatures(tok: DataFrame,
       coeffs: Seq[(Long, Long)] = DefaultCoeffs,
-      prime: Long = 10007L, bandRows: Int = 2): DataFrame = {
+      prime: Long = 10007L, bandRows: Int = 2,
+      multiplier: Long = 131L): DataFrame = {
     require(coeffs.nonEmpty && coeffs.length % bandRows == 0,
       s"coeffs (${coeffs.length}) must be a multiple of bandRows ($bandRows)")
+    graft.functions.TermHash.register(tok.sparkSession)
     val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("tid") * a + b, lit(prime))).as(s"m${i + 1}")
     }
-    val sigs = tok.join(broadcast(dict), "term")
+    val sigs = tok
+      .withColumn("tid", expr(s"termhash(term, ${multiplier}L, ${prime}L)"))
       .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val bands = (0 until coeffs.length / bandRows).map { bi =>
       (0 until bandRows).map(r => col(s"m${bi * bandRows + r + 1}"))

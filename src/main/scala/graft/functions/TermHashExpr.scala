@@ -31,8 +31,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * is 10^11 tokens, not 10^5.
   *
   * Contract: `m` and `mod` are positive literals with
-  * m * mod + 0x10FFFF < 2^63 (all shipped uses: m <= 149,
-  * mod <= 2^20 — no overflow). Null string → null.
+  * m * mod + 0x10FFFF < 2^63 (all shipped uses: m <= 149, mod <=
+  * TextBlocking.MaskMod = 2^55 − 55 — no overflow). Null string → null.
   */
 object TermHash {
 

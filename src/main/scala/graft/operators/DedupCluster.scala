@@ -154,14 +154,7 @@ object DedupCluster extends QueryPack {
     * Hamming-ball pairs, mirroring `dupEdges`. Shared by the
     * dedup_components and pipeline_corpus oracles. */
   private[graft] val edgeBiSql: String =
-    """tok AS (SELECT DISTINCT doc_id,
-      |    unnest(string_split(lower(text), ' ')) AS term FROM documents),
-      |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
-      |dict AS (SELECT term, row_number() OVER (ORDER BY term) AS tid
-      |         FROM (SELECT DISTINCT term FROM tok2)),
-      |m AS (SELECT doc_id,
-      |        CAST(sum(CAST(1 AS BIGINT) << (tid - 1)) AS BIGINT) AS mask
-      |      FROM tok2 JOIN dict USING (term) GROUP BY doc_id),
+    s"""${TextBlocking.maskCteSql},
       |maskpairs AS (SELECT a.doc_id AS da, b.doc_id AS db
       |  FROM m a JOIN m b ON a.mask = b.mask AND a.doc_id < b.doc_id),
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM (

@@ -632,15 +632,7 @@ object LlmQueries extends QueryPack {
         |LIMIT 10""".stripMargin,
 
     "dedup_near" ->
-      """WITH tok AS (SELECT DISTINCT doc_id,
-        |    unnest(string_split(lower(text), ' ')) AS term FROM documents),
-        |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
-        |dict AS (SELECT term, row_number() OVER (ORDER BY term) AS tid
-        |         FROM (SELECT DISTINCT term FROM tok2)),
-        |m AS (SELECT doc_id,
-        |        CAST(sum(CAST(1 AS BIGINT) << (tid - 1)) AS BIGINT) AS mask,
-        |        count(*) AS n_tokens
-        |      FROM tok2 JOIN dict USING (term) GROUP BY doc_id)
+      s"""WITH ${TextBlocking.maskCteSql}
         |SELECT a.doc_id AS da, b.doc_id AS db, a.n_tokens
         |FROM m a JOIN m b ON a.mask = b.mask AND a.doc_id < b.doc_id
         |ORDER BY da, db""".stripMargin,

@@ -2,22 +2,33 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-/** Shared tokenize → dictionary → fingerprint building blocks for the
-  * dedup family (dedup_near / dedup_ngram / dedup_minhash /
-  * dedup_simhash). One definition, so the fixture assumptions they
-  * share — lowercased whitespace tokens, term ids ordered by term,
-  * vocabulary ≤ 63 for the bitmask — live in exactly one place.
+/** Shared tokenize → set-fingerprint building blocks for the dedup
+  * family (dedup_near / dedup_ngram / dedup_minhash). One definition,
+  * so the fixture assumptions they share — lowercased whitespace
+  * tokens, polynomial-fold fingerprints — live in exactly one place.
   *
-  * Scale: tokens is a map-side explode; dict is vocabulary-sized (the
-  * single-partition row_number window is over the VOCAB, not the
-  * corpus) and always broadcast back; the mask groupBy is the one
-  * corpus-wide shuffle.
+  * Scale (r9 verdict item 5): NO corpus-wide vocabulary structure
+  * anywhere. The r8 form built a dense term dictionary with a
+  * `row_number()` over an unpartitioned window — the whole vocabulary
+  * through one task, a guaranteed straggler/OOM at 10^8–10^9-term
+  * corpora — and its 64-bit set bitmask capped the vocabulary at 63
+  * terms besides. The fingerprint is now a `termhash` polynomial fold
+  * over the doc's SORTED distinct-token string: tokens is a map-side
+  * explode, the per-doc groupBy is the one corpus-wide shuffle, and
+  * the hash is codegen per row. Equal token sets hash equal always;
+  * distinct sets collide with probability ~n²/2·mod (mod ≈ 3.6e16:
+  * ~1e-9 at a billion docs per blocking key — the LSH-grade trade
+  * every hash-blocked dedup makes).
   */
 object TextBlocking {
+
+  /** Fingerprint modulus: 2^55 − 55 (prime, verified). The termhash
+    * contract needs 131 * mod + 0x10FFFF < 2^63; this leaves ~256×
+    * headroom while keeping set-collisions negligible. */
+  val MaskMod: Long = 36028797018963913L
 
   /** Distinct (doc_id, term): lowercased whitespace tokens. */
   def tokens(s: SparkSession, dir: String): DataFrame = {
@@ -28,38 +39,38 @@ object TextBlocking {
       .distinct()
   }
 
-  /** Deterministic dictionary over any frame with a `term` column:
-    * term → dense 1-based id, ordered by term. */
-  def dict(terms: DataFrame): DataFrame = {
-    import terms.sparkSession.implicits._
-    terms.select($"term").distinct()
-      .withColumn("tid", row_number().over(Window.orderBy($"term"))
-        .cast(LongType))
-  }
-
-  /** Corpus dictionary built straight from the raw explode — skips the
-    * per-doc distinct/tf shuffle a caller's token frame carries, so
-    * using this instead of `dict(tok)` removes a corpus-wide shuffle
-    * from the dictionary branch (the term SET is identical). */
-  def corpusDict(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    dict(Tables.load(s, dir, "documents")
-      .select(explode(split(lower($"text"), " ")).as("term"))
-      .filter($"term" =!= ""))
-  }
-
-  /** doc_id → (64-bit token-SET bitmask, n_tokens). Exact set
-    * fingerprint — requires vocabulary ≤ 63 (holds for the fixtures'
-    * 31-term vocab; the general-scale key is a 64-bit hash of the
-    * sorted token list, same join shape). */
+  /** doc_id → (token-SET fingerprint, n_tokens). The fingerprint is
+    * `termhash` over the space-joined sorted distinct tokens — a pure
+    * per-doc computation after the one groupBy shuffle; equal token
+    * sets (any order/multiplicity) always agree. */
   def maskTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tok = tokens(s, dir)
-    tok.join(broadcast(corpusDict(s, dir)), "term")
+    graft.functions.TermHash.register(s)
+    tokens(s, dir)
       .groupBy($"doc_id")
-      .agg(sum(expr("shiftleft(1L, tid - 1)")).as("mask"),
+      .agg(expr("termhash(array_join(sort_array(collect_set(term)), ' '), " +
+             s"131L, ${MaskMod}L)").as("mask"),
            count(lit(1)).cast(LongType).as("n_tokens"))
   }
+
+  /** DuckDB mirror of `maskTable` (shared by the dedup_near /
+    * dedup_ngram / dedup_components / pipeline_corpus oracles): CTE
+    * list `tok, tok2, m(doc_id, mask, n_tokens)`. `string_agg(term,
+    * ' ' ORDER BY term)` over the distinct tokens is exactly
+    * `array_join(sort_array(collect_set(term)), ' ')`, and the
+    * char-fold mirrors the codegen termhash (same code-point
+    * recurrence the simhash oracles already pin). */
+  val maskCteSql: String =
+    s"""tok AS (SELECT DISTINCT doc_id,
+       |    unnest(string_split(lower(text), ' ')) AS term FROM documents),
+       |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+       |m AS (SELECT doc_id,
+       |    list_reduce(list_transform(
+       |      string_split(string_agg(term, ' ' ORDER BY term), ''),
+       |      c -> CAST(ascii(c) AS BIGINT)),
+       |      (h, c) -> (h * 131 + c) % ${MaskMod}) AS mask,
+       |    count(*) AS n_tokens
+       |  FROM tok2 GROUP BY doc_id)""".stripMargin
 
   /** Candidate pairs (da < db) whose token sets are identical. */
   def maskPairs(s: SparkSession, dir: String): DataFrame = {

@@ -92,7 +92,8 @@ object TrainQueries extends QueryPack {
   }
 
   def queries: Seq[(String, Q)] = Seq(
-    // MinHash signature (k=8, affine hashes over the term dictionary)
+    // MinHash signature (k=8, affine hashes over map-side termhash
+    // term ids — no dictionary, no vocabulary pass; r9 verdict item 5)
     // + 4 LSH band keys (r=2). Banding docs into buckets by b1..b4 is
     // the scale path to near-dup candidate pairs.
     // Thin adapter over the public parameterized surface (r8):
@@ -100,8 +101,7 @@ object TrainQueries extends QueryPack {
     // equivalence proof for BOTH the keyed query and the API function.
     "dedup_minhash" -> ((s, dir) => {
       import s.implicits._
-      graft.api.TextDedup.minhashSignatures(
-          TextBlocking.tokens(s, dir), TextBlocking.corpusDict(s, dir))
+      graft.api.TextDedup.minhashSignatures(TextBlocking.tokens(s, dir))
         .orderBy($"doc_id")
     }),
 
@@ -553,9 +553,11 @@ object TrainQueries extends QueryPack {
       """WITH tok AS (SELECT DISTINCT doc_id,
         |    unnest(string_split(lower(text), ' ')) AS term FROM documents),
         |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
-        |dict AS (SELECT term,
-        |    CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS tid
-        |  FROM (SELECT DISTINCT term FROM tok2)),
+        |h AS (SELECT doc_id,
+        |    list_reduce(list_transform(string_split(term, ''),
+        |      c -> CAST(ascii(c) AS BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 10007) AS tid
+        |  FROM tok2),
         |sig AS (SELECT doc_id,
         |    min((tid * 7 + 3) % 10007) AS m1,
         |    min((tid * 11 + 5) % 10007) AS m2,
@@ -565,7 +567,7 @@ object TrainQueries extends QueryPack {
         |    min((tid * 23 + 17) % 10007) AS m6,
         |    min((tid * 29 + 19) % 10007) AS m7,
         |    min((tid * 31 + 23) % 10007) AS m8
-        |  FROM tok2 JOIN dict USING (term) GROUP BY doc_id)
+        |  FROM h GROUP BY doc_id)
         |SELECT doc_id, m1, m2, m3, m4, m5, m6, m7, m8,
         |  m1 * 10007 + m2 AS band1, m3 * 10007 + m4 AS band2,
         |  m5 * 10007 + m6 AS band3, m7 * 10007 + m8 AS band4
@@ -687,14 +689,7 @@ object TrainQueries extends QueryPack {
         |ORDER BY da, db""".stripMargin,
 
     "dedup_ngram" ->
-      """WITH tok AS (SELECT DISTINCT doc_id,
-        |    unnest(string_split(lower(text), ' ')) AS term FROM documents),
-        |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
-        |dict AS (SELECT term, row_number() OVER (ORDER BY term) AS tid
-        |         FROM (SELECT DISTINCT term FROM tok2)),
-        |m AS (SELECT doc_id,
-        |        CAST(sum(CAST(1 AS BIGINT) << (tid - 1)) AS BIGINT) AS mask
-        |      FROM tok2 JOIN dict USING (term) GROUP BY doc_id),
+      s"""WITH ${TextBlocking.maskCteSql},
         |cand AS (SELECT a.doc_id AS da, b.doc_id AS db
         |  FROM m a JOIN m b ON a.mask = b.mask AND a.doc_id < b.doc_id),
         |sh AS (SELECT DISTINCT doc_id,

@@ -20,8 +20,7 @@ class ApiSpec extends SparkTestBase {
       (104L, "the quick brown fox jumps over the lazy dog")
     ).toDF("article_id", "body")
     val tok = api.TextDedup.tokens(corpus, "article_id", "body")
-    val dict = api.TextDedup.dictionary(tok)
-    val sigs = api.TextDedup.minhashSignatures(tok, dict)
+    val sigs = api.TextDedup.minhashSignatures(tok)
     // Exact duplicates 101/104 must share EVERY band; the unrelated
     // 103 must not collide with them on all bands.
     val bands = sigs.select($"doc_id", $"band1", $"band2", $"band3",
@@ -36,6 +35,21 @@ class ApiSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cand.contains((101L, 104L)),
       "identical docs must be Hamming candidates at distance 0")
+  }
+
+  test("TextDedup.dictionary assigns dense 1-based ids in term order " +
+       "without a global window") {
+    // The r9 scale fix: dense ids via range-repartition + zipWithIndex
+    // instead of an unpartitioned row_number window. The law is the
+    // dictionary CONTRACT: ids are exactly 1..V following term order,
+    // regardless of input layout.
+    val terms = Seq("delta", "alpha", "echo", "charlie", "bravo",
+        "alpha", "delta")
+      .toDF("term").repartition(5)
+    val d = api.TextDedup.dictionary(terms)
+      .orderBy($"tid").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(d.toSeq == Seq("alpha" -> 1L, "bravo" -> 2L, "charlie" -> 3L,
+      "delta" -> 4L, "echo" -> 5L), s"dictionary contract broken: ${d.toSeq}")
   }
 
   test("VectorSearch.knnCosine on ad-hoc embeddings ranks by cosine") {
