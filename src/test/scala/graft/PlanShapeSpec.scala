@@ -129,6 +129,20 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dedup_minhash: map-side term hash — no join, no window, no dict") {
+    // The r10 scale fix: term ids are a codegen termhash computed in
+    // the scan projection, so the whole signature build is scan →
+    // partial agg → exchange → final agg. A Join in this plan means a
+    // dictionary resurfaced; a Window means the global row_number id
+    // assignment came back — both single-task a 100-TB vocabulary.
+    val p = planOf("dedup_minhash")
+    assert(!p.contains("Join"), s"dictionary join resurfaced:\n$p")
+    assert(!p.contains("Window"),
+      s"global id-assignment window resurfaced:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"partial+final signature aggregate missing:\n$p")
+  }
+
   test("dedup_hamming joins on the signature block, never all-pairs") {
     val p = planOf("dedup_hamming")
     assert(!p.contains("CartesianProduct") &&
