@@ -101,6 +101,41 @@ object TextDedup {
       coeffs.indices.map(i => col(s"m${i + 1}")) ++: bands: _*)
   }
 
+  /** LSH candidate pairs + agreement verify over a
+    * `minhashSignatures` output: documents sharing ANY band bucket
+    * become candidates via per-band equi-joins on (band index, band
+    * value) — bucketed, never all-pairs — then each candidate pair's
+    * estimated Jaccard is the fraction of its k minhashes that agree
+    * (the standard unbiased MinHash estimator); pairs with
+    * `n_agree >= minAgree` survive. The two verify joins probe the
+    * SAME signature relation from both sides — callers running this
+    * repeatedly should cache/persist `sigs` (the keyed query does,
+    * via SessionCache: at cluster scale that materialization IS the
+    * LSH index-build step). Output: (da, db, n_agree) with da < db. */
+  def minhashPairs(sigs: DataFrame, k: Int = 8, bands: Int = 4,
+      minAgree: Int = 4): DataFrame = {
+    require(k >= 1 && bands >= 1 && minAgree >= 0,
+      s"bad minhashPairs params: k=$k bands=$bands minAgree=$minAgree")
+    val b = sigs.select(col("doc_id"),
+        posexplode(array((1 to bands).map(i => col(s"band$i")): _*)))
+      .toDF("doc_id", "bi", "bv")
+    val cand = b.select(col("bi"), col("bv"), col("doc_id").as("da"))
+      .join(b.select(col("bi"), col("bv"), col("doc_id").as("db")),
+        Seq("bi", "bv"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    val sa = sigs.select(col("doc_id").as("da") +:
+      (1 to k).map(i => col(s"m$i").as(s"xa$i")): _*)
+    val sb = sigs.select(col("doc_id").as("db") +:
+      (1 to k).map(i => col(s"m$i").as(s"xb$i")): _*)
+    cand.join(sa, "da").join(sb, "db")
+      .withColumn("n_agree",
+        (1 to k).map(i => when(col(s"xa$i") === col(s"xb$i"), 1L)
+          .otherwise(0L)).reduce(_ + _))
+      .filter(col("n_agree") >= minAgree)
+      .select(col("da"), col("db"), col("n_agree"))
+  }
+
   /** 16-bit tf-weighted SimHash per document from a (doc_id, term,
     * tf) relation — one corpus shuffle (the groupBy), per-bit vote
     * sums inside a single aggregate, codegen `termhash` char fold.

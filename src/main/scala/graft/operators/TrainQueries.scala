@@ -91,6 +91,15 @@ object TrainQueries extends QueryPack {
       .select($"doc_id" +: blockCols: _*)
   }
 
+  /** Session-cached minhash signature relation (one narrow row per
+    * doc) — shared by dedup_minhash and probed from three sides of
+    * dedup_minhash_pairs' candidate/verify joins. */
+  private def minhashSigs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.SessionCache.cached(s, s"dedup.minhashsig:$dir") {
+      graft.api.TextDedup.minhashSignatures(TextBlocking.tokens(s, dir))
+    }
+
   def queries: Seq[(String, Q)] = Seq(
     // MinHash signature (k=8, affine hashes over map-side termhash
     // term ids — no dictionary, no vocabulary pass; r9 verdict item 5)
@@ -101,8 +110,20 @@ object TrainQueries extends QueryPack {
     // equivalence proof for BOTH the keyed query and the API function.
     "dedup_minhash" -> ((s, dir) => {
       import s.implicits._
-      graft.api.TextDedup.minhashSignatures(TextBlocking.tokens(s, dir))
-        .orderBy($"doc_id")
+      minhashSigs(s, dir).orderBy($"doc_id")
+    }),
+
+    // LSH candidate pairs + verify over the minhash signatures — the
+    // at-scale near-dup PIPELINE, not just its index: docs sharing any
+    // of the 4 band buckets meet in a band equi-join (never
+    // all-pairs), and the estimated Jaccard (fraction of the 8
+    // minhashes agreeing) gates the pair at >= 4/8. The signature
+    // relation is session-cached and probed from all three sides —
+    // the LSH index-build step, paid once.
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.TextDedup.minhashPairs(minhashSigs(s, dir))
+        .orderBy($"da", $"db")
     }),
 
     // 16-bit SimHash over tf-weighted token hashes; docs sharing a
@@ -572,6 +593,54 @@ object TrainQueries extends QueryPack {
         |  m1 * 10007 + m2 AS band1, m3 * 10007 + m4 AS band2,
         |  m5 * 10007 + m6 AS band3, m7 * 10007 + m8 AS band4
         |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_pairs" ->
+      """WITH tok AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |h AS (SELECT doc_id,
+        |    list_reduce(list_transform(string_split(term, ''),
+        |      c -> CAST(ascii(c) AS BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 10007) AS tid
+        |  FROM tok2),
+        |sig AS (SELECT doc_id,
+        |    min((tid * 7 + 3) % 10007) AS m1,
+        |    min((tid * 11 + 5) % 10007) AS m2,
+        |    min((tid * 13 + 7) % 10007) AS m3,
+        |    min((tid * 17 + 11) % 10007) AS m4,
+        |    min((tid * 19 + 13) % 10007) AS m5,
+        |    min((tid * 23 + 17) % 10007) AS m6,
+        |    min((tid * 29 + 19) % 10007) AS m7,
+        |    min((tid * 31 + 23) % 10007) AS m8
+        |  FROM h GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 1 AS bi, m1 * 10007 + m2 AS bv FROM sig
+        |  UNION ALL SELECT doc_id, 2, m3 * 10007 + m4 FROM sig
+        |  UNION ALL SELECT doc_id, 3, m5 * 10007 + m6 FROM sig
+        |  UNION ALL SELECT doc_id, 4, m7 * 10007 + m8 FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM bands a JOIN bands b
+        |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT c.da, c.db, CAST(
+        |    (CASE WHEN x.m1 = y.m1 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN x.m2 = y.m2 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN x.m3 = y.m3 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN x.m4 = y.m4 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN x.m5 = y.m5 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN x.m6 = y.m6 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN x.m7 = y.m7 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN x.m8 = y.m8 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+        |FROM cand c JOIN sig x ON c.da = x.doc_id
+        |  JOIN sig y ON c.db = y.doc_id
+        |WHERE (CASE WHEN x.m1 = y.m1 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN x.m2 = y.m2 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN x.m3 = y.m3 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN x.m4 = y.m4 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN x.m5 = y.m5 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN x.m6 = y.m6 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN x.m7 = y.m7 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN x.m8 = y.m8 THEN 1 ELSE 0 END) >= 4
+        |ORDER BY da, db""".stripMargin,
 
     "dedup_simhash" ->
       """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (

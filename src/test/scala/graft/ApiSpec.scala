@@ -29,6 +29,18 @@ class ApiSpec extends SparkTestBase {
     assert(bands(101L) == bands(104L), "exact dups must share all bands")
     assert(bands(101L) != bands(103L), "unrelated docs collide everywhere")
 
+    // LSH pair pipeline: the exact dup pair must survive with all 8
+    // minhashes agreeing; the near-dup (one token differs) may pair
+    // but never at full agreement with the unrelated doc.
+    val pairs = api.TextDedup.minhashPairs(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(pairs.get((101L, 104L)).contains(8L),
+      s"exact dups must pair at n_agree=8: $pairs")
+    assert(!pairs.keySet.exists { case (a, b) =>
+      (a == 103L || b == 103L) && pairs((a, b)) == 8L },
+      s"unrelated doc pairs at full agreement: $pairs")
+
     val sh = api.TextDedup.simhash16(
       api.TextDedup.termFreqs(corpus, "article_id", "body"))
     val cand = api.TextDedup.hammingCandidates(sh, maxDist = 3)

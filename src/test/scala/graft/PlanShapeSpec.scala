@@ -143,6 +143,13 @@ class PlanShapeSpec extends SparkTestBase {
       s"partial+final signature aggregate missing:\n$p")
   }
 
+  test("dedup_minhash_pairs joins on band buckets, never all-pairs") {
+    val p = planOf("dedup_minhash_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH candidate generation degenerated to all-pairs:\n$p")
+  }
+
   test("dedup_hamming joins on the signature block, never all-pairs") {
     val p = planOf("dedup_hamming")
     assert(!p.contains("CartesianProduct") &&
