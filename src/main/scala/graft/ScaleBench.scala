@@ -46,9 +46,10 @@ import org.apache.spark.sql.functions._
   *   props unchanged. 10x users with unchanged per-user history keeps
   *   session windows and funnels per-user-bounded (the realistic 10x:
   *   more users, not 10x-longer histories). Staged from the RAW
-  *   parquet (nanosAsLong ⇒ ts is a plain ns BIGINT), so the staged
-  *   file round-trips through both Tables.load ("ts div 1000") and
-  *   loadEventsBetween's pushable ns-range predicate unchanged.
+  *   parquet so ts keeps the fixture generation's native encoding
+  *   (ns BIGINT or µs NTZ), and the staged file round-trips through
+  *   Tables.load's type probe and loadEventsBetween's pushable range
+  *   predicate exactly like the original.
   * - `region`/`nation`: symlinked — real dimension tables do not grow
   *   with fact volume, and every plan broadcasts them anyway.
   *

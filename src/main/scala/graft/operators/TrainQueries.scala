@@ -12,7 +12,7 @@ import org.apache.spark.sql.types._
   *
   * Every key is DuckDB-oracled. Determinism comes from pure integer
   * arithmetic everywhere a sketch is computed: MinHash uses affine maps
-  * over a deterministic term dictionary (`(a·tid + b) mod p`); SimHash
+  * over map-side termhash term ids (`(a·tid + b) mod 2^31−1`); SimHash
   * and char fingerprints use dictionary-free sequential polynomial
   * folds (mod 2^16 / 1e9+7), and the
   * only floating-point ops are single IEEE divisions / sequential
@@ -46,10 +46,9 @@ object TrainQueries extends QueryPack {
     * Dictionary-free: the term hash is a polynomial char fold mod
     * 2^16 computed row-locally, NOT an id from a global term
     * dictionary — at 100 TB a signature must not depend on a
-    * corpus-wide vocabulary build (the dict path costs a distinct
-    * shuffle + a broadcast and changes whenever the corpus grows;
-    * MinHash keeps it deliberately, as its LSH bands are defined over
-    * dict ids). The 16 per-bit vote sums are 16 conditional aggregates
+    * corpus-wide vocabulary build (since r10 MinHash hashes its term
+    * ids map-side the same way, mod 2^31−1).
+    * The 16 per-bit vote sums are 16 conditional aggregates
     * inside ONE groupBy — no ×16 bit-position explode and a single
     * corpus shuffle end to end. */
   private[operators] def simhashSigs(s: org.apache.spark.sql.SparkSession,
@@ -577,21 +576,21 @@ object TrainQueries extends QueryPack {
         |h AS (SELECT doc_id,
         |    list_reduce(list_transform(string_split(term, ''),
         |      c -> CAST(ascii(c) AS BIGINT)),
-        |      (h, c) -> (h * 131 + c) % 10007) AS tid
+        |      (h, c) -> (h * 131 + c) % 2147483647) AS tid
         |  FROM tok2),
         |sig AS (SELECT doc_id,
-        |    min((tid * 7 + 3) % 10007) AS m1,
-        |    min((tid * 11 + 5) % 10007) AS m2,
-        |    min((tid * 13 + 7) % 10007) AS m3,
-        |    min((tid * 17 + 11) % 10007) AS m4,
-        |    min((tid * 19 + 13) % 10007) AS m5,
-        |    min((tid * 23 + 17) % 10007) AS m6,
-        |    min((tid * 29 + 19) % 10007) AS m7,
-        |    min((tid * 31 + 23) % 10007) AS m8
+        |    min((tid * 7 + 3) % 2147483647) AS m1,
+        |    min((tid * 11 + 5) % 2147483647) AS m2,
+        |    min((tid * 13 + 7) % 2147483647) AS m3,
+        |    min((tid * 17 + 11) % 2147483647) AS m4,
+        |    min((tid * 19 + 13) % 2147483647) AS m5,
+        |    min((tid * 23 + 17) % 2147483647) AS m6,
+        |    min((tid * 29 + 19) % 2147483647) AS m7,
+        |    min((tid * 31 + 23) % 2147483647) AS m8
         |  FROM h GROUP BY doc_id)
         |SELECT doc_id, m1, m2, m3, m4, m5, m6, m7, m8,
-        |  m1 * 10007 + m2 AS band1, m3 * 10007 + m4 AS band2,
-        |  m5 * 10007 + m6 AS band3, m7 * 10007 + m8 AS band4
+        |  m1 * 2147483647 + m2 AS band1, m3 * 2147483647 + m4 AS band2,
+        |  m5 * 2147483647 + m6 AS band3, m7 * 2147483647 + m8 AS band4
         |FROM sig ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_pairs" ->
@@ -601,23 +600,23 @@ object TrainQueries extends QueryPack {
         |h AS (SELECT doc_id,
         |    list_reduce(list_transform(string_split(term, ''),
         |      c -> CAST(ascii(c) AS BIGINT)),
-        |      (h, c) -> (h * 131 + c) % 10007) AS tid
+        |      (h, c) -> (h * 131 + c) % 2147483647) AS tid
         |  FROM tok2),
         |sig AS (SELECT doc_id,
-        |    min((tid * 7 + 3) % 10007) AS m1,
-        |    min((tid * 11 + 5) % 10007) AS m2,
-        |    min((tid * 13 + 7) % 10007) AS m3,
-        |    min((tid * 17 + 11) % 10007) AS m4,
-        |    min((tid * 19 + 13) % 10007) AS m5,
-        |    min((tid * 23 + 17) % 10007) AS m6,
-        |    min((tid * 29 + 19) % 10007) AS m7,
-        |    min((tid * 31 + 23) % 10007) AS m8
+        |    min((tid * 7 + 3) % 2147483647) AS m1,
+        |    min((tid * 11 + 5) % 2147483647) AS m2,
+        |    min((tid * 13 + 7) % 2147483647) AS m3,
+        |    min((tid * 17 + 11) % 2147483647) AS m4,
+        |    min((tid * 19 + 13) % 2147483647) AS m5,
+        |    min((tid * 23 + 17) % 2147483647) AS m6,
+        |    min((tid * 29 + 19) % 2147483647) AS m7,
+        |    min((tid * 31 + 23) % 2147483647) AS m8
         |  FROM h GROUP BY doc_id),
         |bands AS (
-        |  SELECT doc_id, 1 AS bi, m1 * 10007 + m2 AS bv FROM sig
-        |  UNION ALL SELECT doc_id, 2, m3 * 10007 + m4 FROM sig
-        |  UNION ALL SELECT doc_id, 3, m5 * 10007 + m6 FROM sig
-        |  UNION ALL SELECT doc_id, 4, m7 * 10007 + m8 FROM sig),
+        |  SELECT doc_id, 1 AS bi, m1 * 2147483647 + m2 AS bv FROM sig
+        |  UNION ALL SELECT doc_id, 2, m3 * 2147483647 + m4 FROM sig
+        |  UNION ALL SELECT doc_id, 3, m5 * 2147483647 + m6 FROM sig
+        |  UNION ALL SELECT doc_id, 4, m7 * 2147483647 + m8 FROM sig),
         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
         |  FROM bands a JOIN bands b
         |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
