@@ -14,7 +14,8 @@ object Explain {
       else Seq("scan_pruned", "join_multiway", "agg_hash",
         "win_topk_pergroup", "dedup_near", "vec_knn_ivf",
         "agg_percentile", "text_tfidf", "join_asof_native",
-        "join_theta_range", "text_contamination", "ts_resample")
+        "join_theta_range", "text_contamination", "ts_resample",
+        "dedup_minhash", "dedup_minhash_pairs", "scan_time_range")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
