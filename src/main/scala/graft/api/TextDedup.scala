@@ -97,9 +97,14 @@ object TextDedup {
     require(coeffs.nonEmpty && coeffs.length % bandRows == 0,
       s"coeffs (${coeffs.length}) must be a multiple of bandRows ($bandRows)")
     require(coeffs.forall { case (a, b) =>
-        a > 0 && b >= 0 && a < Long.MaxValue / prime &&
-          prime < Long.MaxValue / prime },
-      s"minhash constants overflow int64 under prime=$prime")
+        a > 0 && b >= 0 && a < Long.MaxValue / prime },
+      s"minhash coefficients overflow int64 under prime=$prime")
+    // The band key is a base-`prime` positional fold of its bandRows
+    // minhashes, so it needs prime^bandRows <= int64 — with the wide
+    // default prime that bounds bandRows at 2; silent wraparound here
+    // would alias unrelated buckets (loud-guard discipline, §7.4).
+    require(BigInt(prime).pow(bandRows) <= BigInt(Long.MaxValue),
+      s"band fold overflows int64: prime=$prime bandRows=$bandRows")
     graft.functions.TermHash.register(tok.sparkSession)
     val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("tid") * a + b, lit(prime))).as(s"m${i + 1}")

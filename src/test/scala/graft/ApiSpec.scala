@@ -40,6 +40,11 @@ class ApiSpec extends SparkTestBase {
     assert(!pairs.keySet.exists { case (a, b) =>
       (a == 103L || b == 103L) && pairs((a, b)) == 8L },
       s"unrelated doc pairs at full agreement: $pairs")
+    // Band fold overflow is a loud error, never silent bucket aliasing:
+    // prime^bandRows must fit int64 (fails here: (2^31-1)^4).
+    intercept[IllegalArgumentException] {
+      api.TextDedup.minhashSignatures(tok, bandRows = 4)
+    }
 
     val sh = api.TextDedup.simhash16(
       api.TextDedup.termFreqs(corpus, "article_id", "body"))

@@ -46,6 +46,33 @@ class PropertyLawsSpec extends SparkTestBase {
     assert(once.count() == docs.select($"text").distinct().count())
   }
 
+  test("minhashPairs candidates are COMPLETE for n_agree>=7 " +
+      "(pigeonhole vs brute force)") {
+    // One disagreeing minhash breaks exactly one r=2 band, so a pair
+    // with >=7 of 8 agreeing shares >=3 intact bands and MUST meet in
+    // the band equi-join — blocking loses nothing at that agreement
+    // level. Verified against brute-force all-pairs over the same
+    // signatures on the real sf0.001 corpus.
+    val sigs = api.TextDedup.minhashSignatures(
+      operators.TextBlocking.tokens(spark, sf))
+    val agree = (1 to 8).map(i =>
+      when(col(s"p$i") === col(s"q$i"), 1L).otherwise(0L)).reduce(_ + _)
+    val x = sigs.select($"doc_id".as("da") +:
+      (1 to 8).map(i => col(s"m$i").as(s"p$i")): _*)
+    val y = sigs.select($"doc_id".as("db") +:
+      (1 to 8).map(i => col(s"m$i").as(s"q$i")): _*)
+    val brute = x.crossJoin(y).filter($"da" < $"db")
+      .withColumn("n_agree", agree).filter($"n_agree" >= 7)
+      .select($"da", $"db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = api.TextDedup.minhashPairs(sigs)
+      .select($"da", $"db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "law is vacuous: no >=7-agreement pairs")
+    assert(brute.subsetOf(got),
+      s"banding lost ${(brute -- got).take(5)} of ${brute.size} pairs")
+  }
+
   test("dedup_hamming64 multi-block candidates are COMPLETE for the " +
       "hdist<=3 ball (pigeonhole vs brute force)") {
     // The whole Manku argument: 3 differing bits cannot touch all 4
