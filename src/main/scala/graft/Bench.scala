@@ -40,11 +40,18 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val keys = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (k, _) => only.forall(_.contains(k)) }
-    def runOne(fn: (SparkSession, String) =>
+    // First exception line per failed key (r10 verdict item 4: a
+    // swallowed Throwable cost a whole round's bench in r9 — the
+    // artifact must say WHY a key is -1, not just that it is).
+    val errMsgs = collection.mutable.LinkedHashMap[String, String]()
+    def runOne(k: String, fn: (SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
+               catch { case e: Throwable =>
+                 errMsgs.getOrElseUpdate(k, e.toString.linesIterator.next())
+                 false
+               }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
     def loadavg: Double = java.lang.management.ManagementFactory
@@ -64,14 +71,14 @@ object Bench {
     // a fast query).
     val loads = collection.mutable.ArrayBuffer[Double](loadavg)
     val cold: Map[String, Double] =
-      keys.map { case (k, fn) => k -> runOne(fn) }.toMap
+      keys.map { case (k, fn) => k -> runOne(k, fn) }.toMap
     loads += loadavg
     val warm = collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     (1 to runs).foreach { _ =>
       keys.foreach { case (k, fn) =>
         val alive = cold(k) >= 0 && !warm(k).contains(-1.0)
-        if (alive) warm(k) = warm(k) :+ runOne(fn)
+        if (alive) warm(k) = warm(k) :+ runOne(k, fn)
       }
       loads += loadavg
     }
@@ -84,16 +91,29 @@ object Bench {
       (k, min, med, cold(k), !failed)
     }
     // ms precision keeps the whole line short enough for the driver's
-    // log-tail buffer (a full-precision line was truncated mid-JSON in r2).
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // log-tail buffer (a full-precision line was truncated mid-JSON in
+    // r2). Locale.ROOT: a comma-decimal default locale would emit
+    // invalid JSON (r10 advice).
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def m(get: ((String, Double, Double, Double, Boolean)) => Double): String =
       results.map(r => "\"" + r._1 + "\":" + fmt(get(r)))
         .mkString("{", ",", "}")
     val qs = m(_._2)
     val medians = m(_._3)
     val colds = m(_._4)
-    val errors = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    // Failed key -> first exception line, JSON-string-escaped.
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      } + "\""
+    val failedKeys = results.collect { case (k, _, _, _, false) => k }.toSet
+    val errors = errMsgs.collect { case (k, msg) if failedKeys(k) =>
+        jstr(k) + ":" + jstr(msg)
+      }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // total_s/n_keys are the machine-readable headline (r8, verdict
     // item 7) so the driver and judges stop re-deriving totals from
@@ -101,7 +121,8 @@ object Bench {
     // for driver compatibility. "loadavg" holds one 1-min reading per
     // pass boundary (start, after cold, after each warm pass) so a
     // noisy co-tenant window is attributable to specific passes.
-    val loadsJson = loads.map(v => f"$v%.2f").mkString("[", ",", "]")
+    val loadsJson = loads.map(v =>
+      "%.2f".formatLocal(java.util.Locale.ROOT, v)).mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"n_keys":${results.length},"runs":$runs,"loadavg":$loadsJson,"queries":$qs,"medians":$medians,"cold":$colds,"errors":$errors,"sf":"$sfDir"}"""
     // Stdout from sbt is noisy; also persist to a file so the harness

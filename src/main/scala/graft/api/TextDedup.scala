@@ -97,8 +97,16 @@ object TextDedup {
     require(coeffs.nonEmpty && coeffs.length % bandRows == 0,
       s"coeffs (${coeffs.length}) must be a multiple of bandRows ($bandRows)")
     require(coeffs.forall { case (a, b) =>
-        a > 0 && b >= 0 && a < Long.MaxValue / prime },
-      s"minhash coefficients overflow int64 under prime=$prime")
+        a > 0 && b >= 0 && b < prime && a < Long.MaxValue / prime },
+      s"minhash coefficients overflow int64 under prime=$prime " +
+        "(need a < Long.MaxValue/prime and b < prime)")
+    // termhash's polynomial fold computes h*multiplier + codepoint with
+    // h < prime and codepoints <= 0x10FFFF; the same loud-guard
+    // discipline applies to ITS operands (r10 advice: a caller-supplied
+    // large multiplier or prime silently wraps inside the codegen hash).
+    require(multiplier > 0 &&
+        multiplier < (Long.MaxValue - 0x10FFFFL) / prime,
+      s"termhash fold overflows int64: multiplier=$multiplier prime=$prime")
     // The band key is a base-`prime` positional fold of its bandRows
     // minhashes, so it needs prime^bandRows <= int64 — with the wide
     // default prime that bounds bandRows at 2; silent wraparound here
@@ -136,21 +144,60 @@ object TextDedup {
     * joins back to `sigs`) measured 16× on 10× data; this form is
     * ~linear. Callers running repeatedly should still cache `sigs`
     * (the keyed query does, via SessionCache).
+    *
+    * HOT-BUCKET GUARD (r10 verdict item 1): the band self-join is
+    * per-bucket quadratic — a degenerate bucket (mass-duplicated
+    * boilerplate whose band collides, e.g. the sf0.1 fixture's
+    * 3847-doc bucket → 7.4M candidate rows from ONE key) enumerates
+    * |bucket|² pairs before the agreement gate can drop any. Buckets
+    * with occupancy > `bucketCap` therefore skip pair enumeration and
+    * emit a CANONICAL STAR instead: every member pairs only with the
+    * bucket's min-doc_id row (|bucket|−1 edges, linear). Oversized
+    * buckets are exact-dup-grade clusters (the members collided on a
+    * full band of minhashes), so the star edges still pass the
+    * agreement gate and downstream connected components
+    * (DedupCluster) recover the full cluster — the recall loss is
+    * only member–member edges WITHIN a capped bucket that no other
+    * (small) band bucket witnesses, i.e. pairs that were only ever
+    * reachable through the degenerate key. Both branches are scored
+    * by the same fused k-minhash agreement; per-bucket occupancy and
+    * the canonical row (lexicographic struct min — doc_id leads, so
+    * it is the min-doc_id member WITH its signatures, no second join)
+    * come from one hash aggregate whose (bi, bv) shuffle the join
+    * reuses.
     * Output: (da, db, n_agree) with da < db. */
   def minhashPairs(sigs: DataFrame, k: Int = 8, bands: Int = 4,
-      minAgree: Int = 4): DataFrame = {
-    require(k >= 1 && bands >= 1 && minAgree >= 0,
-      s"bad minhashPairs params: k=$k bands=$bands minAgree=$minAgree")
+      minAgree: Int = 4, bucketCap: Int = 256): DataFrame = {
+    require(k >= 1 && bands >= 1 && minAgree >= 0 && bucketCap >= 1,
+      s"bad minhashPairs params: k=$k bands=$bands minAgree=$minAgree " +
+        s"bucketCap=$bucketCap")
     val names = ("doc_id" +: (1 to k).map(i => s"m$i")) ++ Seq("bi", "bv")
     val b = sigs.select(col("doc_id") +: (1 to k).map(i => col(s"m$i")) :+
         posexplode(array((1 to bands).map(i => col(s"band$i")): _*)): _*)
       .toDF(names: _*)
-    val ba = b.select(col("bi") +: col("bv") +: col("doc_id").as("da") +:
+    val occ = b.groupBy(col("bi"), col("bv")).agg(
+      count(lit(1)).as("bucket_n"),
+      min(struct(col("doc_id") +: (1 to k).map(i => col(s"m$i")): _*))
+        .as("canon"))
+    val bo = b.join(occ, Seq("bi", "bv"))
+    val small = bo.filter(col("bucket_n") <= bucketCap)
+    val ba = small.select(col("bi") +: col("bv") +: col("doc_id").as("da") +:
       (1 to k).map(i => col(s"m$i").as(s"xa$i")): _*)
-    val bb = b.select(col("bi") +: col("bv") +: col("doc_id").as("db") +:
+    val bb = small.select(col("bi") +: col("bv") +: col("doc_id").as("db") +:
       (1 to k).map(i => col(s"m$i").as(s"xb$i")): _*)
-    ba.join(bb, Seq("bi", "bv"))
+    val smallPairs = ba.join(bb, Seq("bi", "bv"))
       .filter(col("da") < col("db"))
+      .select(col("da") +: (1 to k).map(i => col(s"xa$i")) ++:
+        col("db") +: (1 to k).map(i => col(s"xb$i")): _*)
+    // canon.doc_id is the bucket minimum, so doc_id > canon.doc_id for
+    // every non-canonical member — da < db by construction.
+    val bigPairs = bo.filter(col("bucket_n") > bucketCap)
+      .filter(col("doc_id") =!= col("canon.doc_id"))
+      .select(col("canon.doc_id").as("da") +:
+        (1 to k).map(i => col(s"canon.m$i").as(s"xa$i")) ++:
+        col("doc_id").as("db") +:
+        (1 to k).map(i => col(s"m$i").as(s"xb$i")): _*)
+    smallPairs.unionByName(bigPairs)
       .withColumn("n_agree",
         (1 to k).map(i => when(col(s"xa$i") === col(s"xb$i"), 1L)
           .otherwise(0L)).reduce(_ + _))

@@ -118,7 +118,10 @@ object TrainQueries extends QueryPack {
     // all-pairs), and the estimated Jaccard (fraction of the 8
     // minhashes agreeing) gates the pair at >= 4/8. The signature
     // relation is session-cached and probed from all three sides —
-    // the LSH index-build step, paid once.
+    // the LSH index-build step, paid once. Hot buckets (occupancy >
+    // 256 — the sf0.1 fixture has a genuine 3847-doc one) emit a
+    // canonical star instead of the |bucket|² clique (r11; see
+    // TextDedup.minhashPairs), mirrored exactly in the oracle SQL.
     "dedup_minhash_pairs" -> ((s, dir) => {
       import s.implicits._
       graft.api.TextDedup.minhashPairs(minhashSigs(s, dir))
@@ -617,9 +620,18 @@ object TrainQueries extends QueryPack {
         |  UNION ALL SELECT doc_id, 2, m3 * 2147483647 + m4 FROM sig
         |  UNION ALL SELECT doc_id, 3, m5 * 2147483647 + m6 FROM sig
         |  UNION ALL SELECT doc_id, 4, m7 * 2147483647 + m8 FROM sig),
-        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |bcnt AS (SELECT bi, bv, count(*) AS n, min(doc_id) AS canon
+        |  FROM bands GROUP BY bi, bv),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
         |  FROM bands a JOIN bands b
-        |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  JOIN bcnt c ON a.bi = c.bi AND a.bv = c.bv
+        |  WHERE c.n <= 256
+        |  UNION
+        |  SELECT c.canon AS da, a.doc_id AS db
+        |  FROM bands a JOIN bcnt c ON a.bi = c.bi AND a.bv = c.bv
+        |  WHERE c.n > 256 AND a.doc_id > c.canon)
         |SELECT c.da, c.db, CAST(
         |    (CASE WHEN x.m1 = y.m1 THEN 1 ELSE 0 END) +
         |    (CASE WHEN x.m2 = y.m2 THEN 1 ELSE 0 END) +

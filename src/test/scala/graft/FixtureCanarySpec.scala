@@ -21,6 +21,10 @@ class FixtureCanarySpec extends SparkTestBase {
   private def canon(dt: DataType): DataType = dt match {
     case TimestampNTZType => TimestampType
     case ArrayType(e, _)  => ArrayType(canon(e), containsNull = true)
+    case StructType(fs)   => StructType(fs.map(f =>
+      f.copy(dataType = canon(f.dataType), nullable = true)))
+    case MapType(k, v, _) => MapType(canon(k), canon(v),
+      valueContainsNull = true)
     case other            => other
   }
 

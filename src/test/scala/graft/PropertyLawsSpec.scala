@@ -52,7 +52,11 @@ class PropertyLawsSpec extends SparkTestBase {
     // with >=7 of 8 agreeing shares >=3 intact bands and MUST meet in
     // the band equi-join — blocking loses nothing at that agreement
     // level. Verified against brute-force all-pairs over the same
-    // signatures on the real sf0.001 corpus.
+    // signatures on the real sf0.001 corpus. The cap is lifted here:
+    // this law is about BANDING losing nothing — the hot-bucket star
+    // reroute is a deliberate, separately-lawed recall trade (next
+    // test), and sf0.001 already contains a 395-doc hot bucket that
+    // would otherwise engage it.
     val sigs = api.TextDedup.minhashSignatures(
       operators.TextBlocking.tokens(spark, sf))
     val agree = (1 to 8).map(i =>
@@ -65,12 +69,45 @@ class PropertyLawsSpec extends SparkTestBase {
       .withColumn("n_agree", agree).filter($"n_agree" >= 7)
       .select($"da", $"db").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val got = api.TextDedup.minhashPairs(sigs)
+    val got = api.TextDedup.minhashPairs(sigs, bucketCap = Int.MaxValue)
       .select($"da", $"db").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(brute.nonEmpty, "law is vacuous: no >=7-agreement pairs")
     assert(brute.subsetOf(got),
       s"banding lost ${(brute -- got).take(5)} of ${brute.size} pairs")
+  }
+
+  test("minhashPairs hot-bucket cap: bounded candidates, star recall " +
+      "inside the capped bucket, untouched recall outside") {
+    // Constructed skew (r10 verdict item 1): 600 byte-identical docs —
+    // every band bucket they form has 600 members, over the default
+    // bucketCap of 256 — plus 20 disjoint exact-dup pairs in their own
+    // size-2 buckets. The capped pipeline must (a) emit the hot
+    // cluster as a 599-edge canonical star, NOT the 179,700-edge
+    // clique, (b) leave the 20 small-bucket pairs exactly as the
+    // uncapped pipeline would, and (c) reproduce the full clique when
+    // the cap is lifted — proving the reroute is the only difference.
+    val hot = (0 until 600).map(i =>
+      (1000L + i, "alpha beta gamma delta epsilon"))
+    val pairs = (0 until 20).flatMap(i => Seq(
+      (2L * i, s"pairword$i uniqtok$i filler$i"),
+      (2L * i + 1, s"pairword$i uniqtok$i filler$i")))
+    val docs = (hot ++ pairs).toDF("id", "text")
+    val sigs = api.TextDedup.minhashSignatures(
+      api.TextDedup.tokens(docs, "id", "text"))
+    val capped = api.TextDedup.minhashPairs(sigs)
+      .select($"da", $"db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val star = (1 to 599).map(i => (1000L, 1000L + i)).toSet
+    val smallPairs = (0 until 20).map(i => (2L * i, 2L * i + 1)).toSet
+    assert(capped == star ++ smallPairs,
+      s"capped edge set wrong: ${capped.size} edges, " +
+        s"missing ${((star ++ smallPairs) -- capped).take(3)}, " +
+        s"extra ${(capped -- star -- smallPairs).take(3)}")
+    val uncapped =
+      api.TextDedup.minhashPairs(sigs, bucketCap = Int.MaxValue).count()
+    assert(uncapped == 600L * 599 / 2 + 20,
+      s"uncapped clique count wrong: $uncapped")
   }
 
   test("dedup_hamming64 multi-block candidates are COMPLETE for the " +
