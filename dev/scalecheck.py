@@ -1,0 +1,44 @@
+#!/usr/bin/env python3
+"""10x-staging oracle check (r10 verdict item 2): correctness evidence
+AT SCALE, not just timing. Runs dev/check.py's compare over a Verify
+dump taken on the ScaleBench staging dir and writes the per-key result
+to target/scalecheck.json.
+
+Usage: python3 dev/scalecheck.py <stagedDir> <verifyOutDir> [key ...]
+
+NOT shipped code — dev loop only (the Scala library has no
+python/duckdb dependency).
+"""
+import json, re, subprocess, sys, pathlib
+
+def main():
+    staged, out_dir = sys.argv[1], sys.argv[2]
+    keys = sys.argv[3:]
+    proc = subprocess.run(
+        [sys.executable, str(pathlib.Path(__file__).parent / "check.py"),
+         staged, out_dir, *keys],
+        capture_output=True, text=True)
+    results, n_pass, n_fail = {}, 0, 0
+    for line in proc.stdout.splitlines():
+        m = re.match(r"(PASS|FAIL) (\S+):? ?(.*)", line)
+        if not m:
+            continue
+        status, key, detail = m.groups()
+        if status == "PASS":
+            n_pass += 1
+            results[key] = {"match": True,
+                            "rows": int(re.match(r"\((\d+) rows", detail)
+                                        .group(1))}
+        else:
+            n_fail += 1
+            results[key] = {"match": False, "detail": detail[:300]}
+    doc = {"metric": "scalecheck", "staged": staged, "n_pass": n_pass,
+           "n_fail": n_fail, "keys": results}
+    pathlib.Path("target").mkdir(exist_ok=True)
+    pathlib.Path("target/scalecheck.json").write_text(
+        json.dumps(doc, indent=1, sort_keys=True))
+    print(f"scalecheck: {n_pass} pass, {n_fail} fail -> target/scalecheck.json")
+    sys.exit(1 if n_fail or not n_pass else 0)
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,21 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TermHash {
 
+  /** Plain-JVM twin of the expression's code-point fold — for stateful
+    * stream processors (st19's incremental minhash) and tests that
+    * must hash identically OFF the codegen path. Same contract:
+    * m * mod + 0x10FFFF < 2^63. */
+  def hash(s: String, m: Long, mod: Long): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      h = (h * m + cp) % mod
+    }
+    h
+  }
+
   case class TermHashExpr(first: Expression, second: Expression,
                           third: Expression) extends TernaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
@@ -50,19 +65,9 @@ object TermHash {
     override def nullable: Boolean = true
     override def prettyName: String = "termhash"
 
-    override def nullSafeEval(str: Any, m: Any, mod: Any): Any = {
-      val s = str.asInstanceOf[UTF8String].toString
-      val ml = m.asInstanceOf[Long]
-      val md = mod.asInstanceOf[Long]
-      var h = 0L
-      var i = 0
-      while (i < s.length) {
-        val cp = s.codePointAt(i)
-        i += Character.charCount(cp)
-        h = (h * ml + cp) % md
-      }
-      h
-    }
+    override def nullSafeEval(str: Any, m: Any, mod: Any): Any =
+      hash(str.asInstanceOf[UTF8String].toString,
+        m.asInstanceOf[Long], mod.asInstanceOf[Long])
 
     override protected def doGenCode(ctx: CodegenContext,
                                      ev: ExprCode): ExprCode =

@@ -294,6 +294,83 @@ object StreamQueries {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  case class TokenRow(doc_id: Long, term: String)
+  case class MinhashState(n: Long, m1: Long, m2: Long, m3: Long,
+      m4: Long, m5: Long, m6: Long, m7: Long, m8: Long)
+  case class MinhashSigRow(doc_id: Long, n_terms: Long,
+      m1: Long, m2: Long, m3: Long, m4: Long,
+      m5: Long, m6: Long, m7: Long, m8: Long,
+      band1: Long, band2: Long, band3: Long, band4: Long)
+
+  /** st19 (r10 verdict item 5) — INCREMENTAL LSH signatures: maintain
+    * per-doc k=8 minhash state over a (doc_id, term) token stream with
+    * `transformWithState`, the streaming twin of the batch
+    * `dedup_minhash` signature build. The math makes this exactly
+    * incremental: each minhash is an elementwise running MIN of affine
+    * term-hash images, and min is commutative, associative and
+    * idempotent — tokens may arrive in any order, split across any
+    * number of micro-batches, and repeat (the batch side's
+    * distinct-token-set step needs no streaming mirror), yet the final
+    * state is bit-equal to the batch signatures. Term ids come from
+    * the SAME code-point fold as the codegen `termhash`
+    * (functions.TermHash.hash) with the pack's constants — so the
+    * streaming state is transitively pinned to the DuckDB-oracled
+    * `dedup_minhash` relation. State is O(1) per doc (9 longs);
+    * `n_terms` counts raw arrivals, strictly increasing per update,
+    * so the max-n row per doc is the final state in update mode.
+    * Requires the RocksDB provider, like every transformWithState
+    * query. */
+  class MinhashSignatureProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TokenRow, MinhashSigRow] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    private val P = graft.api.TextDedup.DefaultPrime
+    private val coeffs = graft.api.TextDedup.DefaultCoeffs.toArray
+    @transient private var st: ValueState[MinhashState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[MinhashState]("minhash",
+        org.apache.spark.sql.Encoders.product[MinhashState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TokenRow],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[MinhashSigRow] = {
+      // P is an absorbing "no token yet" top element: every affine
+      // image is a pmod into [0, P), so the first real token replaces
+      // it and it can never survive a doc with >= 1 token.
+      val init = MinhashState(0L, P, P, P, P, P, P, P, P)
+      var s = if (st.exists()) st.get() else init
+      val m = Array(s.m1, s.m2, s.m3, s.m4, s.m5, s.m6, s.m7, s.m8)
+      var n = s.n
+      rows.foreach { t =>
+        val tid = graft.functions.TermHash.hash(t.term, 131L, P)
+        var i = 0
+        while (i < 8) {
+          val hv = (tid * coeffs(i)._1 + coeffs(i)._2) % P
+          if (hv < m(i)) m(i) = hv
+          i += 1
+        }
+        n += 1
+      }
+      s = MinhashState(n, m(0), m(1), m(2), m(3), m(4), m(5), m(6), m(7))
+      st.update(s)
+      Iterator.single(MinhashSigRow(key, n,
+        m(0), m(1), m(2), m(3), m(4), m(5), m(6), m(7),
+        m(0) * P + m(1), m(2) * P + m(3),
+        m(4) * P + m(5), m(6) * P + m(7)))
+    }
+  }
+
+  /** st19 entry: token stream -> per-doc signature updates. */
+  def minhashSignaturesTws(tokens: Dataset[TokenRow])
+      : Dataset[MinhashSigRow] = {
+    import tokens.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    tokens.groupByKey(_.doc_id)
+      .transformWithState(new MinhashSignatureProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** st18 (r8) — the namesake sensor pipeline end-to-end on the
     * STREAM side, the incremental twin of the batch `pipeline_sensor`
     * key: raw CSV sensor lines → `from_csv` parse + validate (the

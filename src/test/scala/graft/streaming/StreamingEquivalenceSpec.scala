@@ -292,6 +292,68 @@ class StreamingEquivalenceSpec extends SparkTestBase {
     }
   }
 
+  test("st19: incremental transformWithState minhash == batch signatures") {
+    // The dedup family's streaming twin (r10 verdict item 5): per-doc
+    // minhash state maintained incrementally over a token stream must
+    // end BIT-EQUAL to the batch dedup_minhash signature relation
+    // (which DuckDB hash-verifies). Tokens are deliberately staged
+    // TERM-ordered, so one doc's tokens scatter across the 5 replay
+    // chunks and the elementwise-min merge across micro-batches is
+    // actually exercised, not just one-shot per doc.
+    val dir = scratch("replay_st19")
+    val tok = graft.operators.TextBlocking.tokens(spark, sf)
+      .orderBy($"term", $"doc_id")
+    val rows = tok.count()
+    val per = math.max(1L, (rows + 4) / 5)
+    val chunked = tok.coalesce(1)
+      .withColumn("chunk", (monotonically_increasing_id() / per).cast("int"))
+      .cache()
+    try {
+      (0 to 4).foreach { i =>
+        val tmp = s"${dir}_tmp"
+        chunked.filter($"chunk" === i).select($"doc_id", $"term")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        EventStreams.promoteChunk(tmp, dir, i, ".parquet")
+      }
+    } finally chunked.unpersist()
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, term STRING")
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+        .as[StreamQueries.TokenRow]
+      val got = runToMemory(
+        StreamQueries.minhashSignaturesTws(stream).toDF(),
+        "st19_out", "update")
+      // The staging must actually split docs across batches, or the
+      // incremental-merge claim is vacuous.
+      assert(got.groupBy($"doc_id").count().agg(max($"count"))
+          .head().getLong(0) >= 2,
+        "st19 staging never split a doc across micro-batches")
+      val fin = got.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"doc_id").orderBy($"n_terms".desc)))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"m1", $"m2", $"m3", $"m4",
+          $"m5", $"m6", $"m7", $"m8",
+          $"band1", $"band2", $"band3", $"band4")
+      val want = graft.api.TextDedup.minhashSignatures(
+        graft.operators.TextBlocking.tokens(spark, sf))
+      assertSameRows(fin, want, "st19 streaming state vs batch signatures")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("st12: event-time-timeout offline alerts fire for every drained user") {
     // Sentinel pushes the final watermark ~47h past the last real
     // event — > the 2h offline threshold for every real user, so each
