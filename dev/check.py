@@ -8,7 +8,7 @@ parquet tables, loads the Spark result parquet the same way the driver
 does, sorts columns by name, and compares cell-for-cell. NOT shipped
 code — Scala library has no python/duckdb dependency.
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -19,7 +19,12 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        p = f"{sf_dir}/{t}.parquet"
+        # Driver fixtures are single files; ScaleBench stagings are
+        # Spark-written part-file directories — glob those.
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for key, sql in sorted(oracle.items()):

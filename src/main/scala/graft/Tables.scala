@@ -236,4 +236,41 @@ object Det {
         coalesce(c.cast(StringType), lit("DECIMAL(38) overflow")))))
       .otherwise(c.cast(LongType)).as(nm)
   }
+
+  /** Radix-10^9 split of an exact NON-NEGATIVE scale-4 DECIMAL power
+    * sum into two BIGINTs, `value * 10^4 = hi * 10^9 + lo` — the
+    * r11 scale fix for the second-moment sums whose single-BIGINT
+    * cent-scaling (`centsLong`) overflows at ~9.2e14 money units:
+    * the sf1-equivalent staging put syy over lineitem at 7.4e15,
+    * tripping the loud guard exactly as designed. Two longs stay
+    * exact to ~9.2e23 money units (DECIMAL(38)-bounded long before
+    * int64 is), and integers hash exactly cross-engine where a
+    * DECIMAL or HUGEINT column would hit engine-specific pandas /
+    * parquet conversions. The mod/subtract/divide construction stays
+    * inside DECIMAL arithmetic (quotient is an exact multiple, so the
+    * division is exact at any precision Spark assigns); a negative
+    * sum raises loudly — div/mod floor-vs-truncate semantics diverge
+    * below zero, and every shipped use sums products of non-negative
+    * money columns. */
+  def hiLoSplit(base: Column, nm: String): Seq[Column] = {
+    val loDec = base % 100000
+    val hiDec = (base - loDec) / 100000
+    Seq(
+      when(base < 0, raise_error(concat(
+          lit(s"Det.hiLoSplit: $nm negative (floor/truncate): "),
+          base.cast(StringType))))
+        .when(hiDec > lit(Long.MaxValue) ||
+              (hiDec.isNull && base.isNotNull),
+          raise_error(concat(
+            lit(s"Det.hiLoSplit: ${nm}_hi exceeds BIGINT range: "),
+            coalesce(hiDec.cast(StringType), lit("DECIMAL overflow")))))
+        .otherwise(hiDec.cast(LongType)).as(s"${nm}_hi"),
+      (loDec * 10000).cast(LongType).as(s"${nm}_lo"))
+  }
+
+  /** Deterministic double of a `hiLoSplit` sum in money units —
+    * hi*1e5 + lo/1e4, the same three-IEEE-op expression tree the
+    * oracle SQL uses, so both engines round identically. */
+  def hiLoDouble(nm: String): Column =
+    col(s"${nm}_hi") * 100000.0 + col(s"${nm}_lo") / 10000.0
 }

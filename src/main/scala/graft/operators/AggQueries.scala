@@ -59,24 +59,19 @@ object AggQueries extends QueryPack {
     }),
 
     // Statistical aggregates from exact power sums: mean, var/stddev
-    // (sample), corr — deterministic at any parallelism. The sums are
-    // emitted as cent-scaled BIGINTs (scale 2 for linear sums, 4 for
-    // products): the exact DECIMAL values exceed double's 53-bit
-    // mantissa, and decimal→double conversion rounds DIFFERENTLY
-    // across engines (double rounding) — integers hash exactly, and
-    // the derived doubles below start from bit-identical inputs.
-    // (Cent-scale products fit int64 at the fixture scales — syy_c is
-    // ~7e18 at sf0.1; `checkedLong` below turns the silent non-ANSI
-    // wrap at larger scales into a hard failure naming the column, so
-    // a bigger corpus can never produce silently-divergent stats.)
+    // (sample), corr — deterministic at any parallelism. Linear sums
+    // are emitted as cent-scaled BIGINTs; PRODUCT sums as radix-10^9
+    // (hi, lo) BIGINT pairs (`Det.hiLoSplit`, r11): the sf1-equivalent
+    // staging proved cent-scaled second moments overflow int64 at ~6M
+    // rows (syy 7.4e15 money units — the r10 loud guard fired exactly
+    // as designed), and the split stays exact to ~9.2e23. Integers
+    // hash exactly cross-engine; the derived doubles below start from
+    // bit-identical inputs via the shared hi*1e5 + lo/1e4 expression.
     "agg_stats" -> ((s, dir) => {
       import s.implicits._
-      // Two overflow layers guarded by Det.centsLong: the cent-scaled
-      // product exceeding BIGINT, and (at ~1e34 magnitudes) the
-      // DECIMAL(38,4) product itself nulling out in non-ANSI mode —
-      // both raise, never wrap or silently null.
-      def checkedLong(base: org.apache.spark.sql.Column, factor: Int,
-                      nm: String) = Det.centsLong(base, factor, nm)
+      val sxxD = Det.hiLoDouble("sxx")
+      val syyD = Det.hiLoDouble("syy")
+      val sxyD = Det.hiLoDouble("sxy")
       Tables.load(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
@@ -87,34 +82,36 @@ object AggQueries extends QueryPack {
           sum(money($"l_extendedprice") * money($"l_extendedprice"))
             .as("dyy"),
           sum(money($"l_quantity") * money($"l_extendedprice")).as("dxy"))
+        .select(Seq($"l_returnflag", $"n",
+          Det.centsLong($"dx", 100, "sx_c"),
+          Det.centsLong($"dy", 100, "sy_c")) ++
+          Det.hiLoSplit($"dxx", "sxx") ++
+          Det.hiLoSplit($"dyy", "syy") ++
+          Det.hiLoSplit($"dxy", "sxy"): _*)
         .select($"l_returnflag", $"n",
-          checkedLong($"dx", 100, "sx_c"),
-          checkedLong($"dxx", 10000, "sxx_c"),
-          checkedLong($"dy", 100, "sy_c"),
-          checkedLong($"dyy", 10000, "syy_c"),
-          checkedLong($"dxy", 10000, "sxy_c"))
-        .select($"l_returnflag", $"n",
-          $"sx_c", $"sxx_c", $"sy_c", $"syy_c", $"sxy_c",
+          $"sx_c", $"sy_c", $"sxx_hi", $"sxx_lo",
+          $"syy_hi", $"syy_lo", $"sxy_hi", $"sxy_lo",
           ($"sx_c" / 100.0 / $"n").as("mean_qty"),
-          round((($"sxx_c" / 10000.0) -
+          round((sxxD -
               ($"sx_c" / 100.0) * ($"sx_c" / 100.0) / $"n") / ($"n" - 1),
             6).as("var_qty"),
-          round(sqrt((($"sxx_c" / 10000.0) -
+          round(sqrt((sxxD -
               ($"sx_c" / 100.0) * ($"sx_c" / 100.0) / $"n") / ($"n" - 1)),
             6).as("std_qty"),
-          round(($"n" * ($"sxy_c" / 10000.0) -
+          round(($"n" * sxyD -
               ($"sx_c" / 100.0) * ($"sy_c" / 100.0)) /
-            (sqrt($"n" * ($"sxx_c" / 10000.0) -
+            (sqrt($"n" * sxxD -
                ($"sx_c" / 100.0) * ($"sx_c" / 100.0)) *
-             sqrt($"n" * ($"syy_c" / 10000.0) -
+             sqrt($"n" * syyD -
                ($"sy_c" / 100.0) * ($"sy_c" / 100.0))), 12)
             .as("corr_qty_price"))
         .orderBy($"l_returnflag")
     }),
 
     // Ordinary least squares per group (r7): regr_slope / intercept /
-    // r² of extendedprice on quantity, from the SAME exact cent-scaled
-    // integer power sums as agg_stats — never from the engines' native
+    // r² of extendedprice on quantity, from the SAME exact integer
+    // power sums as agg_stats (cent-scaled linear sums, hi/lo-split
+    // products since r11) — never from the engines' native
     // regr_* functions, whose internal accumulation order differs.
     // Every derived value is a fixed IEEE expression over bit-identical
     // BIGINTs (intercept phrased sum-only, not via the rounded slope),
@@ -132,28 +129,28 @@ object AggQueries extends QueryPack {
           sum(money($"l_extendedprice") * money($"l_extendedprice"))
             .as("dyy"),
           sum(money($"l_quantity") * money($"l_extendedprice")).as("dxy"))
-        .select($"l_returnflag", $"n",
+        .select(Seq($"l_returnflag", $"n",
           Det.centsLong($"dx", 100, "sx_c"),
-          Det.centsLong($"dxx", 10000, "sxx_c"),
-          Det.centsLong($"dy", 100, "sy_c"),
-          Det.centsLong($"dyy", 10000, "syy_c"),
-          Det.centsLong($"dxy", 10000, "sxy_c"))
+          Det.centsLong($"dy", 100, "sy_c")) ++
+          Det.hiLoSplit($"dxx", "sxx") ++
+          Det.hiLoSplit($"dyy", "syy") ++
+          Det.hiLoSplit($"dxy", "sxy"): _*)
         .select($"l_returnflag", $"n",
-          round(($"n" * ($"sxy_c" / 10000.0) -
+          round(($"n" * Det.hiLoDouble("sxy") -
               ($"sx_c" / 100.0) * ($"sy_c" / 100.0)) /
-            ($"n" * ($"sxx_c" / 10000.0) -
+            ($"n" * Det.hiLoDouble("sxx") -
               ($"sx_c" / 100.0) * ($"sx_c" / 100.0)), 12).as("slope"),
-          round((($"sy_c" / 100.0) * ($"sxx_c" / 10000.0) -
-              ($"sx_c" / 100.0) * ($"sxy_c" / 10000.0)) /
-            ($"n" * ($"sxx_c" / 10000.0) -
+          round((($"sy_c" / 100.0) * Det.hiLoDouble("sxx") -
+              ($"sx_c" / 100.0) * Det.hiLoDouble("sxy")) /
+            ($"n" * Det.hiLoDouble("sxx") -
               ($"sx_c" / 100.0) * ($"sx_c" / 100.0)), 12).as("intercept"),
-          round((($"n" * ($"sxy_c" / 10000.0) -
+          round((($"n" * Det.hiLoDouble("sxy") -
               ($"sx_c" / 100.0) * ($"sy_c" / 100.0)) *
-             ($"n" * ($"sxy_c" / 10000.0) -
+             ($"n" * Det.hiLoDouble("sxy") -
               ($"sx_c" / 100.0) * ($"sy_c" / 100.0))) /
-            (($"n" * ($"sxx_c" / 10000.0) -
+            (($"n" * Det.hiLoDouble("sxx") -
               ($"sx_c" / 100.0) * ($"sx_c" / 100.0)) *
-             ($"n" * ($"syy_c" / 10000.0) -
+             ($"n" * Det.hiLoDouble("syy") -
               ($"sy_c" / 100.0) * ($"sy_c" / 100.0))), 12).as("r2"))
         .orderBy($"l_returnflag")
     }),
@@ -523,49 +520,66 @@ object AggQueries extends QueryPack {
         |       COUNT(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // hi/lo product sums (r11): value*10^4 = hi*10^9 + lo via HUGEINT
+    // (exact 128-bit) — mirrors Det.hiLoSplit; derived doubles use the
+    // same (hi * 100000.0 + lo / 10000.0) expression tree as Spark.
     "agg_stats" ->
       """WITH g AS (
         |  SELECT l_returnflag, COUNT(*) AS n,
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sx_c,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) * 10000 AS BIGINT) AS sxx_c,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) * 10000 AS HUGEINT) AS sxx4,
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sy_c,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS BIGINT) AS syy_c,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS BIGINT) AS sxy_c
-        |  FROM lineitem GROUP BY l_returnflag)
-        |SELECT l_returnflag, n, sx_c, sxx_c, sy_c, syy_c, sxy_c,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS HUGEINT) AS syy4,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS HUGEINT) AS sxy4
+        |  FROM lineitem GROUP BY l_returnflag),
+        |h AS (SELECT l_returnflag, n, sx_c, sy_c,
+        |    CAST(sxx4 // 1000000000 AS BIGINT) AS sxx_hi,
+        |    CAST(sxx4 % 1000000000 AS BIGINT) AS sxx_lo,
+        |    CAST(syy4 // 1000000000 AS BIGINT) AS syy_hi,
+        |    CAST(syy4 % 1000000000 AS BIGINT) AS syy_lo,
+        |    CAST(sxy4 // 1000000000 AS BIGINT) AS sxy_hi,
+        |    CAST(sxy4 % 1000000000 AS BIGINT) AS sxy_lo
+        |  FROM g)
+        |SELECT l_returnflag, n, sx_c, sy_c, sxx_hi, sxx_lo,
+        |  syy_hi, syy_lo, sxy_hi, sxy_lo,
         |  sx_c / 100.0 / n AS mean_qty,
-        |  round(((sxx_c / 10000.0) - (sx_c / 100.0) * (sx_c / 100.0) / n)
+        |  round(((sxx_hi * 100000.0 + sxx_lo / 10000.0) - (sx_c / 100.0) * (sx_c / 100.0) / n)
         |    / (n - 1), 6) AS var_qty,
-        |  round(sqrt(((sxx_c / 10000.0) - (sx_c / 100.0) * (sx_c / 100.0) / n)
+        |  round(sqrt(((sxx_hi * 100000.0 + sxx_lo / 10000.0) - (sx_c / 100.0) * (sx_c / 100.0) / n)
         |    / (n - 1)), 6) AS std_qty,
-        |  round((n * (sxy_c / 10000.0) - (sx_c / 100.0) * (sy_c / 100.0)) /
-        |    (sqrt(n * (sxx_c / 10000.0) - (sx_c / 100.0) * (sx_c / 100.0)) *
-        |     sqrt(n * (syy_c / 10000.0) - (sy_c / 100.0) * (sy_c / 100.0))),
+        |  round((n * (sxy_hi * 100000.0 + sxy_lo / 10000.0) - (sx_c / 100.0) * (sy_c / 100.0)) /
+        |    (sqrt(n * (sxx_hi * 100000.0 + sxx_lo / 10000.0) - (sx_c / 100.0) * (sx_c / 100.0)) *
+        |     sqrt(n * (syy_hi * 100000.0 + syy_lo / 10000.0) - (sy_c / 100.0) * (sy_c / 100.0))),
         |    12) AS corr_qty_price
-        |FROM g ORDER BY l_returnflag""".stripMargin,
+        |FROM h ORDER BY l_returnflag""".stripMargin,
 
     "agg_regression" ->
       """WITH g AS (
         |  SELECT l_returnflag, COUNT(*) AS n,
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sx_c,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) * 10000 AS BIGINT) AS sxx_c,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) * 10000 AS HUGEINT) AS sxx4,
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sy_c,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS BIGINT) AS syy_c,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS BIGINT) AS sxy_c
-        |  FROM lineitem GROUP BY l_returnflag)
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS HUGEINT) AS syy4,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS HUGEINT) AS sxy4
+        |  FROM lineitem GROUP BY l_returnflag),
+        |h AS (SELECT l_returnflag, n, sx_c, sy_c,
+        |    CAST(sxx4 // 1000000000 AS BIGINT) * 100000.0 + CAST(sxx4 % 1000000000 AS BIGINT) / 10000.0 AS sxxd,
+        |    CAST(syy4 // 1000000000 AS BIGINT) * 100000.0 + CAST(syy4 % 1000000000 AS BIGINT) / 10000.0 AS syyd,
+        |    CAST(sxy4 // 1000000000 AS BIGINT) * 100000.0 + CAST(sxy4 % 1000000000 AS BIGINT) / 10000.0 AS sxyd
+        |  FROM g)
         |SELECT l_returnflag, n,
-        |  round((n * (sxy_c / 10000.0) - (sx_c / 100.0) * (sy_c / 100.0)) /
-        |    (n * (sxx_c / 10000.0) - (sx_c / 100.0) * (sx_c / 100.0)),
+        |  round((n * sxyd - (sx_c / 100.0) * (sy_c / 100.0)) /
+        |    (n * sxxd - (sx_c / 100.0) * (sx_c / 100.0)),
         |    12) AS slope,
-        |  round(((sy_c / 100.0) * (sxx_c / 10000.0) - (sx_c / 100.0) * (sxy_c / 10000.0)) /
-        |    (n * (sxx_c / 10000.0) - (sx_c / 100.0) * (sx_c / 100.0)),
+        |  round(((sy_c / 100.0) * sxxd - (sx_c / 100.0) * sxyd) /
+        |    (n * sxxd - (sx_c / 100.0) * (sx_c / 100.0)),
         |    12) AS intercept,
-        |  round(((n * (sxy_c / 10000.0) - (sx_c / 100.0) * (sy_c / 100.0)) *
-        |     (n * (sxy_c / 10000.0) - (sx_c / 100.0) * (sy_c / 100.0))) /
-        |    ((n * (sxx_c / 10000.0) - (sx_c / 100.0) * (sx_c / 100.0)) *
-        |     (n * (syy_c / 10000.0) - (sy_c / 100.0) * (sy_c / 100.0))),
+        |  round(((n * sxyd - (sx_c / 100.0) * (sy_c / 100.0)) *
+        |     (n * sxyd - (sx_c / 100.0) * (sy_c / 100.0))) /
+        |    ((n * sxxd - (sx_c / 100.0) * (sx_c / 100.0)) *
+        |     (n * syyd - (sy_c / 100.0) * (sy_c / 100.0))),
         |    12) AS r2
-        |FROM g ORDER BY l_returnflag""".stripMargin,
+        |FROM h ORDER BY l_returnflag""".stripMargin,
 
     "agg_percentile" ->
       """SELECT seg,

@@ -138,9 +138,15 @@ object GraphQueries extends QueryPack {
     }))
 
   /** The ten unrolled iterations, generated from the same constants as
-    * the Spark loop so the two engines cannot drift. */
+    * the Spark loop so the two engines cannot drift. MATERIALIZED
+    * (r11, same cure as DedupCluster.closureSql): DuckDB inlines
+    * plain CTEs per reference, so the shared `ed`/`deg` relations
+    * re-execute inside every unrolled round and the one-pipeline plan
+    * spilled >79 GB at the sf1 staging (12M edges × 10 rounds);
+    * materialized, each relation computes once and the whole chain
+    * runs in ~38 s there. */
   private val prChain: String = (1 to prIters).map { i =>
-    s"""r$i AS (SELECT deg.src AS node, deg.outdeg,
+    s"""r$i AS MATERIALIZED (SELECT deg.src AS node, deg.outdeg,
        |    ((CAST(t.in_sum AS BIGINT) * 85) // 100)
        |      + ((($prMass // nn.n_nodes) * 15) // 100) AS rank
        |  FROM (SELECT ed.dst, SUM(p.rank // p.outdeg) AS in_sum
@@ -168,13 +174,15 @@ object GraphQueries extends QueryPack {
         |SELECT n_nodes, n_edges, n_triangles FROM nn, ne, tri""".stripMargin,
 
     "graph_pagerank" ->
-      s"""WITH e AS (SELECT DISTINCT l_partkey AS p,
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey AS p,
          |    1000000000 + l_suppkey AS sn FROM lineitem),
-         |ed AS (SELECT p AS src, sn AS dst FROM e
+         |ed AS MATERIALIZED (SELECT p AS src, sn AS dst FROM e
          |       UNION ALL SELECT sn, p FROM e),
-         |deg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY src),
-         |nn AS (SELECT count(*) AS n_nodes FROM deg),
-         |r0 AS (SELECT src AS node, outdeg, $prMass // n_nodes AS rank
+         |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg
+         |  FROM ed GROUP BY src),
+         |nn AS MATERIALIZED (SELECT count(*) AS n_nodes FROM deg),
+         |r0 AS MATERIALIZED (SELECT src AS node, outdeg,
+         |    $prMass // n_nodes AS rank
          |  FROM deg CROSS JOIN nn),
          |$prChain
          |SELECT node,

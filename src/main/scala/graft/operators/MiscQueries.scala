@@ -185,8 +185,15 @@ object MiscQueries extends QueryPack {
       val del = base.filter(pmod($"c_custkey", lit(10L)) === 7)
         .select($"c_custkey".as("key"), lit("D").as("op"),
           lit(null).cast(DoubleType).as("new_bal"))
+      // Insert keys live at 10^9+ — far above any staged key space
+      // (ScaleBench offsets fact keys by replica*10^6, so a 10^6 base
+      // COLLIDED with replica-1 customers at the sf1 staging: the
+      // collided key drew both a U and an I change row, the
+      // full-outer join fanned out to two rows, and their tie order
+      // under ORDER BY c_custkey is engine-dependent — caught by
+      // dev/scalecheck.py, r11).
       val ins = s.range(0, 50)
-        .select(($"id" + 1000000L).as("key"), lit("I").as("op"),
+        .select(($"id" + 1000000000L).as("key"), lit("I").as("op"),
           ($"id".cast(DoubleType) + 0.25).as("new_bal"))
       val changes = upd.unionByName(del).unionByName(ins)
       base.join(changes, base("c_custkey") === changes("key"),
@@ -321,7 +328,7 @@ object MiscQueries extends QueryPack {
         |del AS (SELECT c_custkey AS key, 'D' AS op,
         |    CAST(NULL AS DOUBLE) AS new_bal
         |  FROM customer WHERE c_custkey % 10 = 7),
-        |ins AS (SELECT CAST(1000000 + k AS BIGINT) AS key, 'I' AS op,
+        |ins AS (SELECT CAST(1000000000 + k AS BIGINT) AS key, 'I' AS op,
         |    CAST(k AS DOUBLE) + 0.25 AS new_bal
         |  FROM generate_series(0, 49) g(k)),
         |ch AS (SELECT * FROM upd UNION ALL SELECT * FROM del

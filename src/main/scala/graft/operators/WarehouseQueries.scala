@@ -37,16 +37,22 @@ object WarehouseQueries extends QueryPack {
   /** corr(x,y) from cent-scaled integer power sums, as the one fixed
     * IEEE expression both engines evaluate (mirrors agg_regression's
     * slope/r² shape; sqrt is IEEE-correctly-rounded in both). */
-  private def corrExpr(n: String, sx: String, sy: String, sxy: String,
-                       sxx: String, syy: String, fx: Double, fy: Double,
-                       nm: String) = {
-    val fxy = fx * fy
-    round(((col(n) * (col(sxy) / fxy)) - (col(sx) / fx) * (col(sy) / fy)) /
-      (sqrt(col(n) * (col(sxx) / (fx * fx)) -
+  /** Pearson r from exact sums: linear sums arrive as cent-scaled
+    * BIGINT columns (divided to doubles here); product sums as
+    * hi/lo-split doubles (`Det.hiLoDouble`, r11 — single-BIGINT
+    * cent-scaling overflowed at the sf1 staging). Same IEEE tree as
+    * the oracle SQL. */
+  private def corrExpr(n: String, sx: String, sy: String,
+                       sxyD: org.apache.spark.sql.Column,
+                       sxxD: org.apache.spark.sql.Column,
+                       syyD: org.apache.spark.sql.Column,
+                       fx: Double, fy: Double,
+                       nm: String) =
+    round(((col(n) * sxyD) - (col(sx) / fx) * (col(sy) / fy)) /
+      (sqrt(col(n) * sxxD -
         (col(sx) / fx) * (col(sx) / fx)) *
-       sqrt(col(n) * (col(syy) / (fy * fy)) -
+       sqrt(col(n) * syyD -
         (col(sy) / fy) * (col(sy) / fy))), 12).as(nm)
-  }
 
   /** SCD2 history build (shared by dim_scd2 and dim_snapshot).
     * Tracked attribute: the spend tier of each purchase. NULL value
@@ -180,22 +186,25 @@ object WarehouseQueries extends QueryPack {
           sum(money($"l_quantity") * money($"l_extendedprice")).as("dqp"),
           sum(money($"l_quantity") * money($"l_discount")).as("dqd"),
           sum(money($"l_extendedprice") * money($"l_discount")).as("dpd"))
-        .select($"l_returnflag", $"n",
+        .select(Seq($"l_returnflag", $"n",
           Det.centsLong($"dq", 100, "sq_c"),
           Det.centsLong($"dp", 100, "sp_c"),
-          Det.centsLong($"dd", 100, "sd_c"),
-          Det.centsLong($"dqq", 10000, "sqq_c"),
-          Det.centsLong($"dpp", 10000, "spp_c"),
-          Det.centsLong($"ddd", 10000, "sdd_c"),
-          Det.centsLong($"dqp", 10000, "sqp_c"),
-          Det.centsLong($"dqd", 10000, "sqd_c"),
-          Det.centsLong($"dpd", 10000, "spd_c"))
+          Det.centsLong($"dd", 100, "sd_c")) ++
+          Det.hiLoSplit($"dqq", "sqq") ++
+          Det.hiLoSplit($"dpp", "spp") ++
+          Det.hiLoSplit($"ddd", "sdd") ++
+          Det.hiLoSplit($"dqp", "sqp") ++
+          Det.hiLoSplit($"dqd", "sqd") ++
+          Det.hiLoSplit($"dpd", "spd"): _*)
         .select($"l_returnflag", $"n",
-          corrExpr("n", "sq_c", "sp_c", "sqp_c", "sqq_c", "spp_c",
+          corrExpr("n", "sq_c", "sp_c", Det.hiLoDouble("sqp"),
+            Det.hiLoDouble("sqq"), Det.hiLoDouble("spp"),
             100.0, 100.0, "corr_qty_price"),
-          corrExpr("n", "sq_c", "sd_c", "sqd_c", "sqq_c", "sdd_c",
+          corrExpr("n", "sq_c", "sd_c", Det.hiLoDouble("sqd"),
+            Det.hiLoDouble("sqq"), Det.hiLoDouble("sdd"),
             100.0, 100.0, "corr_qty_disc"),
-          corrExpr("n", "sp_c", "sd_c", "spd_c", "spp_c", "sdd_c",
+          corrExpr("n", "sp_c", "sd_c", Det.hiLoDouble("spd"),
+            Det.hiLoDouble("spp"), Det.hiLoDouble("sdd"),
             100.0, 100.0, "corr_price_disc"))
         .orderBy($"l_returnflag")
     }))
@@ -294,31 +303,42 @@ object WarehouseQueries extends QueryPack {
         |    * (s2 / n - (s1 / n) * (s1 / n))) - 3, 12) AS kurt_excess
         |FROM g ORDER BY l_returnflag""".stripMargin,
 
+    // hi/lo product sums (r11): value*10^4 = hi*10^9 + lo via exact
+    // 128-bit HUGEINT — mirrors Det.hiLoSplit; the derived doubles use
+    // the same (hi * 100000.0 + lo / 10000.0) tree as Spark.
     "agg_corrmatrix" ->
       """WITH g AS (
         |  SELECT l_returnflag, COUNT(*) AS n,
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sq_c,
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sp_c,
         |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT) AS sd_c,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) * 10000 AS BIGINT) AS sqq_c,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS BIGINT) AS spp_c,
-        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS sdd_c,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS BIGINT) AS sqp_c,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS sqd_c,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS spd_c
-        |  FROM lineitem GROUP BY l_returnflag)
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) * 10000 AS HUGEINT) AS sqq4,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS HUGEINT) AS spp4,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) * 10000 AS HUGEINT) AS sdd4,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS HUGEINT) AS sqp4,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) * 10000 AS HUGEINT) AS sqd4,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) * 10000 AS HUGEINT) AS spd4
+        |  FROM lineitem GROUP BY l_returnflag),
+        |h AS (SELECT l_returnflag, n, sq_c, sp_c, sd_c,
+        |    CAST(sqq4 // 1000000000 AS BIGINT) * 100000.0 + CAST(sqq4 % 1000000000 AS BIGINT) / 10000.0 AS sqqd,
+        |    CAST(spp4 // 1000000000 AS BIGINT) * 100000.0 + CAST(spp4 % 1000000000 AS BIGINT) / 10000.0 AS sppd,
+        |    CAST(sdd4 // 1000000000 AS BIGINT) * 100000.0 + CAST(sdd4 % 1000000000 AS BIGINT) / 10000.0 AS sddd,
+        |    CAST(sqp4 // 1000000000 AS BIGINT) * 100000.0 + CAST(sqp4 % 1000000000 AS BIGINT) / 10000.0 AS sqpd,
+        |    CAST(sqd4 // 1000000000 AS BIGINT) * 100000.0 + CAST(sqd4 % 1000000000 AS BIGINT) / 10000.0 AS sqdd,
+        |    CAST(spd4 // 1000000000 AS BIGINT) * 100000.0 + CAST(spd4 % 1000000000 AS BIGINT) / 10000.0 AS spdd
+        |  FROM g)
         |SELECT l_returnflag, n,
-        |  round((n * (sqp_c / 10000.0) - (sq_c / 100.0) * (sp_c / 100.0)) /
-        |    (sqrt(n * (sqq_c / 10000.0) - (sq_c / 100.0) * (sq_c / 100.0)) *
-        |     sqrt(n * (spp_c / 10000.0) - (sp_c / 100.0) * (sp_c / 100.0))),
+        |  round((n * sqpd - (sq_c / 100.0) * (sp_c / 100.0)) /
+        |    (sqrt(n * sqqd - (sq_c / 100.0) * (sq_c / 100.0)) *
+        |     sqrt(n * sppd - (sp_c / 100.0) * (sp_c / 100.0))),
         |    12) AS corr_qty_price,
-        |  round((n * (sqd_c / 10000.0) - (sq_c / 100.0) * (sd_c / 100.0)) /
-        |    (sqrt(n * (sqq_c / 10000.0) - (sq_c / 100.0) * (sq_c / 100.0)) *
-        |     sqrt(n * (sdd_c / 10000.0) - (sd_c / 100.0) * (sd_c / 100.0))),
+        |  round((n * sqdd - (sq_c / 100.0) * (sd_c / 100.0)) /
+        |    (sqrt(n * sqqd - (sq_c / 100.0) * (sq_c / 100.0)) *
+        |     sqrt(n * sddd - (sd_c / 100.0) * (sd_c / 100.0))),
         |    12) AS corr_qty_disc,
-        |  round((n * (spd_c / 10000.0) - (sp_c / 100.0) * (sd_c / 100.0)) /
-        |    (sqrt(n * (spp_c / 10000.0) - (sp_c / 100.0) * (sp_c / 100.0)) *
-        |     sqrt(n * (sdd_c / 10000.0) - (sd_c / 100.0) * (sd_c / 100.0))),
+        |  round((n * spdd - (sp_c / 100.0) * (sd_c / 100.0)) /
+        |    (sqrt(n * sppd - (sp_c / 100.0) * (sp_c / 100.0)) *
+        |     sqrt(n * sddd - (sd_c / 100.0) * (sd_c / 100.0))),
         |    12) AS corr_price_disc
-        |FROM g ORDER BY l_returnflag""".stripMargin)
+        |FROM h ORDER BY l_returnflag""".stripMargin)
 }

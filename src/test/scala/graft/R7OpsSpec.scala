@@ -96,12 +96,14 @@ class R7OpsSpec extends SparkTestBase {
     val nBase = base.count()
     val nDel = base.filter($"c_custkey" % 10 === 7).count()
     assert(r.count() == nBase - nDel + 50, "row accounting")
-    assert(r.filter($"c_custkey" % 10 === 7 && $"c_custkey" < 1000000L)
+    // Insert base is 10^9 since r11 (a 10^6 base collided with the
+    // ScaleBench replica key offset — see the query's comment).
+    assert(r.filter($"c_custkey" % 10 === 7 && $"c_custkey" < 1000000000L)
       .count() == 0, "deleted keys must not survive")
-    val inserted = r.filter($"c_custkey" >= 1000000L).cache()
+    val inserted = r.filter($"c_custkey" >= 1000000000L).cache()
     assert(inserted.count() == 50, "all inserts present")
     assert(inserted.filter($"seg" =!= "NEWSEG" ||
-      abs($"bal" - ($"c_custkey" - 1000000L).cast(DoubleType) - 0.25)
+      abs($"bal" - ($"c_custkey" - 1000000000L).cast(DoubleType) - 0.25)
         > 1e-9).count() == 0, "insert payload")
     val joined = r.join(base, "c_custkey")
     assert(joined.filter($"c_custkey" % 10 === 3 &&
