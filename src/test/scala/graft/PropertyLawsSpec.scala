@@ -104,10 +104,21 @@ class PropertyLawsSpec extends SparkTestBase {
       s"capped edge set wrong: ${capped.size} edges, " +
         s"missing ${((star ++ smallPairs) -- capped).take(3)}, " +
         s"extra ${(capped -- star -- smallPairs).take(3)}")
-    val uncapped =
-      api.TextDedup.minhashPairs(sigs, bucketCap = Int.MaxValue).count()
-    assert(uncapped == 600L * 599 / 2 + 20,
-      s"uncapped clique count wrong: $uncapped")
+    val uncappedPairs =
+      api.TextDedup.minhashPairs(sigs, bucketCap = Int.MaxValue)
+    assert(uncappedPairs.count() == 600L * 599 / 2 + 20,
+      s"uncapped clique count wrong: ${uncappedPairs.count()}")
+    // CLUSTER-level recall is invariant under the cap: connected
+    // components over the 599-edge star resolve to exactly the same
+    // (doc, component) relation as over the 179,700-edge clique —
+    // the star reroute loses edges, never cluster membership. This is
+    // the law dedup_minhash_cluster (pairs -> components) rides on.
+    assertSameRows(
+      operators.DedupCluster.components(
+        api.TextDedup.minhashPairs(sigs).select($"da", $"db")),
+      operators.DedupCluster.components(
+        uncappedPairs.select($"da", $"db")),
+      "capped vs uncapped components")
   }
 
   test("dedup_hamming64 multi-block candidates are COMPLETE for the " +
