@@ -206,6 +206,32 @@ object TextDedup {
       .distinct()
   }
 
+  /** End-to-end near-dup REMOVAL — the one-call form of the whole
+    * pipeline (tokens → signatures → capped LSH pairs → connected
+    * components → keep canonicals): returns the SURVIVING rows of
+    * `docs`, all input columns preserved. A doc survives iff it is
+    * its near-dup cluster's min-id canonical or belongs to no
+    * cluster. Clustering runs min-label propagation to its unique
+    * fixpoint (operators.DedupCluster.components — per-round bounded
+    * equi-join + min-agg, lineage-truncated), so the result is
+    * deterministic regardless of execution order; cluster membership
+    * is provably invariant under the hot-bucket star reroute
+    * (PropertyLawsSpec). Callers deduping repeatedly should cache
+    * the pair relation themselves; the keyed `pipeline_neardup`
+    * summary is this operation's oracled twin. */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, bands: Int = 4, minAgree: Int = 4,
+      bucketCap: Int = 256): DataFrame = {
+    val pairs = minhashPairs(
+      minhashSignatures(tokens(docs, idCol, textCol)),
+      k = k, bands = bands, minAgree = minAgree, bucketCap = bucketCap)
+    val dropped = graft.operators.DedupCluster
+      .components(pairs.select(col("da"), col("db")))
+      .filter(col("doc_id") =!= col("comp"))
+      .select(col("doc_id").as(idCol))
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** 16-bit tf-weighted SimHash per document from a (doc_id, term,
     * tf) relation — one corpus shuffle (the groupBy), per-bit vote
     * sums inside a single aggregate, codegen `termhash` char fold.

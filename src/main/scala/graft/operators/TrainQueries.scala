@@ -109,6 +109,22 @@ object TrainQueries extends QueryPack {
       graft.api.TextDedup.minhashPairs(minhashSigs(s, dir))
     }
 
+  /** Session-cached minhash component relation (doc_id, comp) —
+    * the third index artifact of the near-dup pipeline, shared by
+    * dedup_minhash_cluster and pipeline_neardup. Cached like every
+    * iterative fixpoint build (dedup_components' sharedComponents,
+    * pagerank's ranks): the relation is already materialized by its
+    * per-round localCheckpoints, the memo just stores it. */
+  private def minhashComps(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.SessionCache.cached(s, s"dedup.minhashcomp:$dir",
+      persist = false) {
+      DedupCluster.components(
+        minhashPairRel(s, dir).select(
+          org.apache.spark.sql.functions.col("da"),
+          org.apache.spark.sql.functions.col("db")))
+    }
+
   def queries: Seq[(String, Q)] = Seq(
     // MinHash signature (k=8, affine hashes over map-side termhash
     // term ids — no dictionary, no vocabulary pass; r9 verdict item 5)
@@ -151,18 +167,30 @@ object TrainQueries extends QueryPack {
     // dedup_components).
     "dedup_minhash_cluster" -> ((s, dir) => {
       import s.implicits._
-      // Session-cached like every iterative index artifact
-      // (dedup_components' sharedComponents, pagerank's rank build):
-      // the label-propagation fixpoint is already materialized by its
-      // per-round localCheckpoints — the memo stores the relation, the
-      // cold run pays the build.
-      graft.SessionCache.cached(s, s"dedup.minhashcomp:$dir",
-          persist = false) {
-          DedupCluster.components(
-            minhashPairRel(s, dir).select($"da", $"db"))
-        }
+      minhashComps(s, dir)
         .select($"doc_id", $"comp", ($"doc_id" === $"comp").as("canonical"))
         .orderBy($"doc_id")
+    }),
+
+    // Detection -> ACTION over the LSH pipeline (the minhash twin of
+    // dedup_apply): keep each near-dup cluster's canonical min-id doc
+    // plus every pairless singleton; per-source kept/dropped counts
+    // and surviving char mass — the shard summary a training-data
+    // pipeline logs. All the heavy lifting is the session-cached
+    // components fixpoint; this key adds one left join + a two-phase
+    // agg over it.
+    "pipeline_neardup" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source", $"n_chars")
+        .join(minhashComps(s, dir), Seq("doc_id"), "left")
+        .withColumn("keep", coalesce($"doc_id" === $"comp", lit(true)))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+             sum(when(!$"keep", 1L).otherwise(0L)).as("n_dropped"),
+             sum(when($"keep", $"n_chars")).as("kept_chars"))
+        .orderBy($"source")
     }),
 
     // 16-bit SimHash over tf-weighted token hashes; docs sharing a
@@ -608,6 +636,65 @@ object TrainQueries extends QueryPack {
         .orderBy($"doc_id", $"frame_idx")
     }))
 
+  /** Shared oracle CTE chain for the LSH clustering keys: tokens →
+    * minhash signatures → capped band candidates (hot buckets emit
+    * the canonical star, mirroring TextDedup.minhashPairs) →
+    * agreement gate → doubled edge relation `bi` → unrolled min-label
+    * propagation (DedupCluster.closureSql; final CTE
+    * `closureFinalCte()` = (n, l)). The `bi` CTE NAME coexists with
+    * the `bi` band-index COLUMN of `bands` — every reference below is
+    * qualified, so resolution is unambiguous. */
+  private val minhashClosureCtes: String =
+    s"""tok AS (SELECT DISTINCT doc_id,
+      |    unnest(string_split(lower(text), ' ')) AS term FROM documents),
+      |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+      |h AS (SELECT doc_id,
+      |    list_reduce(list_transform(string_split(term, ''),
+      |      c -> CAST(ascii(c) AS BIGINT)),
+      |      (h, c) -> (h * 131 + c) % 2147483647) AS tid
+      |  FROM tok2),
+      |sig AS MATERIALIZED (SELECT doc_id,
+      |    min((tid * 7 + 3) % 2147483647) AS m1,
+      |    min((tid * 11 + 5) % 2147483647) AS m2,
+      |    min((tid * 13 + 7) % 2147483647) AS m3,
+      |    min((tid * 17 + 11) % 2147483647) AS m4,
+      |    min((tid * 19 + 13) % 2147483647) AS m5,
+      |    min((tid * 23 + 17) % 2147483647) AS m6,
+      |    min((tid * 29 + 19) % 2147483647) AS m7,
+      |    min((tid * 31 + 23) % 2147483647) AS m8
+      |  FROM h GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 1 AS bi, m1 * 2147483647 + m2 AS bv FROM sig
+      |  UNION ALL SELECT doc_id, 2, m3 * 2147483647 + m4 FROM sig
+      |  UNION ALL SELECT doc_id, 3, m5 * 2147483647 + m6 FROM sig
+      |  UNION ALL SELECT doc_id, 4, m7 * 2147483647 + m8 FROM sig),
+      |bcnt AS (SELECT bi, bv, count(*) AS n, min(doc_id) AS canon
+      |  FROM bands GROUP BY bi, bv),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM bands a JOIN bands b
+      |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+      |  JOIN bcnt c ON a.bi = c.bi AND a.bv = c.bv
+      |  WHERE c.n <= 256
+      |  UNION
+      |  SELECT c.canon AS da, a.doc_id AS db
+      |  FROM bands a JOIN bcnt c ON a.bi = c.bi AND a.bv = c.bv
+      |  WHERE c.n > 256 AND a.doc_id > c.canon),
+      |gated AS (SELECT c.da, c.db
+      |  FROM cand c JOIN sig x ON c.da = x.doc_id
+      |    JOIN sig y ON c.db = y.doc_id
+      |  WHERE (CASE WHEN x.m1 = y.m1 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN x.m2 = y.m2 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN x.m3 = y.m3 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN x.m4 = y.m4 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN x.m5 = y.m5 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN x.m6 = y.m6 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN x.m7 = y.m7 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN x.m8 = y.m8 THEN 1 ELSE 0 END) >= 4),
+      |bi AS MATERIALIZED (SELECT da AS a, db AS b FROM gated
+      |       UNION SELECT db, da FROM gated),
+      |${DedupCluster.closureSql()}""".stripMargin
+
   def oracle: Seq[(String, String)] = Seq(
     "dedup_minhash" ->
       """WITH tok AS (SELECT DISTINCT doc_id,
@@ -693,57 +780,26 @@ object TrainQueries extends QueryPack {
     // Pairs -> components, reusing the shared unrolled label
     // propagation (DedupCluster.closureSql) over the gated pair list.
     "dedup_minhash_cluster" ->
-      s"""WITH tok AS (SELECT DISTINCT doc_id,
-        |    unnest(string_split(lower(text), ' ')) AS term FROM documents),
-        |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
-        |h AS (SELECT doc_id,
-        |    list_reduce(list_transform(string_split(term, ''),
-        |      c -> CAST(ascii(c) AS BIGINT)),
-        |      (h, c) -> (h * 131 + c) % 2147483647) AS tid
-        |  FROM tok2),
-        |sig AS MATERIALIZED (SELECT doc_id,
-        |    min((tid * 7 + 3) % 2147483647) AS m1,
-        |    min((tid * 11 + 5) % 2147483647) AS m2,
-        |    min((tid * 13 + 7) % 2147483647) AS m3,
-        |    min((tid * 17 + 11) % 2147483647) AS m4,
-        |    min((tid * 19 + 13) % 2147483647) AS m5,
-        |    min((tid * 23 + 17) % 2147483647) AS m6,
-        |    min((tid * 29 + 19) % 2147483647) AS m7,
-        |    min((tid * 31 + 23) % 2147483647) AS m8
-        |  FROM h GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 1 AS bi, m1 * 2147483647 + m2 AS bv FROM sig
-        |  UNION ALL SELECT doc_id, 2, m3 * 2147483647 + m4 FROM sig
-        |  UNION ALL SELECT doc_id, 3, m5 * 2147483647 + m6 FROM sig
-        |  UNION ALL SELECT doc_id, 4, m7 * 2147483647 + m8 FROM sig),
-        |bcnt AS (SELECT bi, bv, count(*) AS n, min(doc_id) AS canon
-        |  FROM bands GROUP BY bi, bv),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-        |  FROM bands a JOIN bands b
-        |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
-        |  JOIN bcnt c ON a.bi = c.bi AND a.bv = c.bv
-        |  WHERE c.n <= 256
-        |  UNION
-        |  SELECT c.canon AS da, a.doc_id AS db
-        |  FROM bands a JOIN bcnt c ON a.bi = c.bi AND a.bv = c.bv
-        |  WHERE c.n > 256 AND a.doc_id > c.canon),
-        |gated AS (SELECT c.da, c.db
-        |  FROM cand c JOIN sig x ON c.da = x.doc_id
-        |    JOIN sig y ON c.db = y.doc_id
-        |  WHERE (CASE WHEN x.m1 = y.m1 THEN 1 ELSE 0 END) +
-        |    (CASE WHEN x.m2 = y.m2 THEN 1 ELSE 0 END) +
-        |    (CASE WHEN x.m3 = y.m3 THEN 1 ELSE 0 END) +
-        |    (CASE WHEN x.m4 = y.m4 THEN 1 ELSE 0 END) +
-        |    (CASE WHEN x.m5 = y.m5 THEN 1 ELSE 0 END) +
-        |    (CASE WHEN x.m6 = y.m6 THEN 1 ELSE 0 END) +
-        |    (CASE WHEN x.m7 = y.m7 THEN 1 ELSE 0 END) +
-        |    (CASE WHEN x.m8 = y.m8 THEN 1 ELSE 0 END) >= 4),
-        |bi AS MATERIALIZED (SELECT da AS a, db AS b FROM gated
-        |       UNION SELECT db, da FROM gated),
-        |${DedupCluster.closureSql()}
+      s"""WITH $minhashClosureCtes
         |SELECT n AS doc_id, l AS comp, n = l AS canonical
         |FROM ${DedupCluster.closureFinalCte()} ORDER BY doc_id""".stripMargin,
+
+    // The minhash twin of dedup_apply's oracle: same applied/summary
+    // shape over the LSH components instead of the mask/Hamming ones.
+    "pipeline_neardup" ->
+      s"""WITH $minhashClosureCtes,
+        |applied AS (SELECT d.source, d.n_chars,
+        |    COALESCE(c.n = c.l, TRUE) AS keep
+        |  FROM documents d
+        |  LEFT JOIN ${DedupCluster.closureFinalCte()} c ON d.doc_id = c.n)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  CAST(sum(CASE WHEN keep THEN n_chars END) AS BIGINT)
+        |    AS kept_chars
+        |FROM applied GROUP BY source ORDER BY source""".stripMargin,
 
     "dedup_simhash" ->
       """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (

@@ -52,6 +52,18 @@ class ApiSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cand.contains((101L, 104L)),
       "identical docs must be Hamming candidates at distance 0")
+
+    // One-call removal (r11): the exact dup 104 is dropped for its
+    // cluster canonical 101; the unrelated doc and any doc without a
+    // gated pair survive with all input columns intact.
+    val survivors = api.TextDedup.dedupCorpus(corpus, "article_id", "body")
+    val ids = survivors.select($"article_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(!ids.contains(104L), s"exact dup must be removed: $ids")
+    assert(ids.contains(101L) && ids.contains(103L),
+      s"canonical + unrelated must survive: $ids")
+    assert(survivors.columns.toSeq == Seq("article_id", "body"),
+      "dedupCorpus must preserve the input schema")
   }
 
   test("TextDedup.dictionary assigns dense 1-based ids in term order " +
