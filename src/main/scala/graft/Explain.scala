@@ -15,7 +15,8 @@ object Explain {
         "win_topk_pergroup", "dedup_near", "vec_knn_ivf",
         "agg_percentile", "text_tfidf", "join_asof_native",
         "join_theta_range", "text_contamination", "ts_resample",
-        "dedup_minhash", "dedup_minhash_pairs", "scan_time_range")
+        "dedup_minhash", "dedup_minhash_pairs", "dedup_minhash_cluster",
+        "pipeline_neardup", "scan_time_range")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -70,9 +70,14 @@ object DedupCluster extends QueryPack {
     // Summed as DECIMAL(38,0): a Long sum could overflow with billions
     // of 64-bit ids and in principle alias across rounds; 10^10 ids of
     // 2^63 sum to ~10^29, well inside 38 digits.
+    // Empty-graph guard (r11, found by the dedupCorpus idempotence
+    // law): SUM over zero rows is NULL, and an already-deduplicated
+    // corpus legitimately produces an EMPTY edge relation — coalesce
+    // to zero so the probe converges on the first round instead of
+    // NPE-ing on the null sum.
     def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum($"lbl".cast(DecimalType(38, 0)))).head()
-        .getDecimal(0)
+      Option(df.agg(sum($"lbl".cast(DecimalType(38, 0)))).head()
+        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = lblSum(labels)
     var rounds = 0
     var converged = false

@@ -121,6 +121,28 @@ class PropertyLawsSpec extends SparkTestBase {
       "capped vs uncapped components")
   }
 
+  test("dedupCorpus is idempotent and leaves a pair-free corpus") {
+    // Signatures are per-doc, so removing docs never changes a
+    // survivor's signature or band keys: pairs among survivors are a
+    // subset of the original pairs, every original pair lies inside
+    // one component, and at most one doc per component survives —
+    // hence the surviving corpus has NO gated pairs at all and a
+    // second pass is a no-op. (This is the library-level guarantee
+    // behind `pipeline_neardup`'s summary being stable.)
+    val docs = sample(docGen, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val once = api.TextDedup.dedupCorpus(docs, "id", "text")
+    assert(once.count() < docs.count(),
+      "law is vacuous: generator produced no near-dups")
+    val twice = api.TextDedup.dedupCorpus(once, "id", "text")
+    assertSameRows(twice, once, "dedupCorpus idempotence")
+    val residualPairs = api.TextDedup.minhashPairs(
+      api.TextDedup.minhashSignatures(
+        api.TextDedup.tokens(once, "id", "text"))).count()
+    assert(residualPairs == 0,
+      s"survivors still pair: $residualPairs gated pairs remain")
+  }
+
   test("dedup_hamming64 multi-block candidates are COMPLETE for the " +
       "hdist<=3 ball (pigeonhole vs brute force)") {
     // The whole Manku argument: 3 differing bits cannot touch all 4
