@@ -221,6 +221,60 @@ object CurationQueries extends QueryPack {
         .filter($"rank" <= 5)
         .select($"q_id", $"rank", $"c_id", $"dot")
         .orderBy($"q_id", $"rank")
+    }),
+
+    // Data-mixing audit: per-source token mass, corpus share, and a
+    // capped sampling weight (cap = 5% of the mix) — the dominance
+    // guard every pretraining mix applies before drawing shards (a
+    // single crawl snapshot must not swamp the mixture). All integer
+    // arithmetic in parts-per-million, so the audit is bit-exact
+    // cross-engine — no float shares. Scale: one two-phase aggregate
+    // over the corpus + a single-row broadcast of the total; weights
+    // are then map-side. Integer headroom: ppm scaling stays exact to
+    // ~9.2e12 total tokens (2^63/1e6); past that, pre-divide the token
+    // counts by a fixed shard factor before the ppm step.
+    "curate_domain_mix" -> ((s, dir) => {
+      import s.implicits._
+      val perSrc = Tables.load(s, dir, "documents")
+        .select($"source",
+          size(split($"text", " ")).cast(LongType).as("n_toks"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("src_tokens"))
+      val total = perSrc.agg(sum($"src_tokens").as("total_tokens"))
+      perSrc.crossJoin(broadcast(total))
+        .withColumn("share_ppm",
+          expr("src_tokens * 1000000 div total_tokens"))
+        .withColumn("weight_ppm",
+          least(lit(1000000L),
+            expr("50000 * total_tokens div src_tokens")))
+        .withColumn("kept_tokens",
+          expr("src_tokens * weight_ppm div 1000000"))
+        .select($"source", $"n_docs", $"src_tokens", $"share_ppm",
+                $"weight_ppm", $"kept_tokens")
+        .orderBy($"source")
+    }),
+
+    // Deterministic uniform k-sample without replacement — the
+    // distributed stand-in for reservoir sampling: rank every doc by a
+    // stable key hash and keep the k smallest. Identical guarantees
+    // (every doc equiprobable under the hash's uniformity) but
+    // deterministic under re-runs/retries, which reservoir state is
+    // not. Scale: orderBy+limit plans as TakeOrderedAndProject — a
+    // per-partition k-heap + driver merge of k·P rows, never a global
+    // sort; the rank window then runs over the k surviving rows only.
+    "sample_reservoir" -> ((s, dir) => {
+      import s.implicits._
+      val k = 100
+      val top = Tables.load(s, dir, "documents")
+        .withColumn("hk", expr(
+          "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)" +
+            " AS BIGINT)"))
+        .orderBy($"hk", $"doc_id").limit(k)
+      top
+        .withColumn("rk", row_number().over(
+          Window.orderBy($"hk", $"doc_id")).cast(LongType))
+        .select($"rk", $"doc_id", $"lang", $"source", $"n_chars")
+        .orderBy($"rk")
     }))
 
   def oracle: Seq[(String, String)] = Seq(
@@ -328,5 +382,31 @@ object CurationQueries extends QueryPack {
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
         |  ORDER BY dot DESC, c_id) AS rank FROM pairs)
         |SELECT q_id, rank, c_id, dot
-        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "curate_domain_mix" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |      AS src_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens
+        |  FROM per),
+        |w AS (SELECT source, n_docs, src_tokens,
+        |    src_tokens * 1000000 // total_tokens AS share_ppm,
+        |    least(1000000, 50000 * total_tokens // src_tokens)
+        |      AS weight_ppm
+        |  FROM per CROSS JOIN tot)
+        |SELECT source, n_docs, src_tokens, share_ppm, weight_ppm,
+        |  src_tokens * weight_ppm // 1000000 AS kept_tokens
+        |FROM w ORDER BY source""".stripMargin,
+
+    "sample_reservoir" ->
+      """WITH h AS (SELECT doc_id, lang, source, n_chars,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |         AS BIGINT) AS hk
+        |  FROM documents),
+        |t AS (SELECT *, row_number() OVER (ORDER BY hk, doc_id) AS rk
+        |  FROM h)
+        |SELECT CAST(rk AS BIGINT) AS rk, doc_id, lang, source, n_chars
+        |FROM t WHERE rk <= 100 ORDER BY rk""".stripMargin)
 }

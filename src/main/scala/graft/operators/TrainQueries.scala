@@ -125,6 +125,80 @@ object TrainQueries extends QueryPack {
           org.apache.spark.sql.functions.col("db")))
     }
 
+  /** Session-cached 60-bit perceptual-hash signature relation
+    * (mm_ahash's construction over the deterministic pixel proxy) —
+    * probed from both sides of mm_dedup's Manku block join. */
+  private def ahashSigs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.SessionCache.cached(s, s"mm.ahash:$dir") {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .filter(length($"text") >= 60)
+        .withColumn("b", transform(
+          split(substring($"text", 1, 60), ""),
+          c => ascii(c).cast(LongType)))
+        .withColumn("sm", aggregate($"b", lit(0L), (a, x) => a + x))
+        .withColumn("ahash", expr(
+          "aggregate(transform(sequence(1, 60), " +
+            "i -> IF(element_at(b, i) * 60 > sm, " +
+            "shiftleft(1L, i - 1), 0L)), 0L, (a, x) -> a + x)"))
+        .select($"doc_id", $"ahash")
+    }
+
+  /** Session-cached perceptual-hash component relation — mm_dedup's
+    * fixpoint artifact (same memo discipline as minhashComps). */
+  private def ahashComps(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.SessionCache.cached(s, s"mm.ahashcomp:$dir", persist = false) {
+      import s.implicits._
+      // Manku multi-block index over the 60-bit hash: 4 contiguous
+      // 15-bit blocks; a pair within Hamming distance ≤3 must agree
+      // on ≥1 block (pigeonhole) — the blocked candidate set is
+      // provably COMPLETE for the ≤3 ball, exactly as dedup_hamming64
+      // (law-checked against brute force in R11OpsSpec).
+      val blocks = ahashSigs(s, dir)
+        .withColumn("blks", expr(
+          "array(ahash % 32768L, (ahash div 32768L) % 32768L, " +
+            "(ahash div 1073741824L) % 32768L, " +
+            "(ahash div 35184372088832L) % 32768L)"))
+        .select($"doc_id", $"ahash", posexplode($"blks"))
+        .toDF("doc_id", "ahash", "k", "blk")
+      val a = blocks.select($"k", $"blk", $"doc_id".as("da"),
+                            $"ahash".as("ha"))
+      val b = blocks.select($"k", $"blk", $"doc_id".as("db"),
+                            $"ahash".as("hb"))
+      val pairs = a.join(b, Seq("k", "blk")).filter($"da" < $"db")
+        .filter(expr("bit_count(ha ^ hb)") <= 3)
+        .select($"da", $"db").distinct()
+      DedupCluster.components(pairs)
+    }
+
+  /** Session-cached per-doc bigram-LM score relation (doc_id,
+    * n_bigrams, lm_score) — text_lmscore's exact rational scoring,
+    * shared with pipeline_ccnet's bucketing (the model artifact of the
+    * CCNet stage: score once, consume twice). */
+  private def lmScores(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.SessionCache.cached(s, s"train.lmscore:$dir") {
+      import s.implicits._
+      val tok = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          posexplode(split(lower($"text"), " ")).as(Seq("pos", "w")))
+      val wd = Window.partitionBy($"doc_id").orderBy($"pos")
+      val big = tok
+        .select($"doc_id", $"w".as("w1"), lead($"w", 1).over(wd).as("w2"))
+        .filter($"w2".isNotNull)
+      val c2 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+      val c1 = big.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      val ps = c2.join(c1, "w1")
+        .select($"w1", $"w2", expr("(c2 * 1000000) div c1").as("ps"))
+      big.join(ps, Seq("w1", "w2"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"ps").as("sum_ps"))
+        .select($"doc_id", $"n_bigrams",
+          expr("sum_ps div n_bigrams").as("lm_score"))
+    }
+
   def queries: Seq[(String, Q)] = Seq(
     // MinHash signature (k=8, affine hashes over map-side termhash
     // term ids — no dictionary, no vocabulary pass; r9 verdict item 5)
@@ -513,6 +587,23 @@ object TrainQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // Image dedup end-to-end — the multimodal twin of
+    // dedup_minhash_cluster: perceptual-hash signatures (mm_ahash's
+    // 60-bit proxy) → Manku-blocked Hamming ≤3 candidate pairs (never
+    // all-pairs; completeness by pigeonhole over 4×15-bit blocks) →
+    // shared min-label components → per-image (comp, keep) with the
+    // canonical min-id survivor. At 100 TB this is how near-identical
+    // crawled images (resizes, re-encodes — which perturb a few hash
+    // bits) are collapsed before training.
+    "mm_dedup" -> ((s, dir) => {
+      import s.implicits._
+      ahashSigs(s, dir).select($"doc_id")
+        .join(ahashComps(s, dir), Seq("doc_id"), "left")
+        .withColumn("comp", coalesce($"comp", $"doc_id"))
+        .withColumn("keep", $"doc_id" === $"comp")
+        .orderBy($"doc_id")
+    }),
+
     "mm_headers" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
@@ -589,23 +680,39 @@ object TrainQueries extends QueryPack {
     // on the bigram key and the per-doc mean is a two-phase agg.
     "text_lmscore" -> ((s, dir) => {
       import s.implicits._
-      val tok = Tables.load(s, dir, "documents")
-        .select($"doc_id",
-          posexplode(split(lower($"text"), " ")).as(Seq("pos", "w")))
-      val wd = Window.partitionBy($"doc_id").orderBy($"pos")
-      val big = tok
-        .select($"doc_id", $"w".as("w1"), lead($"w", 1).over(wd).as("w2"))
-        .filter($"w2".isNotNull)
-      val c2 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
-      val c1 = big.groupBy($"w1").agg(count(lit(1)).as("c1"))
-      val ps = c2.join(c1, "w1")
-        .select($"w1", $"w2", expr("(c2 * 1000000) div c1").as("ps"))
-      big.join(ps, Seq("w1", "w2"))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum($"ps").as("sum_ps"))
-        .select($"doc_id", $"n_bigrams",
-          expr("sum_ps div n_bigrams").as("lm_score"))
-        .orderBy($"doc_id")
+      lmScores(s, dir).orderBy($"doc_id")
+    }),
+
+    // CCNet-style quality partition (Wenzek et al., LREC'20): per
+    // language, rank docs by LM score and split into head/middle/tail
+    // terciles — the standard perplexity bucketing that decides which
+    // crawl slice is trained on. ntile over (score desc, doc_id) —
+    // the unique-key tiebreak makes the boundary deterministic (§7.4
+    // P5). Scale: the window partitions on lang, which is
+    // low-cardinality — at 100 TB the same split is computed as
+    // per-lang score THRESHOLDS (two-phase count over the
+    // score-distinct relation, thresholds broadcast, bucket assigned
+    // map-side; win_ntile's adjudication) — the ntile form here is
+    // the exact semantics that threshold pipeline must reproduce.
+    // Output is the per-(lang, bucket) audit a mix designer reads.
+    "pipeline_ccnet" -> ((s, dir) => {
+      import s.implicits._
+      val sc = lmScores(s, dir).select($"doc_id", $"lm_score")
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang", $"n_chars")
+        .join(sc, Seq("doc_id"))
+        .withColumn("tile", ntile(3).over(
+          Window.partitionBy($"lang")
+            .orderBy($"lm_score".desc, $"doc_id")))
+        .withColumn("bucket",
+          when($"tile" === 1, "head")
+            .when($"tile" === 2, "middle").otherwise("tail"))
+        .groupBy($"lang", $"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+             sum($"n_chars").as("sum_chars"),
+             min($"lm_score").as("min_score"),
+             max($"lm_score").as("max_score"))
+        .orderBy($"lang", $"bucket")
     }),
 
     // Multimodal frame sampling (r7): the video-style access pattern —
@@ -1063,6 +1170,38 @@ object TrainQueries extends QueryPack {
         |  count(*) OVER (PARTITION BY ahash) AS n_mates
         |FROM h ORDER BY doc_id""".stripMargin,
 
+    // Mirror of ahashComps: the mm_ahash signature CTEs, the 4×15-bit
+    // Manku block join, then the shared unrolled min-label closure.
+    "mm_dedup" ->
+      s"""WITH d AS (SELECT doc_id,
+        |    list_transform(string_split(substr(text, 1, 60), ''),
+        |      c -> CAST(ascii(c) AS BIGINT)) AS b
+        |  FROM documents WHERE length(text) >= 60),
+        |s AS (SELECT doc_id, b,
+        |    list_reduce(b, (a, x) -> a + x) AS s FROM d),
+        |h AS MATERIALIZED (SELECT doc_id,
+        |    list_reduce(list_transform(range(1, 61),
+        |      i -> CASE WHEN b[i] * 60 > s
+        |           THEN CAST(1 AS BIGINT) << (i - 1)
+        |           ELSE CAST(0 AS BIGINT) END),
+        |      (a, x) -> a + x) AS ahash
+        |  FROM s),
+        |blk AS (SELECT doc_id, ahash, k,
+        |    (ahash // (CAST(1 AS BIGINT) << (15 * k))) % 32768 AS blk
+        |  FROM h CROSS JOIN generate_series(0, 3) AS g(k)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM blk a JOIN blk b
+        |    ON a.k = b.k AND a.blk = b.blk AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+        |bi AS MATERIALIZED (SELECT da AS a, db AS b FROM pairs
+        |  UNION ALL SELECT db AS a, da AS b FROM pairs),
+        |${DedupCluster.closureSql()}
+        |SELECT h.doc_id, COALESCE(c.l, h.doc_id) AS comp,
+        |  COALESCE(c.l, h.doc_id) = h.doc_id AS keep
+        |FROM h LEFT JOIN ${DedupCluster.closureFinalCte()} c
+        |  ON h.doc_id = c.n
+        |ORDER BY h.doc_id""".stripMargin,
+
     "mm_headers" ->
       """WITH d AS (SELECT doc_id,
         |    doc_id % 640 + 1 AS w, (doc_id * 7) % 480 + 1 AS h,
@@ -1140,6 +1279,37 @@ object TrainQueries extends QueryPack {
         |FROM b2 JOIN ps ON b2.w1 = ps.w1 AND b2.w2 = ps.w2
         |GROUP BY b2.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // text_lmscore's scoring CTEs + the per-lang tercile partition.
+    "pipeline_ccnet" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(range(1, len(string_split(lower(text), ' ')) + 1))
+        |      AS pos,
+        |    unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents),
+        |big AS (SELECT doc_id, w AS w1,
+        |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM tok),
+        |b2 AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM b2 GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b2 GROUP BY w1),
+        |ps AS (SELECT c2.w1, c2.w2, (c2.c2 * 1000000) // c1.c1 AS ps
+        |  FROM c2 JOIN c1 USING (w1)),
+        |sc AS (SELECT b2.doc_id,
+        |    CAST(SUM(ps.ps) AS BIGINT) // count(*) AS lm_score
+        |  FROM b2 JOIN ps ON b2.w1 = ps.w1 AND b2.w2 = ps.w2
+        |  GROUP BY b2.doc_id),
+        |t AS (SELECT d.doc_id, d.lang, d.n_chars, sc.lm_score,
+        |    ntile(3) OVER (PARTITION BY d.lang
+        |      ORDER BY sc.lm_score DESC, d.doc_id) AS tile
+        |  FROM documents d JOIN sc ON d.doc_id = sc.doc_id),
+        |bkt AS (SELECT lang, n_chars, lm_score,
+        |    CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |      ELSE 'tail' END AS bucket FROM t)
+        |SELECT lang, bucket, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(lm_score) AS min_score, max(lm_score) AS max_score
+        |FROM bkt GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
 
     // String-space mirror of the binary frame walk (ASCII corpus, as
     // mm_chunks): same stride, same byte offsets, same 32-byte digests.
