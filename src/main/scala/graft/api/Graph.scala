@@ -86,4 +86,20 @@ object Graph {
     val ne = ed.agg(count(lit(1)).as("n_edges"))
     nn.crossJoin(ne).crossJoin(tri)
   }
+
+  /** Connected components over an UNDIRECTED edge frame (direction is
+    * ignored): min-label propagation with pointer jumping to the
+    * unique fixpoint — each node labeled with its component's minimum
+    * node id. The same driver-iterated fixpoint behind every dedup
+    * clustering key (DedupCluster.components: one equi-join + min-agg
+    * per round, per-round lineage truncation, O(log diameter) rounds
+    * via path halving). Node ids must be numeric (the convergence
+    * probe sums labels). Output: (node, comp) — only nodes that
+    * appear in at least one edge; left-join and coalesce to cover
+    * isolated nodes from your own node relation. */
+  def connectedComponents(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame =
+    graft.operators.DedupCluster.components(
+        edges.select(col(srcCol).as("da"), col(dstCol).as("db")))
+      .select(col("doc_id").as("node"), col("comp"))
 }

@@ -268,4 +268,47 @@ object TextDedup {
       .filter(col("hdist") <= maxDist)
       .select(col("da"), col("db"), col("hdist"))
   }
+
+  /** Manku-blocked Hamming dedup (WWW'07) over ANY (id, hash)
+    * signature relation — the generalized form behind `mm_dedup` and
+    * usable over simhash64 or any ≤63-bit fingerprint. The hash is
+    * split into `blocks` contiguous equal-width blocks; a pair within
+    * Hamming distance ≤ maxDist must agree on ≥1 block whenever
+    * maxDist < blocks (pigeonhole — the blocked candidate set is
+    * provably COMPLETE, not a recall trade), so candidates come from
+    * per-block equi-joins, never all-pairs. Pairs then gate on the
+    * exact popcount distance and resolve to min-label components.
+    * Output: one row per input id — (idCol, comp, keep), `keep` true
+    * for each component's canonical minimum id and every singleton.
+    * Ids must be numeric (DedupCluster.components' contract). */
+  def hammingDedup(sigs: DataFrame, idCol: String = "doc_id",
+      hashCol: String = "hash", bits: Int = 64, blocks: Int = 4,
+      maxDist: Int = 3): DataFrame = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1, 63]: $bits")
+    require(blocks >= 1 && bits % blocks == 0,
+      s"blocks ($blocks) must divide bits ($bits) evenly")
+    require(maxDist < blocks,
+      s"completeness needs maxDist ($maxDist) < blocks ($blocks): " +
+        "pigeonhole no longer guarantees a shared block otherwise")
+    val w = bits / blocks
+    val s = sigs.select(col(idCol).as("hid"), col(hashCol).as("hh"))
+    val blocked = s.select(col("hid"), col("hh"),
+      posexplode(array((0 until blocks).map(k =>
+        expr(s"(hh div ${1L << (w * k)}L) % ${1L << w}L")): _*)))
+      .toDF("hid", "hh", "k", "blk")
+    val a = blocked.select(col("k"), col("blk"), col("hid").as("da"),
+                           col("hh").as("ha"))
+    val b = blocked.select(col("k"), col("blk"), col("hid").as("db"),
+                           col("hh").as("hb"))
+    val pairs = a.join(b, Seq("k", "blk")).filter(col("da") < col("db"))
+      .filter(expr("bit_count(ha ^ hb)") <= maxDist)
+      .select(col("da"), col("db")).distinct()
+    s.select(col("hid"))
+      .join(graft.operators.DedupCluster.components(pairs)
+              .select(col("doc_id").as("hid"), col("comp")),
+            Seq("hid"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("hid")))
+      .withColumn("keep", col("hid") === col("comp"))
+      .select(col("hid").as(idCol), col("comp"), col("keep"))
+  }
 }

@@ -37,4 +37,60 @@ object VectorSearch {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540) over ANY embedding frame: vectors meet only
+    * inside their (cluster cell × sign bucket) block, an exact cosine
+    * gate keeps real semantic duplicates, and min-label connected
+    * components resolve the pair relation into dedup groups. Output is
+    * one row per input vector — (idCol, comp, keep) with `comp` the
+    * component's minimum id (itself for singletons) and `keep` true
+    * exactly for the canonical survivor, the relation a pipeline joins
+    * back onto its corpus to drop semantic duplicates.
+    *
+    * `cellCol` is the caller's cluster assignment (the paper's k-means
+    * cell; any long-castable column). Omitting it degrades blocking to
+    * sign buckets alone — fine for small frames, but at scale the cell
+    * is what bounds per-block enumeration. `signBits` trades recall
+    * for cost exactly like every LSH knob here: antipodal-ish near-dups
+    * inside one cell can straddle a bucket boundary. Ids must be
+    * numeric (the component fixpoint's convergence probe sums labels —
+    * DedupCluster.components' contract). */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+      cellCol: Option[String] = None, minCos: Double = 0.95,
+      signBits: Int = 8): DataFrame = {
+    require(signBits >= 0 && signBits <= 62,
+      s"signBits must be in [0, 62], got $signBits")
+    graft.functions.VectorExpressions.register(vectors.sparkSession)
+    val base = cellCol match {
+      case Some(c) => vectors.select(col(idCol).as("vid"),
+        col(vecCol).as("ve"), col(c).cast(LongType).as("cell"))
+      case None => vectors.select(col(idCol).as("vid"),
+        col(vecCol).as("ve"), lit(0L).as("cell"))
+    }
+    val blocked = base
+      .withColumn("ss", expr("fnorm2(ve)"))
+      .withColumn("bucket",
+        if (signBits == 0) lit(0L)
+        else (0 until signBits).map(i =>
+          when(element_at(col("ve"), i + 1) >= 0f, lit(1L << i))
+            .otherwise(lit(0L))).reduce(_ + _))
+    val a = blocked.select(col("cell"), col("bucket"),
+      col("vid").as("da"), col("ve").as("ea"), col("ss").as("ssa"))
+    val b = blocked.select(col("cell"), col("bucket"),
+      col("vid").as("db"), col("ve").as("eb"), col("ss").as("ssb"))
+    val pairs = a.join(b, Seq("cell", "bucket"))
+      .filter(col("da") < col("db"))
+      .withColumn("cos",
+        expr("fdot(ea, eb)") / sqrt(col("ssa") * col("ssb")))
+      .filter(col("cos") >= minCos)
+      .select(col("da"), col("db"))
+    base.select(col("vid"))
+      .join(graft.operators.DedupCluster.components(pairs)
+              .select(col("doc_id").as("vid"), col("comp")),
+            Seq("vid"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("vid")))
+      .withColumn("keep", col("vid") === col("comp"))
+      .select(col("vid").as(idCol), col("comp"), col("keep"))
+  }
 }

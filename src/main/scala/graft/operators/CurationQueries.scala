@@ -254,6 +254,40 @@ object CurationQueries extends QueryPack {
         .orderBy($"source")
     }),
 
+    // Detection → ACTION over the mix weights (the curate_domain_mix
+    // twin of dedup_apply): every doc draws a stable ppm-space hash and
+    // survives iff it lands under its source's capped weight — the
+    // deterministic Bernoulli thinning that actually materializes the
+    // mix. Weights recompute from the same two-phase aggregate (20
+    // rows, broadcast); the per-doc decision is map-side, so the only
+    // corpus shuffle is the final audit aggregate. Re-run/retry
+    // stable: the hash keys on doc_id with a fixed salt, never rand().
+    "curate_mix_apply" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source",
+          size(split($"text", " ")).cast(LongType).as("n_toks"))
+      val perSrc = docs.groupBy($"source")
+        .agg(sum($"n_toks").as("src_tokens"))
+      val total = perSrc.agg(sum($"src_tokens").as("total_tokens"))
+      val weights = perSrc.crossJoin(broadcast(total))
+        .withColumn("weight_ppm",
+          least(lit(1000000L),
+            expr("50000 * total_tokens div src_tokens")))
+        .select($"source", $"weight_ppm")
+      docs.join(broadcast(weights), Seq("source"))
+        .withColumn("hppm", expr(
+          "CAST(conv(substr(md5(concat('mix:', CAST(doc_id AS STRING)))," +
+            " 1, 15), 16, 10) AS BIGINT) % 1000000"))
+        .withColumn("keep", $"hppm" < $"weight_ppm")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+             sum(when($"keep", $"n_toks").otherwise(0L)).as("kept_tokens"),
+             max($"weight_ppm").as("weight_ppm"))
+        .orderBy($"source")
+    }),
+
     // Deterministic uniform k-sample without replacement — the
     // distributed stand-in for reservoir sampling: rank every doc by a
     // stable key hash and keep the k smallest. Identical guarantees
@@ -399,6 +433,31 @@ object CurationQueries extends QueryPack {
         |SELECT source, n_docs, src_tokens, share_ppm, weight_ppm,
         |  src_tokens * weight_ppm // 1000000 AS kept_tokens
         |FROM w ORDER BY source""".stripMargin,
+
+    "curate_mix_apply" ->
+      """WITH docs AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |per AS (SELECT source,
+        |    CAST(sum(n_toks) AS BIGINT) AS src_tokens
+        |  FROM docs GROUP BY source),
+        |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens
+        |  FROM per),
+        |w AS (SELECT source,
+        |    least(1000000, 50000 * total_tokens // src_tokens)
+        |      AS weight_ppm
+        |  FROM per CROSS JOIN tot),
+        |dec AS (SELECT d.source, d.n_toks, w.weight_ppm,
+        |    CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)),
+        |         1, 15) AS BIGINT) % 1000000 < w.weight_ppm AS keep
+        |  FROM docs d JOIN w USING (source))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN keep THEN n_toks ELSE 0 END) AS BIGINT)
+        |    AS kept_tokens,
+        |  max(weight_ppm) AS weight_ppm
+        |FROM dec GROUP BY source ORDER BY source""".stripMargin,
 
     "sample_reservoir" ->
       """WITH h AS (SELECT doc_id, lang, source, n_chars,

@@ -199,43 +199,21 @@ object LlmQueries extends QueryPack {
                 $"embedding".as("ce"), $"ss".as("css"))
     }
 
-  /** Semantic near-dup EDGES (SemDeDup shape — Abbas et al. 2023,
-    * arXiv:2303.09540): vectors meet only inside their (IVF cell ×
-    * 8-bit sign bucket) block, then an exact cosine gate keeps real
-    * semantic duplicates. The two-level block is the scale contract:
-    * the cluster step (the paper's k-means) bounds candidates to one
-    * cell, and the sign-bucket sub-block keeps per-block pair
-    * enumeration linear even when one semantic cluster holds a
-    * million vectors at 100 TB — the same LSH-style recall/cost knob
-    * as dedup_embed, tightened by cell agreement. Missed-pair risk
-    * sits entirely in the bucket split (antipodal-ish near-dups in
-    * one cell), which a production pipeline tunes via bucket bits. */
-  private def semanticPairs(s: org.apache.spark.sql.SparkSession,
-                            dir: String): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    graft.functions.VectorExpressions.register(s)
-    val blocked = ivfCells(s, dir).withColumn("bucket",
-      (0 until 8).map(i =>
-        when(element_at($"ce", i + 1) >= 0f, lit(1L << i))
-          .otherwise(lit(0L))).reduce(_ + _))
-    val a = blocked.select($"cell", $"bucket", $"c_id".as("da"),
-                           $"ce".as("ea"), $"css".as("ssa"))
-    val b = blocked.select($"cell", $"bucket", $"c_id".as("db"),
-                           $"ce".as("eb"), $"css".as("ssb"))
-    a.join(b, Seq("cell", "bucket")).filter($"da" < $"db")
-      .withColumn("cos", expr("fdot(ea, eb)") / sqrt($"ssa" * $"ssb"))
-      .filter($"cos" >= 0.3)
-      .select($"da", $"db")
-  }
-
-  /** Resolved semantic components — computed once per session per dir
-    * (the same memo discipline as every iterative index artifact since
-    * r7: the fixpoint is driver-iterated, so each consumer re-running
-    * it would re-run the whole loop). */
-  private def semanticComps(s: org.apache.spark.sql.SparkSession,
-                            dir: String): org.apache.spark.sql.DataFrame =
-    graft.SessionCache.cached(s, s"dedup.semcomp:$dir", persist = false) {
-      DedupCluster.components(semanticPairs(s, dir))
+  /** Resolved semantic dedup relation — the public parameterized
+    * api.VectorSearch.semanticDedup (SemDeDup shape: vectors meet
+    * only inside their (IVF cell × 8-bit sign bucket) block, exact
+    * cosine gate, min-label components) applied to the session-cached
+    * cell index. The cell bounds candidates to one cluster and the
+    * sign-bucket sub-block keeps per-block enumeration linear even
+    * when one semantic cluster holds a million vectors at 100 TB.
+    * Memoized once per session per dir (the fixpoint is
+    * driver-iterated — every iterative index artifact since r7). */
+  private def semanticDedupRel(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame =
+    graft.SessionCache.cached(s, s"dedup.semres:$dir", persist = false) {
+      graft.api.VectorSearch.semanticDedup(
+        ivfCells(s, dir), idCol = "c_id", vecCol = "ce",
+        cellCol = Some("cell"), minCos = 0.3)
     }
 
   def queries: Seq[(String, Q)] = Seq(
@@ -361,23 +339,22 @@ object LlmQueries extends QueryPack {
         .orderBy($"da", $"db")
     }),
 
-    // SemDeDup end-to-end: cluster-blocked cosine edges (semanticPairs
-    // — IVF cell × sign bucket, never all-pairs) → shared min-label
-    // components → per-vector keep/drop with the canonical min-id
-    // representative. This is the embedding twin of
-    // dedup_minhash_cluster: detection AND removal semantics, not a
-    // pair report. Every vector appears (left join + coalesce), so
-    // singletons are kept rows — the relation a pipeline joins back
-    // onto the corpus to drop semantic duplicates.
+    // SemDeDup end-to-end: cluster-blocked cosine edges (IVF cell ×
+    // sign bucket, never all-pairs) → shared min-label components →
+    // per-vector keep/drop with the canonical min-id representative.
+    // This is the embedding twin of dedup_minhash_cluster: detection
+    // AND removal semantics, not a pair report. Every vector appears
+    // (singletons are kept rows) — the relation a pipeline joins back
+    // onto the corpus to drop semantic duplicates. Thin adapter over
+    // the public api.VectorSearch.semanticDedup — the DuckDB oracle
+    // proves the API function, not just the keyed demo.
     "dedup_semantic" -> ((s, dir) => {
       import s.implicits._
       Tables.load(s, dir, "embeddings")
         .select($"vec_id", $"label".cast(LongType).as("label"))
-        .join(semanticComps(s, dir)
-                .select($"doc_id".as("vec_id"), $"comp"),
-              Seq("vec_id"), "left")
-        .withColumn("comp", coalesce($"comp", $"vec_id"))
-        .withColumn("keep", $"vec_id" === $"comp")
+        .join(semanticDedupRel(s, dir)
+                .select($"c_id".as("vec_id"), $"comp", $"keep"),
+              Seq("vec_id"))
         .orderBy($"vec_id")
     }),
 

@@ -145,32 +145,17 @@ object TrainQueries extends QueryPack {
         .select($"doc_id", $"ahash")
     }
 
-  /** Session-cached perceptual-hash component relation — mm_dedup's
-    * fixpoint artifact (same memo discipline as minhashComps). */
-  private def ahashComps(s: org.apache.spark.sql.SparkSession,
+  /** Session-cached perceptual-hash dedup relation — the public
+    * parameterized api.TextDedup.hammingDedup (Manku 4×15-bit blocks
+    * over the 60-bit hash; completeness for Hamming ≤3 by pigeonhole,
+    * law-checked against brute force in R11OpsSpec) applied to the
+    * ahash signatures. Memoized like every fixpoint artifact. */
+  private def ahashDedupRel(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    graft.SessionCache.cached(s, s"mm.ahashcomp:$dir", persist = false) {
-      import s.implicits._
-      // Manku multi-block index over the 60-bit hash: 4 contiguous
-      // 15-bit blocks; a pair within Hamming distance ≤3 must agree
-      // on ≥1 block (pigeonhole) — the blocked candidate set is
-      // provably COMPLETE for the ≤3 ball, exactly as dedup_hamming64
-      // (law-checked against brute force in R11OpsSpec).
-      val blocks = ahashSigs(s, dir)
-        .withColumn("blks", expr(
-          "array(ahash % 32768L, (ahash div 32768L) % 32768L, " +
-            "(ahash div 1073741824L) % 32768L, " +
-            "(ahash div 35184372088832L) % 32768L)"))
-        .select($"doc_id", $"ahash", posexplode($"blks"))
-        .toDF("doc_id", "ahash", "k", "blk")
-      val a = blocks.select($"k", $"blk", $"doc_id".as("da"),
-                            $"ahash".as("ha"))
-      val b = blocks.select($"k", $"blk", $"doc_id".as("db"),
-                            $"ahash".as("hb"))
-      val pairs = a.join(b, Seq("k", "blk")).filter($"da" < $"db")
-        .filter(expr("bit_count(ha ^ hb)") <= 3)
-        .select($"da", $"db").distinct()
-      DedupCluster.components(pairs)
+    graft.SessionCache.cached(s, s"mm.ahashdedup:$dir", persist = false) {
+      graft.api.TextDedup.hammingDedup(
+        ahashSigs(s, dir), idCol = "doc_id", hashCol = "ahash",
+        bits = 60, blocks = 4, maxDist = 3)
     }
 
   /** Session-cached per-doc bigram-LM score relation (doc_id,
@@ -594,14 +579,12 @@ object TrainQueries extends QueryPack {
     // shared min-label components → per-image (comp, keep) with the
     // canonical min-id survivor. At 100 TB this is how near-identical
     // crawled images (resizes, re-encodes — which perturb a few hash
-    // bits) are collapsed before training.
+    // bits) are collapsed before training. Thin adapter over the
+    // public api.TextDedup.hammingDedup — the DuckDB oracle proves
+    // the API function, not just the keyed demo.
     "mm_dedup" -> ((s, dir) => {
       import s.implicits._
-      ahashSigs(s, dir).select($"doc_id")
-        .join(ahashComps(s, dir), Seq("doc_id"), "left")
-        .withColumn("comp", coalesce($"comp", $"doc_id"))
-        .withColumn("keep", $"doc_id" === $"comp")
-        .orderBy($"doc_id")
+      ahashDedupRel(s, dir).orderBy($"doc_id")
     }),
 
     "mm_headers" -> ((s, dir) => {

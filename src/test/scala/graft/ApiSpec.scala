@@ -210,4 +210,56 @@ class ApiSpec extends SparkTestBase {
     assert(r(0).getLong(2) == 2 && r(1).getLong(2) == 1,
       "entity 7 must split 2+1 across the gap")
   }
+
+  test("VectorSearch.semanticDedup respects cell blocking and the " +
+       "cosine gate") {
+    val vecs = Seq(
+      (11L, Array(1.0f, 0.1f, 0.0f, 0.5f), 0L),
+      (12L, Array(2.0f, 0.2f, 0.0f, 1.0f), 0L),  // 2× vec 11: cos = 1
+      (13L, Array(-1.0f, 5.0f, 0.0f, -0.5f), 0L), // unrelated direction
+      (14L, Array(1.0f, 0.1f, 0.0f, 0.5f), 1L)   // = vec 11, OTHER cell
+    ).toDF("img_id", "feat", "cl")
+    val r = api.VectorSearch.semanticDedup(vecs, "img_id", "feat",
+        cellCol = Some("cl"), minCos = 0.95, signBits = 4)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2)))
+      .toMap
+    assert(r(11L) == (11L, true), "canonical min-id survives")
+    assert(r(12L) == (11L, false), "colinear vector collapses onto 11")
+    assert(r(13L) == (13L, true), "unrelated vector is a kept singleton")
+    // Identical vector in a DIFFERENT cell must NOT pair — blocking is
+    // cell-scoped by construction (that is the scale contract).
+    assert(r(14L) == (14L, true), "cross-cell pair must not form")
+  }
+
+  test("TextDedup.hammingDedup clusters within the distance ball and " +
+       "rejects unsound knobs loudly") {
+    val sigs = Seq(
+      (21L, 0xFFL), (22L, 0xFEL),      // distance 1 → one cluster
+      (23L, 0xF0F0L), (24L, 0x0F0FL)   // distance 16 from each other
+    ).toDF("img", "phash")
+    val r = api.TextDedup.hammingDedup(sigs, idCol = "img",
+        hashCol = "phash", bits = 16, blocks = 4, maxDist = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2)))
+      .toMap
+    assert(r(21L) == (21L, true) && r(22L) == (21L, false),
+      s"near pair must collapse onto min id: $r")
+    assert(r(23L) == (23L, true) && r(24L) == (24L, true),
+      s"distant hashes stay singletons: $r")
+    // maxDist >= blocks voids the pigeonhole completeness proof — the
+    // API must refuse, not silently lose recall.
+    intercept[IllegalArgumentException] {
+      api.TextDedup.hammingDedup(sigs, idCol = "img",
+        hashCol = "phash", bits = 16, blocks = 4, maxDist = 4)
+    }
+  }
+
+  test("Graph.connectedComponents labels each node with its " +
+       "component minimum") {
+    val edges = Seq((2L, 1L), (2L, 3L), (8L, 7L), (3L, 2L))
+      .toDF("from_n", "to_n")
+    val r = api.Graph.connectedComponents(edges, "from_n", "to_n")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L),
+      s"components wrong: $r")
+  }
 }

@@ -124,6 +124,34 @@ class R11OpsSpec extends SparkTestBase {
       "every lang must have exactly 3 buckets")
   }
 
+  test("curate_mix_apply: weights agree with curate_domain_mix and the " +
+       "realized thinning tracks them") {
+    val applied = q("curate_mix_apply").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+         r.getAs[Long]("weight_ppm"))).toMap
+    val mix = q("curate_domain_mix").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("weight_ppm"))
+      .toMap
+    assert(applied.keySet == mix.keySet, "source sets must agree")
+    applied.foreach { case (src, (n, kept, w)) =>
+      // Cross-key consistency: both keys derive the SAME capped weight
+      // from the same aggregate — drift here means the apply step
+      // thins against a different mix than the audit reports.
+      assert(w == mix(src), s"$src: weight drift apply=$w audit=${mix(src)}")
+      assert(kept <= n, s"$src: kept exceeds population")
+      // Realized Bernoulli(w ppm) fraction within 4 sigma.
+      val p = w / 1e6
+      val sigma = math.sqrt(n * p * (1 - p))
+      assert(math.abs(kept - n * p) <= 4 * sigma + 1,
+        s"$src: kept=$kept far from expected ${n * p} (sigma=$sigma)")
+    }
+    // Determinism: a second run must produce identical rows (stable
+    // hash, never rand()).
+    assertSameRows(q("curate_mix_apply"), q("curate_mix_apply"),
+      "curate_mix_apply determinism")
+  }
+
   test("curate_domain_mix: cap algebra and mass accounting") {
     val rows = q("curate_domain_mix").collect()
     val total = rows.map(_.getAs[Long]("src_tokens")).sum
