@@ -371,6 +371,66 @@ object StreamQueries {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class DocSampleRow(doc_id: Long, hk: Long, lang: String,
+      source: String, n_chars: Long)
+  case class ReservoirState(n: Long, items: Seq[DocSampleRow])
+  case class ReservoirOut(shard: Long, n: Long, doc_id: Long, hk: Long,
+      lang: String, source: String, n_chars: Long)
+
+  /** st20 (r11) — STREAMING RESERVOIR: per-shard k-smallest hash-rank
+    * state over a document stream with `transformWithState` — the
+    * incremental twin of the batch `sample_reservoir`. The k-min
+    * selection is commutative, associative and idempotent (exactly
+    * KMV's merge algebra, st14, with the sampled row as payload), so
+    * docs may arrive in any order, split across any number of
+    * micro-batches, and repeat — the final per-shard state is the
+    * shard's true top-k, and the GLOBAL top-k is always a subset of
+    * the shard-state union (a shard's non-top-k doc can't be globally
+    * top-k), so the read-side union + global head is bit-equal to the
+    * batch sample. State is O(k) rows per shard; sharding on
+    * doc_id % shards keeps the stream parallel instead of funneling
+    * through one task — the same partial/merge shape a 1000-executor
+    * reservoir uses. `n` counts raw arrivals per shard (strictly
+    * increasing), so max-n marks the final emission in update mode. */
+  class ReservoirProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, DocSampleRow, ReservoirOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var st: ValueState[ReservoirState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[ReservoirState]("reservoir",
+        org.apache.spark.sql.Encoders.product[ReservoirState],
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[DocSampleRow],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[ReservoirOut] = {
+      val s = if (st.exists()) st.get() else ReservoirState(0L, Nil)
+      var incoming = List.empty[DocSampleRow]
+      var n = s.n
+      rows.foreach { r => incoming = r :: incoming; n += 1 }
+      // Replay-idempotent: a doc contributes once (distinct by id),
+      // then the k smallest (hk, doc_id) survive — pure min-merge.
+      val merged = (s.items ++ incoming)
+        .groupBy(_.doc_id).map(_._2.head).toSeq
+        .sortBy(r => (r.hk, r.doc_id)).take(k)
+      st.update(ReservoirState(n, merged))
+      merged.iterator.map(r =>
+        ReservoirOut(key, n, r.doc_id, r.hk, r.lang, r.source, r.n_chars))
+    }
+  }
+
+  /** st20 entry: doc stream -> per-shard reservoir state emissions. */
+  def reservoirTws(docs: Dataset[DocSampleRow], shards: Int = 8,
+      k: Int = 100): Dataset[ReservoirOut] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    docs.groupByKey(d => java.lang.Math.floorMod(d.doc_id, shards.toLong))
+      .transformWithState(new ReservoirProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** st18 (r8) — the namesake sensor pipeline end-to-end on the
     * STREAM side, the incremental twin of the batch `pipeline_sensor`
     * key: raw CSV sensor lines → `from_csv` parse + validate (the

@@ -501,4 +501,73 @@ class StreamingEquivalenceSpec extends SparkTestBase {
       .select($"user_id", $"event_id", $"event_type", $"value")
     assertSameRows(got, want, "st11")
   }
+
+  test("st20: streaming sharded reservoir == batch sample_reservoir") {
+    // The sampling family's streaming twin: per-shard k-min hash-rank
+    // state maintained incrementally must union-merge to EXACTLY the
+    // batch sample_reservoir rows (which DuckDB hash-verifies). Docs
+    // are staged hash-ordered so each shard's winners scatter across
+    // the 5 replay chunks and the cross-batch min-merge is exercised.
+    val dir = scratch("replay_st20")
+    val docs = Tables.load(spark, sf, "documents")
+      .withColumn("hk", expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)" +
+          " AS BIGINT)"))
+      .select($"doc_id", $"hk", $"lang", $"source", $"n_chars")
+      .orderBy($"hk")
+    val rows = docs.count()
+    val per = math.max(1L, (rows + 4) / 5)
+    val chunked = docs.coalesce(1)
+      .withColumn("chunk", (monotonically_increasing_id() / per).cast("int"))
+      .cache()
+    try {
+      (0 to 4).foreach { i =>
+        val tmp = s"${dir}_tmp"
+        chunked.filter($"chunk" === i)
+          .select($"doc_id", $"hk", $"lang", $"source", $"n_chars")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        EventStreams.promoteChunk(tmp, dir, i, ".parquet")
+      }
+    } finally chunked.unpersist()
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, hk BIGINT, lang STRING, source STRING," +
+          " n_chars BIGINT")
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+        .as[StreamQueries.DocSampleRow]
+      val got = runToMemory(
+        StreamQueries.reservoirTws(stream).toDF(), "st20_out", "update")
+      // Per-shard arrivals must span micro-batches or the incremental
+      // merge claim is vacuous (n strictly increases per shard).
+      assert(got.select($"shard", $"n").distinct()
+          .groupBy($"shard").count().agg(max($"count")).head().getLong(0)
+          >= 2, "st20 staging never split a shard across micro-batches")
+      // Final state per shard (max n), union, global top-100.
+      val fin = got.withColumn("mx",
+          max($"n").over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"shard")))
+        .filter($"n" === $"mx")
+        .select($"doc_id", $"hk", $"lang", $"source", $"n_chars")
+        .distinct()
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"hk", $"doc_id")).cast("long"))
+        .filter($"rk" <= 100)
+        .select($"rk", $"doc_id", $"lang", $"source", $"n_chars")
+      val want = graft.SparkEntry.queries("sample_reservoir")(spark, sf)
+      assertSameRows(fin, want, "st20 streaming reservoir vs batch")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
