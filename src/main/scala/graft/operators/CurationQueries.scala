@@ -309,9 +309,144 @@ object CurationQueries extends QueryPack {
           Window.orderBy($"hk", $"doc_id")).cast(LongType))
         .select($"rk", $"doc_id", $"lang", $"source", $"n_chars")
         .orderBy($"rk")
+    }),
+
+    // Lexical-diversity scoring (r11c): per-doc type-token ratio and
+    // Gini-impurity of the word-frequency distribution — the exact
+    // integer complement of the log-based entropy score (which cannot
+    // cross-engine hash-match: ln/log2 are not correctly-rounded
+    // across libms, whereas (n² − Σc²)·10⁶ ÷ n² is pure int64).
+    // Low-diversity docs (boilerplate, keyword stuffing, template
+    // spam) sit at low ttr_pm / low gini_ppm and are standard
+    // quality-filter casualties. Plan: one explode + two stacked
+    // aggregates, all keyed by doc_id — fully partition-parallel,
+    // no shuffle wider than the doc-level aggregate. n_terms ≤ doc
+    // length, so n_terms² stays far inside int64 for any
+    // bounded-length corpus (docs are length-capped upstream at
+    // ingest — the same cap that bounds text_pack).
+    "text_diversity" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          explode(split(lower($"text"), " ")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_terms"),
+          count(lit(1)).as("n_distinct"),
+          max($"c").as("max_tf"),
+          sum($"c" * $"c").as("c2"))
+        .select($"doc_id", $"n_terms", $"n_distinct", $"max_tf",
+          expr("n_distinct * 1000 div n_terms").as("ttr_pm"),
+          expr("(n_terms * n_terms - c2) * 1000000" +
+            " div (n_terms * n_terms)").as("gini_ppm"))
+        .orderBy($"doc_id")
+    }),
+
+    // DSIR-style importance scoring (r11c; Xie et al. '23, "Data
+    // Selection for Language Models via Importance Resampling"): score
+    // every document by how target-like its HASHED n-gram profile is,
+    // where the target is a trusted slice (here lang='en') and the
+    // raw distribution is the whole corpus. The load-bearing scale
+    // idea is the paper's: features are unigrams hashed into a FIXED
+    // 4096-bucket space, so the learned (target, raw) frequency table
+    // is 4096 rows REGARDLESS of corpus size — it aggregates with
+    // map-side partials and broadcasts back to the per-doc pass; the
+    // corpus itself shuffles only for the per-doc aggregate.
+    //
+    // Determinism: the paper's log-likelihood-ratio score is replaced
+    // by its exact-integer linearization — the TARGET-SHARE LIFT.
+    // Each bucket carries its Laplace-smoothed target share in ppm,
+    // (ct+1)·10⁶ ÷ (cr+2); the doc score is Σ cnt·(share − g) where g
+    // is the identically-smoothed global share (NT+1)·10⁶ ÷ (NR+2) —
+    // positive ⟺ the doc's buckets overrepresent the target relative
+    // to the corpus. The share form (not a raw likelihood ratio
+    // (ct+1)(NR+B)/((cr+1)(NT+B))) is deliberate: a ratio's add-B
+    // smoothing term swamps NT when the corpus is small relative to
+    // the hash space and biases every score negative (measured on the
+    // fixture: all 500 scores < 0), while identical smoothing on both
+    // lift terms cancels. Shares are ≤ 10⁶ so per-doc scores are
+    // bounded by n_terms·10⁶ — overflow-free at ANY corpus size, and
+    // bit-exact in both engines; ln() would hash-mismatch (see
+    // text_diversity note).
+    "curate_dsir" -> ((s, dir) => {
+      import s.implicits._
+      val B = dsirBuckets
+      val toks = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          explode(split(lower($"text"), " ")).as("term"))
+        .withColumn("b", expr(
+          s"CAST(conv(substr(md5(term), 1, 4), 16, 10) AS BIGINT) % $B"))
+      // The 4096-row feature table is the LEARNED index artifact —
+      // session-cached so the corpus-wide aggregate runs once, not
+      // once per consumer (the table projection AND the totals both
+      // derive from it; uncached, each re-aggregated the corpus).
+      val feat = graft.SessionCache.cached(s, s"dsir.feat:$dir") {
+        toks.groupBy($"b").agg(
+          count(lit(1)).as("cr"),
+          sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"))
+      }
+      val totals = feat.agg(
+        expr("(sum(ct) + 1) * 1000000 div (sum(cr) + 2)").as("g_ppm"))
+      val table = feat
+        .select($"b",
+          expr("(ct + 1) * 1000000 div (cr + 2)").as("share_ppm"))
+        .crossJoin(broadcast(totals))
+      toks.groupBy($"doc_id", $"lang", $"b")
+        .agg(count(lit(1)).as("cnt"))
+        .join(broadcast(table), Seq("b"))
+        .groupBy($"doc_id", $"lang")
+        .agg(sum($"cnt").as("n_terms"),
+          sum($"cnt" * ($"share_ppm" - $"g_ppm")).as("score"))
+        .select($"doc_id", $"lang", $"n_terms", $"score",
+          ($"score" > 0L).as("selected"))
+        .orderBy($"doc_id")
     }))
 
+  /** Fixed DSIR feature-hash space (the paper uses 10⁴; 2¹² keeps the
+    * broadcast table trivially small while leaving ~6 tokens/bucket
+    * at sf0.01 — enough collision behavior to be honest). */
+  val dsirBuckets = 4096
+
   def oracle: Seq[(String, String)] = Seq(
+
+    "text_diversity" ->
+      """WITH tf AS (SELECT doc_id, term, count(*) AS c FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(lower(text), ' ')) AS term
+        |    FROM documents) GROUP BY doc_id, term),
+        |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_terms,
+        |    count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS max_tf,
+        |    CAST(sum(c * c) AS BIGINT) AS c2
+        |  FROM tf GROUP BY doc_id)
+        |SELECT doc_id, n_terms, n_distinct, max_tf,
+        |  n_distinct * 1000 // n_terms AS ttr_pm,
+        |  (n_terms * n_terms - c2) * 1000000 // (n_terms * n_terms)
+        |    AS gini_ppm
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "curate_dsir" ->
+      s"""WITH tb AS (SELECT doc_id, lang,
+         |    CAST('0x' || substr(md5(term), 1, 4) AS BIGINT)
+         |      % $dsirBuckets AS b
+         |  FROM (SELECT doc_id, lang,
+         |      unnest(string_split(lower(text), ' ')) AS term
+         |    FROM documents)),
+         |feat AS (SELECT b, CAST(count(*) AS BIGINT) AS cr,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS ct
+         |  FROM tb GROUP BY b),
+         |g AS (SELECT (CAST(sum(ct) AS BIGINT) + 1) * 1000000
+         |    // (CAST(sum(cr) AS BIGINT) + 2) AS g_ppm FROM feat),
+         |tabl AS (SELECT b,
+         |    (ct + 1) * 1000000 // (cr + 2) AS share_ppm FROM feat),
+         |df AS (SELECT doc_id, lang, b, CAST(count(*) AS BIGINT)
+         |    AS cnt FROM tb GROUP BY 1, 2, 3)
+         |SELECT doc_id, lang, CAST(sum(cnt) AS BIGINT) AS n_terms,
+         |  CAST(sum(cnt * (share_ppm - g_ppm)) AS BIGINT) AS score,
+         |  CAST(sum(cnt * (share_ppm - g_ppm)) AS BIGINT) > 0
+         |    AS selected
+         |FROM df JOIN tabl USING (b) CROSS JOIN g
+         |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
 
     "text_dupspans" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t

@@ -321,6 +321,40 @@ object JoinQueries extends QueryPack {
         .select($"p_id", $"c_id", $"user_id",
           (least($"e", $"ce") - greatest($"s", $"cs")).as("overlap_s"))
         .orderBy($"p_id", $"c_id")
+    }),
+
+    // Bloom-style semi-join reduction (r11c): the runtime-filter
+    // pattern behind every big fact⋈selective-dim join at 100 TB —
+    // shuffling the whole fact table to discover that most rows have
+    // no partner is the single largest avoidable cost in the plan.
+    // Phase 1 compresses the dim side's join keys to a tiny
+    // hash-bucket membership set (k=1 Bloom filter: ≤ 8192 distinct
+    // bucket values ≈ 8 KB of set bits, regardless of dim row count)
+    // and broadcast-SEMI-joins the fact against it — a map-side
+    // filter that never shuffles the fact and admits only true
+    // matches plus bounded hash collisions. Phase 2 runs the exact
+    // join on the survivors, which removes the false positives, so
+    // the reduction is invisible in the answer: the oracle is the
+    // PLAIN join (same proof discipline as join_skew_salted). Spark's
+    // own AQE runtime filters inject the same shape automatically
+    // when statistics justify it; this key pins the explicit form so
+    // the plan (broadcast bucket set + post-filter join) is a tested
+    // artifact rather than an optimizer hope.
+    "join_bloom" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Tables.load(s, dir, "customer")
+        .filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey")
+      val buckets = dim
+        .select(pmod($"c_custkey", lit(8192L)).as("kb")).distinct()
+      val fact = Tables.load(s, dir, "orders")
+      val pre = fact.join(broadcast(buckets),
+        pmod(fact("o_custkey"), lit(8192L)) === col("kb"), "left_semi")
+      pre.join(dim, pre("o_custkey") === dim("c_custkey"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum($"o_totalprice").as("sum_price"))
+        .orderBy($"o_orderpriority")
     })
   )
 
@@ -470,6 +504,17 @@ object JoinQueries extends QueryPack {
         |   AND date_trunc('second', c.ts) >  date_trunc('second', p.ts) - INTERVAL 1 DAY
         |) t WHERE rn = 1
         |ORDER BY p_id""".stripMargin,
+
+    // The bucket prefilter is pure execution strategy — the oracle is
+    // the PLAIN join, proving the reduction changes the plan, not the
+    // answer (false positives die in the exact join).
+    "join_bloom" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // The salt is pure execution strategy — the oracle is the PLAIN
     // join, proving the rewrite changes the plan, not the answer.

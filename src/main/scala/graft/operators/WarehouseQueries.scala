@@ -61,11 +61,13 @@ object WarehouseQueries extends QueryPack {
     * counts as a change); pass 2, over the collapsed rows with the
     * same partitioning (Catalyst reuses the exchange), adds the
     * validity interval + version. */
-  private def scd2(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private def scd2(s: org.apache.spark.sql.SparkSession, dir: String,
+                   pred: Option[org.apache.spark.sql.Column] = None) = {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    Tables.load(s, dir, "events")
+    val base = Tables.load(s, dir, "events")
       .filter($"event_type" === "purchase")
+    pred.map(base.filter).getOrElse(base)
       .select($"user_id", $"ts", $"event_id",
         when($"value" < 100, "low").when($"value" < 500, "mid")
           .otherwise("high").as("tier"))
@@ -99,6 +101,72 @@ object WarehouseQueries extends QueryPack {
           ($"valid_to".isNull || $"valid_to" > tUs))
         .select($"user_id", $"version", $"tier", $"valid_from")
         .orderBy($"user_id")
+    }),
+
+    // Incremental SCD2 MERGE (r11c): the operation a 100-TB warehouse
+    // actually runs nightly — dim_scd2 rebuilds history from all of
+    // time, but at scale the history table is a stored artifact and
+    // only the day's delta is new. This key merges the delta batch
+    // (events ≥ T) into the pre-T history with the standard three-way
+    // algebra: (1) detect tier changes INSIDE the delta with the same
+    // lag pass as the full build, seeding each user's first delta row
+    // against their CURRENT open tier (left join on the history's
+    // is_current slice — the last pre-T purchase's tier by
+    // construction, so the change test is exactly the full build's);
+    // (2) version new rows by offsetting row_number with the user's
+    // stored max version; (3) close each affected user's open row at
+    // the first new change's valid_from. All joins are keyed by
+    // user_id (the dimension's natural key) and the delta side is
+    // small, so the history shuffles once against a day's changes —
+    // never re-sorts all of time.
+    //
+    // The correctness claim is the strongest available: the oracle is
+    // the FULL-RANGE rebuild (dim_scd2's own SQL) — incremental merge
+    // ≡ recompute, row for row, version for version.
+    "dim_scd2_merge" -> ((s, dir) => {
+      import s.implicits._
+      val t = java.time.Instant.parse("2024-01-16T00:00:00Z")
+      // At scale the pre-T history is a STORED table, not a
+      // recomputation — session-cache stands in for that storage so
+      // the one plan doesn't rebuild the window pass per consumer
+      // (hist feeds the current-tier slice AND the close/union pass;
+      // uncached, the plan carried 5 FileScans and 9 window ops).
+      val hist = graft.SessionCache.cached(s, s"scd2.hist:$dir") {
+        scd2(s, dir, Some($"ts" < lit(t)))
+      }
+      val delta = Tables.load(s, dir, "events")
+        .filter($"event_type" === "purchase" && $"ts" >= lit(t))
+        .select($"user_id", $"ts", $"event_id",
+          when($"value" < 100, "low").when($"value" < 500, "mid")
+            .otherwise("high").as("tier"))
+      val cur = hist.filter($"is_current")
+        .select($"user_id", $"version".as("cur_ver"),
+          $"tier".as("cur_tier"))
+      val dw = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val chg = delta
+        .withColumn("prev", lag($"tier", 1).over(dw))
+        .join(cur, Seq("user_id"), "left_outer")
+        .filter(($"prev".isNull &&
+            ($"cur_tier".isNull || $"cur_tier" =!= $"tier")) ||
+          ($"prev".isNotNull && $"prev" =!= $"tier"))
+      val newRows = chg
+        .withColumn("version",
+          (row_number().over(dw) + coalesce($"cur_ver", lit(0L)))
+            .cast(LongType))
+        .withColumn("valid_from", unix_micros($"ts"))
+        .withColumn("valid_to", unix_micros(lead($"ts", 1).over(dw)))
+        .withColumn("is_current", lead($"ts", 1).over(dw).isNull)
+        .select($"user_id", $"version", $"tier",
+          $"valid_from", $"valid_to", $"is_current")
+      val firstNew = newRows.groupBy($"user_id")
+        .agg(min($"valid_from").as("close_us"))
+      val histAdj = hist.join(firstNew, Seq("user_id"), "left_outer")
+        .select($"user_id", $"version", $"tier", $"valid_from",
+          when($"is_current" && $"close_us".isNotNull, $"close_us")
+            .otherwise($"valid_to").as("valid_to"),
+          ($"is_current" && $"close_us".isNull).as("is_current"))
+      histAdj.unionByName(newRows)
+        .orderBy($"user_id", $"version")
     }),
 
     "win_ntile" -> ((s, dir) => {
@@ -209,28 +277,36 @@ object WarehouseQueries extends QueryPack {
         .orderBy($"l_returnflag")
     }))
 
+  /** Full-range SCD2 rebuild SQL — the oracle for BOTH dim_scd2 and
+    * dim_scd2_merge: the incremental merge must equal the rebuild
+    * row for row, which is the entire correctness claim of the merge
+    * path. */
+  private val scd2Sql =
+    """WITH tiered AS (SELECT user_id, ts, event_id,
+      |    CASE WHEN value < 100 THEN 'low'
+      |         WHEN value < 500 THEN 'mid' ELSE 'high' END AS tier
+      |  FROM events WHERE event_type = 'purchase'),
+      |flagged AS (SELECT *,
+      |    lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev FROM tiered),
+      |changes AS (SELECT user_id, ts, event_id, tier FROM flagged
+      |  WHERE prev IS NULL OR prev <> tier)
+      |SELECT user_id,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    AS version,
+      |  tier,
+      |  epoch_us(ts) AS valid_from,
+      |  epoch_us(lead(ts) OVER (PARTITION BY user_id
+      |                          ORDER BY ts, event_id)) AS valid_to,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    IS NULL AS is_current
+      |FROM changes ORDER BY user_id, version""".stripMargin
+
   def oracle: Seq[(String, String)] = Seq(
 
-    "dim_scd2" ->
-      """WITH tiered AS (SELECT user_id, ts, event_id,
-        |    CASE WHEN value < 100 THEN 'low'
-        |         WHEN value < 500 THEN 'mid' ELSE 'high' END AS tier
-        |  FROM events WHERE event_type = 'purchase'),
-        |flagged AS (SELECT *,
-        |    lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |      AS prev FROM tiered),
-        |changes AS (SELECT user_id, ts, event_id, tier FROM flagged
-        |  WHERE prev IS NULL OR prev <> tier)
-        |SELECT user_id,
-        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |    AS version,
-        |  tier,
-        |  epoch_us(ts) AS valid_from,
-        |  epoch_us(lead(ts) OVER (PARTITION BY user_id
-        |                          ORDER BY ts, event_id)) AS valid_to,
-        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |    IS NULL AS is_current
-        |FROM changes ORDER BY user_id, version""".stripMargin,
+    "dim_scd2" -> scd2Sql,
+
+    "dim_scd2_merge" -> scd2Sql,
 
     "dim_snapshot" ->
       """WITH tiered AS (SELECT user_id, ts, event_id,
