@@ -431,6 +431,74 @@ object StreamQueries {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class LeaderRow(event_type: String, user_id: Long, cents: Long)
+  case class LeaderEntry(user_id: Long, cents: Long)
+  case class LeaderState(n: Long, items: Seq[LeaderEntry])
+  case class LeaderOut(event_type: String, n: Long, user_id: Long,
+      cents: Long)
+
+  /** st21 (r11) — STREAMING BOUNDED-STATE LEADERBOARD: per-group
+    * top-k users by MAX event value with O(k) state and eviction.
+    * The general streaming top-k-by-aggregate needs per-user state
+    * (an evicted user's running SUM keeps growing silently), but for
+    * a MONOTONE IDEMPOTENT metric — max — keeping ONLY the current
+    * top-k is provably exact: a user is evicted only when every
+    * retained (cents, -user) entry strictly beats their best-so-far,
+    * retained scores never decrease, and a later re-entry requires a
+    * new value that beats the state minimum — which therefore also
+    * beats every value of theirs we discarded, so the re-entry score
+    * IS their true max. (The proof is the test: final state ==
+    * batch top-k, with evictions asserted non-vacuous.) This is the
+    * 1000-executor leaderboard shape: O(k) state per group, no
+    * per-user map, no second stateful stage. Tie order (cents DESC,
+    * user_id ASC) is total, so admit/evict decisions are
+    * deterministic under any arrival order. `n` counts arrivals per
+    * group (strictly increasing) to mark the final emission in
+    * update mode, exactly like st20. */
+  class LeaderboardProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, LeaderRow, LeaderOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var st: ValueState[LeaderState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[LeaderState]("leader",
+        org.apache.spark.sql.Encoders.product[LeaderState],
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[LeaderRow],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[LeaderOut] = {
+      val s = if (st.exists()) st.get() else LeaderState(0L, Nil)
+      var items = s.items.toList
+      var n = s.n
+      rows.foreach { r =>
+        n += 1
+        items = items.find(_.user_id == r.user_id) match {
+          // Tracked user: idempotent max-merge of the new observation.
+          case Some(e) =>
+            LeaderEntry(r.user_id, math.max(e.cents, r.cents)) ::
+              items.filterNot(_.user_id == r.user_id)
+          case None => LeaderEntry(r.user_id, r.cents) :: items
+        }
+        // Total order (cents DESC, user ASC); evict past k.
+        items = items.sortBy(e => (-e.cents, e.user_id)).take(k)
+      }
+      st.update(LeaderState(n, items))
+      items.iterator.map(e => LeaderOut(key, n, e.user_id, e.cents))
+    }
+  }
+
+  /** st21 entry: event stream -> per-type top-k leaderboard states. */
+  def leaderboardTws(events: Dataset[LeaderRow], k: Int = 3)
+      : Dataset[LeaderOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.event_type)
+      .transformWithState(new LeaderboardProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** st18 (r8) — the namesake sensor pipeline end-to-end on the
     * STREAM side, the incremental twin of the batch `pipeline_sensor`
     * key: raw CSV sensor lines → `from_csv` parse + validate (the

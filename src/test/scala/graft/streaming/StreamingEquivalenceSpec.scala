@@ -570,4 +570,84 @@ class StreamingEquivalenceSpec extends SparkTestBase {
       }
     }
   }
+
+  test("st21: bounded-state streaming leaderboard == batch top-k") {
+    // Monotone-metric top-k with O(k) state and eviction (see
+    // LeaderboardProcessor's exactness argument): per-event-type top-3
+    // users by MAX event value in exact cents. Replayed
+    // chronologically in 5 chunks so early leaders are admitted and
+    // later displaced — the eviction path is asserted non-vacuous.
+    val dir = scratch("replay_st21")
+    val ev = Tables.load(spark, sf, "events")
+      .orderBy($"ts", $"event_id")
+      .selectExpr("event_type", "user_id",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+    val per = math.max(1L, (ev.count() + 4) / 5)
+    val chunked = ev.coalesce(1)
+      .withColumn("chunk", (monotonically_increasing_id() / per).cast("int"))
+      .cache()
+    try {
+      (0 to 4).foreach { i =>
+        val tmp = s"${dir}_tmp"
+        chunked.filter($"chunk" === i)
+          .select($"event_type", $"user_id", $"cents")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        EventStreams.promoteChunk(tmp, dir, i, ".parquet")
+      }
+    } finally chunked.unpersist()
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema("event_type STRING, user_id BIGINT, cents BIGINT")
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+        .as[StreamQueries.LeaderRow]
+      val got = runToMemory(
+        StreamQueries.leaderboardTws(stream).toDF(), "st21_out", "update")
+      // Groups must span micro-batches (n strictly increases per type).
+      assert(got.select($"event_type", $"n").distinct()
+          .groupBy($"event_type").count()
+          .agg(max($"count")).head().getLong(0) >= 2,
+        "st21 staging never split a group across micro-batches")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type")
+      val fin = got.withColumn("mx", max($"n").over(w))
+        .filter($"n" === $"mx")
+        .select($"event_type", $"user_id", $"cents")
+      // Eviction non-vacuity: some user emitted in an intermediate
+      // top-k never made the final board. (Materialized to break the
+      // self-join lineage with `got`.)
+      val finKeys = fin.select($"event_type", $"user_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val evicted = got.select($"event_type", $"user_id").distinct()
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .count(!finKeys.contains(_))
+      assert(evicted > 0, "no eviction ever happened — bounded-state " +
+        "claim untested by this staging")
+      // Batch twin: exact-cents max per (type, user), top-3 per type
+      // with the same total tie order.
+      val want = Tables.load(spark, sf, "events")
+        .selectExpr("event_type", "user_id",
+          "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+        .groupBy($"event_type", $"user_id")
+        .agg(max($"cents").as("cents"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"event_type")
+            .orderBy($"cents".desc, $"user_id")))
+        .filter($"rk" <= 3)
+        .select($"event_type", $"user_id", $"cents")
+      assertSameRows(fin, want, "st21 streaming leaderboard vs batch")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
