@@ -60,4 +60,58 @@ object Curation {
         Window.partitionBy(col(classCol)).orderBy(col("__hk"), col(idCol))))
       .filter(col("__rn") <= cap)
       .drop("__hk", "__rn")
+
+  /** DSIR hashed-feature table (Xie et al. '23): per-bucket Laplace-
+    * smoothed TARGET SHARE in exact integer ppm over `buckets`
+    * md5-hashed lowercased-whitespace-token features, learned from
+    * `isTarget` (any boolean Column over `df`'s rows). The table is
+    * `buckets` rows at ANY corpus size — aggregate once, cache/store,
+    * broadcast to every consumer. Output: (b, share_ppm) plus the
+    * single global share as `g_ppm` on every row (carried inline so
+    * the table is self-contained for scoring). */
+  def dsirTable(df: DataFrame, isTarget: Column,
+      textCol: String = "text", buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, s"need >= 2 hash buckets, got $buckets")
+    val toks = df
+      .select(isTarget.as("__t"),
+        explode(split(lower(col(textCol)), " ")).as("__term"))
+      .withColumn("__b", expr("CAST(conv(substr(md5(__term), 1, 4)," +
+        s" 16, 10) AS BIGINT) % $buckets"))
+    val feat = toks.groupBy(col("__b").as("b")).agg(
+      count(lit(1)).as("__cr"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"))
+    val g = feat.agg(expr(
+      "(sum(__ct) + 1) * 1000000 div (sum(__cr) + 2)").as("g_ppm"))
+    feat.select(col("b"),
+        expr("(__ct + 1) * 1000000 div (__cr + 2)").as("share_ppm"))
+      .crossJoin(broadcast(g))
+  }
+
+  /** Per-row DSIR importance score against a learned `dsirTable`:
+    * the exact-integer target-share lift Σ cnt·(share_ppm − g_ppm)
+    * over the row's hashed token profile — positive ⟺ the row is
+    * more target-like than corpus average. Shares are ≤ 10⁶, so
+    * scores are bounded by tokens·10⁶ — overflow-free at any corpus
+    * size (the ln-based LLR of the paper cannot cross-engine
+    * hash-match; see the curate_dsir adjudication in PLANS.md r11).
+    * Augment-style: all input columns preserved, plus (n_terms,
+    * score, selected). The table side broadcasts (buckets rows). */
+  def dsirScores(df: DataFrame, table: DataFrame, idCol: String,
+      textCol: String = "text", buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, s"need >= 2 hash buckets, got $buckets")
+    val perBucket = df
+      .select(col(idCol).as("__id"),
+        explode(split(lower(col(textCol)), " ")).as("__term"))
+      .withColumn("b", expr("CAST(conv(substr(md5(__term), 1, 4)," +
+        s" 16, 10) AS BIGINT) % $buckets"))
+      .groupBy(col("__id"), col("b")).agg(count(lit(1)).as("__cnt"))
+    val scored = perBucket.join(broadcast(table), Seq("b"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__cnt")).as("n_terms"),
+        sum(col("__cnt") * (col("share_ppm") - col("g_ppm")))
+          .as("score"))
+      .select(col("__id"), col("n_terms"), col("score"),
+        (col("score") > 0L).as("selected"))
+    df.join(scored, col(idCol) === col("__id")).drop("__id")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Reusable link-analysis building blocks over a caller-supplied
@@ -102,4 +103,61 @@ object Graph {
     graft.operators.DedupCluster.components(
         edges.select(col(srcCol).as("da"), col(dstCol).as("db")))
       .select(col("doc_id").as("node"), col("comp"))
+
+  /** Top-`k` most-similar nodes per node by exact integer-ppm Jaccard
+    * of their ITEM neighborhoods, over a caller-supplied bipartite
+    * membership frame (node, item) — "find sources like this one"
+    * over any co-occurrence structure (suppliers sharing parts, docs
+    * sharing shingles, domains sharing outlinks).
+    *
+    * Scale contract (the same three decisions as the oracled
+    * `graph_jaccard` key): candidate pairs come ONLY from equi-joining
+    * on a shared item (cost Σ_item C(deg,2), linear in edges × cap);
+    * items held by more than `hubCap` nodes are EXCLUDED first — the
+    * declared semantics, not an approximation of them: degrees and the
+    * union term use the same capped edge set, so the reported value is
+    * the true Jaccard of the capped neighborhoods; the per-node top-k
+    * (ties broken by neighbor id — a total cut) bounds output to
+    * k·|nodes|. The membership frame is consumed three times — cache
+    * it (the keyed query session-caches; at cluster scale it is a
+    * written table).
+    *
+    * Output: (node, rk, other, common, jacc_ppm), rk in 1..k. */
+  def jaccardTopK(membership: DataFrame, nodeCol: String,
+      itemCol: String, hubCap: Int, k: Int = 5): DataFrame = {
+    require(hubCap >= 1, s"hubCap must be >= 1, got $hubCap")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = membership
+      .select(col(itemCol).as("p"), col(nodeCol).as("sup")).distinct()
+    val nonHub = e.groupBy(col("p")).agg(count(lit(1)).as("pd"))
+      .filter(col("pd") <= hubCap).select(col("p"))
+    val ce = e.join(nonHub, "p")
+    jaccardTopKOnCapped(ce, k)
+  }
+
+  /** jaccardTopK's pair/rank stage over an ALREADY hub-capped and
+    * (ideally) cached membership frame with columns (p, sup) — the
+    * entry point the keyed query uses so the cap+cache happen once
+    * per session. */
+  private[graft] def jaccardTopKOnCapped(ce: DataFrame, k: Int)
+      : DataFrame = {
+    val deg = ce.groupBy(col("sup")).agg(count(lit(1)).as("deg"))
+    val pairs = ce.as("a").join(ce.as("b"),
+        col("a.p") === col("b.p") && col("a.sup") < col("b.sup"))
+      .groupBy(col("a.sup").as("s1"), col("b.sup").as("s2"))
+      .agg(count(lit(1)).as("common"))
+    val sym = pairs.unionByName(
+      pairs.select(col("s2").as("s1"), col("s1").as("s2"), col("common")))
+    sym
+      .join(deg.select(col("sup").as("s1"), col("deg").as("d1")), "s1")
+      .join(deg.select(col("sup").as("s2"), col("deg").as("d2")), "s2")
+      .select(col("s1"), col("s2"), col("common"),
+        expr("common * 1000000 div (d1 + d2 - common)").as("jacc_ppm"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("s1"))
+          .orderBy(col("jacc_ppm").desc, col("s2"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("s1").as("node"), col("rk"), col("s2").as("other"),
+        col("common"), col("jacc_ppm"))
+  }
 }

@@ -368,37 +368,21 @@ object CurationQueries extends QueryPack {
     // bounded by n_terms·10⁶ — overflow-free at ANY corpus size, and
     // bit-exact in both engines; ln() would hash-mismatch (see
     // text_diversity note).
+    // Thin adapter over graft.api.Curation.{dsirTable, dsirScores} —
+    // the 4096-row feature table is the LEARNED index artifact,
+    // session-cached so the corpus-wide aggregate runs once per
+    // session (the table AND its inlined global share both derive
+    // from one aggregate); the DuckDB oracle proves the API pair.
     "curate_dsir" -> ((s, dir) => {
       import s.implicits._
-      val B = dsirBuckets
-      val toks = Tables.load(s, dir, "documents")
-        .select($"doc_id", $"lang",
-          explode(split(lower($"text"), " ")).as("term"))
-        .withColumn("b", expr(
-          s"CAST(conv(substr(md5(term), 1, 4), 16, 10) AS BIGINT) % $B"))
-      // The 4096-row feature table is the LEARNED index artifact —
-      // session-cached so the corpus-wide aggregate runs once, not
-      // once per consumer (the table projection AND the totals both
-      // derive from it; uncached, each re-aggregated the corpus).
-      val feat = graft.SessionCache.cached(s, s"dsir.feat:$dir") {
-        toks.groupBy($"b").agg(
-          count(lit(1)).as("cr"),
-          sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"))
+      val docs = Tables.load(s, dir, "documents")
+      val table = graft.SessionCache.cached(s, s"dsir.feat:$dir") {
+        graft.api.Curation.dsirTable(docs, $"lang" === "en",
+          "text", dsirBuckets)
       }
-      val totals = feat.agg(
-        expr("(sum(ct) + 1) * 1000000 div (sum(cr) + 2)").as("g_ppm"))
-      val table = feat
-        .select($"b",
-          expr("(ct + 1) * 1000000 div (cr + 2)").as("share_ppm"))
-        .crossJoin(broadcast(totals))
-      toks.groupBy($"doc_id", $"lang", $"b")
-        .agg(count(lit(1)).as("cnt"))
-        .join(broadcast(table), Seq("b"))
-        .groupBy($"doc_id", $"lang")
-        .agg(sum($"cnt").as("n_terms"),
-          sum($"cnt" * ($"share_ppm" - $"g_ppm")).as("score"))
-        .select($"doc_id", $"lang", $"n_terms", $"score",
-          ($"score" > 0L).as("selected"))
+      graft.api.Curation.dsirScores(docs, table, "doc_id",
+          "text", dsirBuckets)
+        .select($"doc_id", $"lang", $"n_terms", $"score", $"selected")
         .orderBy($"doc_id")
     }))
 

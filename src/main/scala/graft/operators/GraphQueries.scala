@@ -173,6 +173,9 @@ object GraphQueries extends QueryPack {
       // like pagerank's edgeRel, or the fact table would be scanned
       // and re-distinct-ed per consumer (the uncached plan measured
       // 12 FileScans; at 100 TB this relation is a written table).
+      // Thin adapter over graft.api.Graph.jaccardTopK — the cap+cache
+      // happen once here (session-scoped), the pair/rank algebra is
+      // the public function, so the DuckDB oracle proves the API.
       val ce = graft.SessionCache.cached(s, s"jacc.edges:$dir") {
         val e = Tables.load(s, dir, "lineitem")
           .select($"l_partkey".as("p"), $"l_suppkey".as("sup")).distinct()
@@ -180,25 +183,9 @@ object GraphQueries extends QueryPack {
           .filter($"pd" <= jaccHubCap).select($"p")
         e.join(nonHub, "p")
       }
-      val deg = ce.groupBy($"sup").agg(count(lit(1)).as("deg"))
-      val pairs = ce.as("a").join(ce.as("b"),
-          $"a.p" === $"b.p" && $"a.sup" < $"b.sup")
-        .groupBy($"a.sup".as("s1"), $"b.sup".as("s2"))
-        .agg(count(lit(1)).as("common"))
-      val sym = pairs.unionByName(
-        pairs.select($"s2".as("s1"), $"s1".as("s2"), $"common"))
-      sym
-        .join(deg.select($"sup".as("s1"), $"deg".as("d1")), "s1")
-        .join(deg.select($"sup".as("s2"), $"deg".as("d2")), "s2")
-        .select($"s1", $"s2", $"common",
-          // capped degrees never exceed |parts|, common ≥ 1 ⇒ the
-          // union term is positive and div is exact floor.
-          expr("common * 1000000 div (d1 + d2 - common)").as("jacc_ppm"))
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy($"s1")
-            .orderBy($"jacc_ppm".desc, $"s2")).cast("long"))
-        .filter($"rk" <= 5)
-        .select($"s1", $"rk", $"s2", $"common", $"jacc_ppm")
+      graft.api.Graph.jaccardTopKOnCapped(ce, 5)
+        .select($"node".as("s1"), $"rk", $"other".as("s2"),
+          $"common", $"jacc_ppm")
         .orderBy($"s1", $"rk")
     }))
 

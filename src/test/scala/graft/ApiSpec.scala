@@ -262,4 +262,56 @@ class ApiSpec extends SparkTestBase {
     assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L),
       s"components wrong: $r")
   }
+
+  test("Graph.jaccardTopK on a hand-computable membership frame, " +
+       "with a binding hub cap") {
+    // Nodes 1,2 share items {a,b} of unions {a,b,c}∪{a,b} → J(1,2) =
+    // 2/3; node 3 shares only hub item h (held by ALL nodes) — with
+    // hubCap=2 the hub is excluded, so 3 pairs with nobody.
+    val m = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"), (1L, "h"),
+      (2L, "a"), (2L, "b"), (2L, "h"),
+      (3L, "z"), (3L, "h")
+    ).toDF("who", "item")
+    val r = api.Graph.jaccardTopK(m, "who", "item", hubCap = 2, k = 5)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r((1L, 1L)) == (2L, 2L, 666666L),
+      s"J(1,2) must be floor(2/3 ppm): $r")
+    assert(r((2L, 1L)) == (1L, 2L, 666666L), "symmetry")
+    assert(!r.keySet.exists(_._1 == 3L),
+      s"hub-only node must have no neighbors under the cap: $r")
+    // Without the cap, the hub creates the pairs.
+    val r2 = api.Graph.jaccardTopK(m, "who", "item", hubCap = 10, k = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(2))).toSet
+    assert(r2.contains((3L, 1L)) && r2.contains((3L, 2L)),
+      s"uncapped hub must connect node 3: $r2")
+  }
+
+  test("Curation.dsirTable/dsirScores separate an obvious target " +
+       "slice on an ad-hoc corpus") {
+    val docs = Seq(
+      (1L, "good", "alpha beta gamma alpha"),
+      (2L, "good", "alpha beta beta gamma"),
+      (3L, "bad",  "delta epsilon zeta zeta"),
+      (4L, "bad",  "delta delta epsilon zeta")
+    ).toDF("id", "tag", "body")
+    val table = api.Curation.dsirTable(docs, $"tag" === "good",
+      textCol = "body", buckets = 64)
+    assert(table.columns.toSet == Set("b", "share_ppm", "g_ppm"))
+    val scored = api.Curation.dsirScores(docs, table, "id",
+        textCol = "body", buckets = 64)
+      .collect().map(x => x.getAs[Long]("id") ->
+        (x.getAs[Long]("score"), x.getAs[Boolean]("selected"))).toMap
+    // Disjoint vocabularies: target docs must score positive,
+    // non-target negative, selection consistent with the sign.
+    Seq(1L, 2L).foreach(id => assert(scored(id)._1 > 0 && scored(id)._2,
+      s"target doc $id not positive: $scored"))
+    Seq(3L, 4L).foreach(id => assert(scored(id)._1 < 0 && !scored(id)._2,
+      s"non-target doc $id not negative: $scored"))
+    // The table is exactly the fixed hash space or smaller (only
+    // occupied buckets materialize), never corpus-sized.
+    assert(table.count() <= 64, "feature table exceeds the hash space")
+  }
 }
