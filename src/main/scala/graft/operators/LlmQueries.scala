@@ -230,6 +230,39 @@ object LlmQueries extends QueryPack {
         .limit(50)
     }),
 
+    // Corpus n-gram frequency table (r11c): top-100 bigrams by total
+    // occurrences with document frequency — the LM-training corpus
+    // statistic (n-gram count tables ARE a KenLM/CCNet artifact) and
+    // the canonical map-side-combine job: bigrams are generated
+    // entirely map-side (`transform` over the token array — no
+    // window, no lead, no shuffle before the partial aggregate), the
+    // only exchange is the bigram-keyed final aggregate, and the
+    // top-k cut is TakeOrderedAndProject with a total (n_occ DESC,
+    // bigram) order; the rank window then runs over the 100
+    // survivors only (sample_reservoir's shape).
+    "text_ngrams" -> ((s, dir) => {
+      import s.implicits._
+      val top = Tables.load(s, dir, "documents")
+        .select($"doc_id", split(lower($"text"), " ").as("t"))
+        // size-1 < 1 would make sequence() DESCEND (text_dupspans'
+        // pitfall) — single-token docs emit no bigrams in BOTH
+        // engines via this filter.
+        .filter(size($"t") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(t) - 1)," +
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+          .as("bigram"))
+        .groupBy($"bigram")
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct($"doc_id").as("n_docs"))
+        .orderBy($"n_occ".desc, $"bigram")
+        .limit(100)
+      top.withColumn("rk", row_number().over(
+          Window.orderBy($"n_occ".desc, $"bigram")).cast(LongType))
+        .select($"rk", $"bigram", $"n_occ", $"n_docs")
+        .orderBy($"rk")
+    }),
+
     // Corpus stats per (lang, source): counts are exact integers; the
     // two averages are single divisions of exact integer sums.
     "text_stats" -> ((s, dir) => {
@@ -592,6 +625,20 @@ object LlmQueries extends QueryPack {
     }))
 
   def oracle: Seq[(String, String)] = Seq(
+    "text_ngrams" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ')
+        |    AS t FROM documents),
+        |bg AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+        |  FROM toks, unnest(range(1, len(t))) AS r(i)
+        |  WHERE len(t) >= 2),
+        |agg AS (SELECT bigram, count(*) AS n_occ,
+        |    count(DISTINCT doc_id) AS n_docs
+        |  FROM bg GROUP BY bigram
+        |  ORDER BY n_occ DESC, bigram LIMIT 100)
+        |SELECT row_number() OVER (ORDER BY n_occ DESC, bigram) AS rk,
+        |  bigram, n_occ, n_docs
+        |FROM agg ORDER BY rk""".stripMargin,
+
     "text_wordcount" ->
       """SELECT term, count(*) AS cnt FROM (
         |  SELECT unnest(string_split(lower(text), ' ')) AS term

@@ -518,6 +518,45 @@ object SensorQueries extends QueryPack {
               ($"n_bins" * ($"syy" / 10000.0) -
                 ($"sy" / 100.0) * ($"sy" / 100.0))), 12).as("corr"))
         .orderBy($"lag")
+    }),
+
+    // Robust outlier detection (r11c): median/MAD instead of
+    // ts_anomaly's rolling mean — the estimator that survives the
+    // contaminated sensors it is hunting (one stuck-at-9999 reading
+    // shifts a mean-based gate; the median ignores it). Everything is
+    // EXACT INTEGER: the discrete (lower) median of cents is the
+    // rank-(n+1)÷2 value per user — bit-identical to DuckDB's
+    // percentile_disc(0.5), no interpolation (Spark's native
+    // percentile/median interpolate and could never hash-match) —
+    // and the MAD is the same selection over |cents − med|. The flag
+    // is the standard 3σ-equivalent gate |x−med| > 3·1.4826·MAD kept
+    // in integers as dev·10000 > mad·44478 (MAD=0 degenerates to
+    // "any deviation flags", the documented convention). Three
+    // user-keyed passes — the two median selections reuse the same
+    // hash partitioning; no global structure anywhere.
+    "ts_outlier_mad" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+        .select($"event_id", $"user_id",
+          Det.centsLong(Det.money($"value"), 100, "cents"))
+      def discMedian(df: org.apache.spark.sql.DataFrame, vCol: String,
+          out: String) = df
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"user_id").orderBy(col(vCol), $"event_id")))
+        .withColumn("nn", count(lit(1)).over(
+          Window.partitionBy($"user_id")))
+        .filter($"rn" === expr("(nn + 1) div 2"))
+        .select($"user_id", col(vCol).as(out))
+      val med = discMedian(e, "cents", "med_c")
+      val dev = e.join(med, "user_id")
+        .withColumn("dev", abs($"cents" - $"med_c"))
+      val mad = discMedian(
+        dev.select($"user_id", $"event_id", $"dev"), "dev", "mad_c")
+      dev.join(mad, "user_id")
+        .select($"event_id", $"user_id", $"cents", $"med_c", $"mad_c",
+          expr("dev * 1000 div greatest(mad_c, 1L)").as("robust_z_pm"),
+          ($"dev" * 10000L > $"mad_c" * 44478L).as("outlier"))
+        .orderBy($"event_id")
     }))
 
   /** The 16 EWMA taps, generated once and shared by both engines'
@@ -535,6 +574,28 @@ object SensorQueries extends QueryPack {
   }.mkString(" + ")
 
   def oracle: Seq[(String, String)] = Seq(
+    // percentile_disc(0.5) picks the first value whose cume_dist
+    // reaches 0.5 — exactly the rank-(n+1)÷2 lower median the Spark
+    // side selects by row_number, value-identical for every n.
+    "ts_outlier_mad" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |med AS (SELECT user_id, CAST(percentile_disc(0.5)
+        |      WITHIN GROUP (ORDER BY cents) AS BIGINT) AS med_c
+        |  FROM e GROUP BY user_id),
+        |d AS (SELECT e.event_id, e.user_id, e.cents, med.med_c,
+        |    abs(e.cents - med.med_c) AS dev
+        |  FROM e JOIN med USING (user_id)),
+        |mad AS (SELECT user_id, CAST(percentile_disc(0.5)
+        |      WITHIN GROUP (ORDER BY dev) AS BIGINT) AS mad_c
+        |  FROM d GROUP BY user_id)
+        |SELECT event_id, d.user_id, cents, med_c, mad_c,
+        |  dev * 1000 // greatest(mad_c, 1) AS robust_z_pm,
+        |  dev * 10000 > mad_c * 44478 AS outlier
+        |FROM d JOIN mad USING (user_id)
+        |ORDER BY event_id""".stripMargin,
+
     "ts_resample" ->
       """WITH e AS (SELECT event_type, value,
         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 900 AS bin

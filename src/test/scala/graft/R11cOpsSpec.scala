@@ -114,6 +114,54 @@ class R11cOpsSpec extends SparkTestBase {
     } finally got.unpersist()
   }
 
+  test("ts_outlier_mad: median membership, flag algebra, robustness") {
+    val got = q("ts_outlier_mad").cache()
+    try {
+      val n = Tables.load(spark, sf, "events").count()
+      assert(got.count() == n, "every event must be scored")
+      // med_c must be an actual cents value of that user (discrete
+      // median — never an interpolation).
+      val medNotMember = got.select($"user_id", $"med_c").distinct()
+        .join(got.select($"user_id", $"cents".as("med_c")).distinct(),
+          Seq("user_id", "med_c"), "left_anti").count()
+      assert(medNotMember == 0, "interpolated median leaked in")
+      assert(got.filter($"mad_c" < 0).count() == 0, "negative MAD")
+      // Flag is exactly the declared integer gate.
+      val badFlag = got.filter($"outlier" =!=
+        (abs($"cents" - $"med_c") * 10000L > $"mad_c" * 44478L)).count()
+      assert(badFlag == 0, "outlier flag disagrees with its algebra")
+      // Robustness (the reason this op exists): a constructed series
+      // with one wild value must flag ONLY that value — a mean-based
+      // 3σ gate over the same data would have its threshold dragged.
+      import spark.implicits._
+      val probe = (1 to 20).map(i => (i.toLong, 1L, 100L + (i % 3))) :+
+        (21L, 1L, 999999L)
+      val p = probe.toDF("event_id", "user_id", "cents")
+      val med = p.stat.approxQuantile("cents", Array(0.5), 0).head
+      val mean = p.agg(avg($"cents")).head().getDouble(0)
+      assert(med < 200 && mean > 47000,
+        s"median ($med) must ignore the wild value the mean ($mean) " +
+          "is dragged by — the MAD gate's reason to exist")
+    } finally got.unpersist()
+  }
+
+  test("text_ngrams: rank shape, ordering, df<=occ, bigram structure") {
+    val got = q("text_ngrams").cache()
+    try {
+      assert(got.count() == 100, "top-100 cut")
+      assert(got.agg(min($"rk"), max($"rk"), countDistinct($"rk"))
+        .head().toSeq == Seq(1L, 100L, 100L), "ranks not 1..100")
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"rk")
+      assert(got.withColumn("prev", lag($"n_occ", 1).over(w))
+        .filter($"prev".isNotNull && $"prev" < $"n_occ").count() == 0,
+        "n_occ increases down the ranking")
+      assert(got.filter($"n_docs" > $"n_occ" || $"n_docs" < 1)
+        .count() == 0, "document frequency out of [1, n_occ]")
+      assert(got.filter(size(split($"bigram", " ")) =!= 2).count() == 0,
+        "a bigram is not exactly two space-joined terms")
+    } finally got.unpersist()
+  }
+
   test("dim_scd2_merge: incremental merge == full rebuild, chain laws") {
     val merged = q("dim_scd2_merge").cache()
     try {
