@@ -234,6 +234,47 @@ object SourceSinkQueries extends QueryPack {
         .orderBy($"event_type")
     }),
 
+    // Bucketed-table sink + exchange-free join (r11c): the storage
+    // layout decision that deletes the biggest shuffle a warehouse
+    // has — both fact tables are written `bucketBy(8, orderkey)` +
+    // sortBy, so the SortMergeJoin consumes the bucket layout
+    // directly and the ONLY exchange in the plan is the 3-row final
+    // aggregate (pinned in R11cOpsSpec; UdfAndBucketingSpec proved
+    // the shape, this key makes it an oracled, benched artifact).
+    // The bucketed write is an index artifact: staged once per
+    // (session, dir) under the SessionCache memo, so bench passes
+    // probe the layout and the cold column carries the write — the
+    // same accounting as every other build-once-probe-many relation.
+    // At 100 TB this IS how the nightly fact⋈fact join is scheduled
+    // (Hive/Iceberg bucket transforms); the oracle is the plain join.
+    "sink_bucketed" -> ((s, dir) => {
+      import s.implicits._
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      graft.SessionCache.cached(s, s"bucketed:$dir", persist = false) {
+        val wh = tmp(dir, "bucketed")
+        s.sql(s"DROP TABLE IF EXISTS li_bk_$tag")
+        s.sql(s"DROP TABLE IF EXISTS ord_bk_$tag")
+        Tables.load(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_extendedprice")
+          .write.mode("overwrite").option("path", s"$wh/li")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(s"li_bk_$tag")
+        Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderstatus")
+          .write.mode("overwrite").option("path", s"$wh/ord")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(s"ord_bk_$tag")
+        s.range(1).toDF() // memo token: the artifact is the tables
+      }
+      s.table(s"li_bk_$tag")
+        .join(s.table(s"ord_bk_$tag").hint("merge"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          dsum($"l_extendedprice").as("sum_price"))
+        .orderBy($"o_orderstatus")
+    }),
+
     // binaryFile source (r7): the REAL multimodal ingest path — images
     // / audio / video land as one opaque file each, and
     // `format("binaryFile")` reads them as (path, modTime, length,
@@ -411,6 +452,15 @@ object SourceSinkQueries extends QueryPack {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The bucketed layout is pure execution strategy — the oracle is
+    // the plain join (join_skew_salted's proof discipline).
+    "sink_bucketed" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // The merged read null-fills each generation's absent columns;
     // the even/odd staging rule reproduces that from the clean table.

@@ -162,6 +162,21 @@ class R11cOpsSpec extends SparkTestBase {
     } finally got.unpersist()
   }
 
+  test("sink_bucketed: the join consumes the bucket layout directly") {
+    val joined = q("sink_bucketed")
+    joined.collect()
+    // AQE's toString appends "== Initial Plan ==" after the final
+    // plan; only the final section is what actually ran.
+    val plan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).toSeq
+    assert(exchanges.size <= 1,
+      s"bucketed join still shuffles its inputs:\n$plan")
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("Bucketed: true"),
+      s"scan did not use the bucketed layout:\n$plan")
+  }
+
   test("dim_scd2_merge: incremental merge == full rebuild, chain laws") {
     val merged = q("dim_scd2_merge").cache()
     try {
