@@ -96,4 +96,38 @@ object TimeSeries {
           col("delta_v").cast("double") / col("delta_s").cast("double")))
       .drop("__v", "__psec", "__pv")
   }
+
+  /** Robust median/MAD outlier gate per series — the estimator that
+    * survives the contaminated sensor it hunts (one stuck-at-9999
+    * reading drags a mean-based threshold; the median ignores it).
+    * `valueScaled` must be an exact integer representation (cents):
+    * medians are DISCRETE lower medians selected by rank (n+1)÷2 —
+    * a member value, never an interpolation — and the flag is the
+    * 3σ-equivalent |x−med| > 3·1.4826·MAD kept in integers as
+    * dev·10⁴ > mad·44478 (MAD = 0 degenerates to any-deviation-
+    * flags). Appends (med_c, mad_c, robust_z_pm, outlier); all input
+    * columns preserved. Three series-keyed passes that reuse one
+    * hash partitioning. */
+  def madOutliers(events: DataFrame, seriesCol: String, idCol: String,
+      valueScaled: Column): DataFrame = {
+    def discMedian(df: DataFrame, vCol: String, out: String) = df
+      .withColumn("__rn", row_number().over(Window
+        .partitionBy(col(seriesCol)).orderBy(col(vCol), col(idCol))))
+      .withColumn("__nn", count(lit(1)).over(
+        Window.partitionBy(col(seriesCol))))
+      .filter(col("__rn") === expr("(__nn + 1) div 2"))
+      .select(col(seriesCol), col(vCol).as(out))
+    val e = events.withColumn("__c", valueScaled)
+    val med = discMedian(e.select(col(seriesCol), col(idCol),
+      col("__c")), "__c", "med_c")
+    val dev = e.join(med, seriesCol)
+      .withColumn("__dev", abs(col("__c") - col("med_c")))
+    val mad = discMedian(dev.select(col(seriesCol), col(idCol),
+      col("__dev")), "__dev", "mad_c")
+    dev.join(mad, seriesCol)
+      .withColumn("robust_z_pm",
+        expr("__dev * 1000 div greatest(mad_c, 1L)"))
+      .withColumn("outlier", col("__dev") * 10000L > col("mad_c") * 44478L)
+      .drop("__c", "__dev")
+  }
 }

@@ -534,28 +534,16 @@ object SensorQueries extends QueryPack {
     // "any deviation flags", the documented convention). Three
     // user-keyed passes — the two median selections reuse the same
     // hash partitioning; no global structure anywhere.
+    // Thin adapter over graft.api.TimeSeries.madOutliers — the DuckDB
+    // oracle proves the API function.
     "ts_outlier_mad" -> ((s, dir) => {
       import s.implicits._
       val e = Tables.load(s, dir, "events")
         .select($"event_id", $"user_id",
           Det.centsLong(Det.money($"value"), 100, "cents"))
-      def discMedian(df: org.apache.spark.sql.DataFrame, vCol: String,
-          out: String) = df
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"user_id").orderBy(col(vCol), $"event_id")))
-        .withColumn("nn", count(lit(1)).over(
-          Window.partitionBy($"user_id")))
-        .filter($"rn" === expr("(nn + 1) div 2"))
-        .select($"user_id", col(vCol).as(out))
-      val med = discMedian(e, "cents", "med_c")
-      val dev = e.join(med, "user_id")
-        .withColumn("dev", abs($"cents" - $"med_c"))
-      val mad = discMedian(
-        dev.select($"user_id", $"event_id", $"dev"), "dev", "mad_c")
-      dev.join(mad, "user_id")
+      graft.api.TimeSeries.madOutliers(e, "user_id", "event_id", $"cents")
         .select($"event_id", $"user_id", $"cents", $"med_c", $"mad_c",
-          expr("dev * 1000 div greatest(mad_c, 1L)").as("robust_z_pm"),
-          ($"dev" * 10000L > $"mad_c" * 44478L).as("outlier"))
+          $"robust_z_pm", $"outlier")
         .orderBy($"event_id")
     }))
 

@@ -289,6 +289,23 @@ class ApiSpec extends SparkTestBase {
       s"uncapped hub must connect node 3: $r2")
   }
 
+  test("TimeSeries.madOutliers flags only the wild reading on a " +
+       "contaminated probe") {
+    // 20 readings near 100 plus one stuck-at-999999: the median/MAD
+    // gate must flag exactly the wild one (a mean-based 3σ threshold
+    // is dragged by it — the reason this estimator exists).
+    val probe = ((1 to 20).map(i => (i.toLong, "probeA", 100L + (i % 3)))
+      :+ (21L, "probeA", 999999L)).toDF("rid", "sensor", "c")
+    val r = api.TimeSeries.madOutliers(probe, "sensor", "rid", $"c")
+    assert(r.count() == 21, "augment-style: every row scored")
+    val flagged = r.filter($"outlier").select($"rid")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(21L), s"must flag exactly the wild row: $flagged")
+    val med = r.select($"med_c").distinct().collect().map(_.getLong(0))
+    assert(med.length == 1 && med.head <= 102,
+      s"median dragged by the contamination: ${med.toSeq}")
+  }
+
   test("Curation.dsirTable/dsirScores separate an obvious target " +
        "slice on an ad-hoc corpus") {
     val docs = Seq(
