@@ -61,25 +61,26 @@ object WarehouseQueries extends QueryPack {
     * counts as a change); pass 2, over the collapsed rows with the
     * same partitioning (Catalyst reuses the exchange), adds the
     * validity interval + version. */
-  private def scd2(s: org.apache.spark.sql.SparkSession, dir: String,
-                   pred: Option[org.apache.spark.sql.Column] = None) = {
+  /** The tracked-attribute derivation (spend tier per purchase);
+    * `pred` restricts the stream (the merge key's cutoff). */
+  private def tiered(s: org.apache.spark.sql.SparkSession, dir: String,
+                     pred: Option[org.apache.spark.sql.Column] = None) = {
     import s.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val base = Tables.load(s, dir, "events")
       .filter($"event_type" === "purchase")
     pred.map(base.filter).getOrElse(base)
       .select($"user_id", $"ts", $"event_id",
         when($"value" < 100, "low").when($"value" < 500, "mid")
           .otherwise("high").as("tier"))
-      .withColumn("prev", lag($"tier", 1).over(w))
-      .filter($"prev".isNull || $"prev" =!= $"tier")
-      .withColumn("version", row_number().over(w).cast(LongType))
-      .withColumn("valid_from", unix_micros($"ts"))
-      .withColumn("valid_to", unix_micros(lead($"ts", 1).over(w)))
-      .withColumn("is_current", lead($"ts", 1).over(w).isNull)
-      .select($"user_id", $"version", $"tier",
-        $"valid_from", $"valid_to", $"is_current")
   }
+
+  /** Thin adapter over graft.api.Warehouse.scd2 (shared by dim_scd2,
+    * dim_snapshot, and the merge key's history side) — the DuckDB
+    * oracle proves the API function. */
+  private def scd2(s: org.apache.spark.sql.SparkSession, dir: String,
+                   pred: Option[org.apache.spark.sql.Column] = None) =
+    graft.api.Warehouse.scd2(tiered(s, dir, pred),
+      "user_id", "ts", "event_id", "tier")
 
   def queries: Seq[(String, Q)] = Seq(
 
@@ -123,6 +124,9 @@ object WarehouseQueries extends QueryPack {
     // The correctness claim is the strongest available: the oracle is
     // the FULL-RANGE rebuild (dim_scd2's own SQL) — incremental merge
     // ≡ recompute, row for row, version for version.
+    // Thin adapter over graft.api.Warehouse.scd2Merge — the DuckDB
+    // oracle (the FULL rebuild SQL) proves the API's merge ≡
+    // recompute claim.
     "dim_scd2_merge" -> ((s, dir) => {
       import s.implicits._
       val t = java.time.Instant.parse("2024-01-16T00:00:00Z")
@@ -134,38 +138,9 @@ object WarehouseQueries extends QueryPack {
       val hist = graft.SessionCache.cached(s, s"scd2.hist:$dir") {
         scd2(s, dir, Some($"ts" < lit(t)))
       }
-      val delta = Tables.load(s, dir, "events")
-        .filter($"event_type" === "purchase" && $"ts" >= lit(t))
-        .select($"user_id", $"ts", $"event_id",
-          when($"value" < 100, "low").when($"value" < 500, "mid")
-            .otherwise("high").as("tier"))
-      val cur = hist.filter($"is_current")
-        .select($"user_id", $"version".as("cur_ver"),
-          $"tier".as("cur_tier"))
-      val dw = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      val chg = delta
-        .withColumn("prev", lag($"tier", 1).over(dw))
-        .join(cur, Seq("user_id"), "left_outer")
-        .filter(($"prev".isNull &&
-            ($"cur_tier".isNull || $"cur_tier" =!= $"tier")) ||
-          ($"prev".isNotNull && $"prev" =!= $"tier"))
-      val newRows = chg
-        .withColumn("version",
-          (row_number().over(dw) + coalesce($"cur_ver", lit(0L)))
-            .cast(LongType))
-        .withColumn("valid_from", unix_micros($"ts"))
-        .withColumn("valid_to", unix_micros(lead($"ts", 1).over(dw)))
-        .withColumn("is_current", lead($"ts", 1).over(dw).isNull)
-        .select($"user_id", $"version", $"tier",
-          $"valid_from", $"valid_to", $"is_current")
-      val firstNew = newRows.groupBy($"user_id")
-        .agg(min($"valid_from").as("close_us"))
-      val histAdj = hist.join(firstNew, Seq("user_id"), "left_outer")
-        .select($"user_id", $"version", $"tier", $"valid_from",
-          when($"is_current" && $"close_us".isNotNull, $"close_us")
-            .otherwise($"valid_to").as("valid_to"),
-          ($"is_current" && $"close_us".isNull).as("is_current"))
-      histAdj.unionByName(newRows)
+      val delta = tiered(s, dir, Some($"ts" >= lit(t)))
+      graft.api.Warehouse.scd2Merge(hist, delta,
+          "user_id", "ts", "event_id", "tier")
         .orderBy($"user_id", $"version")
     }),
 

@@ -289,6 +289,41 @@ class ApiSpec extends SparkTestBase {
       s"uncapped hub must connect node 3: $r2")
   }
 
+  test("Warehouse.scd2 + scd2Merge: incremental == rebuild on an " +
+       "ad-hoc change stream with foreign column names") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s"2024-02-0$s:00:00")
+    // Entity 1: plan changes A→B pre-cutoff, →C post (open row closed,
+    // plus an in-delta no-change row that must be dropped). Entity 2:
+    // pre-cutoff only (untouched by the merge). Entity 3: brand-new
+    // post-cutoff (versions start at 1).
+    val rows = Seq(
+      (1L, t("1 10"), 1L, "A"), (1L, t("1 11"), 2L, "B"),
+      (2L, t("1 12"), 3L, "X"),
+      (1L, t("3 09"), 4L, "C"), (1L, t("3 10"), 5L, "C"),
+      (3L, t("3 11"), 6L, "Z")
+    ).toDF("acct", "at", "seq", "plan")
+    val cutoff = t("2 00")
+    val hist = api.Warehouse.scd2(rows.filter($"at" < cutoff),
+      "acct", "at", "seq", "plan")
+    assert(hist.columns.toSeq == Seq("acct", "version", "plan",
+      "valid_from", "valid_to", "is_current"))
+    val merged = api.Warehouse.scd2Merge(hist,
+      rows.filter($"at" >= cutoff), "acct", "at", "seq", "plan")
+    val rebuilt = api.Warehouse.scd2(rows, "acct", "at", "seq", "plan")
+    assertSameRows(merged, rebuilt, "scd2 merge vs rebuild")
+    // The merge genuinely exercised all three entity shapes.
+    val byAcct = merged.groupBy($"acct").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byAcct == Map(1L -> 3L, 2L -> 1L, 3L -> 1L),
+      s"unexpected history shape: $byAcct")
+    // Empty delta is the identity.
+    assertSameRows(
+      api.Warehouse.scd2Merge(hist, rows.filter(lit(false)),
+        "acct", "at", "seq", "plan"),
+      hist, "empty-delta merge identity")
+  }
+
   test("TimeSeries.madOutliers flags only the wild reading on a " +
        "contaminated probe") {
     // 20 readings near 100 plus one stuck-at-999999: the median/MAD
