@@ -104,6 +104,33 @@ object Graph {
         edges.select(col(srcCol).as("da"), col(dstCol).as("db")))
       .select(col("doc_id").as("node"), col("comp"))
 
+  /** Multi-source BFS: min-hop distance from a seed set over a
+    * DIRECTED edge frame, `rounds` synchronous Bellman-Ford
+    * relaxations (distance values are exact integers; min is
+    * order-free, so the result is bit-identical across partitionings
+    * and engines — the pagerank determinism argument with min for
+    * sum). A node unreached within `rounds` is ABSENT from the
+    * output — callers pick rounds ≥ the diameter they care about;
+    * a fixed round count is what makes the unrolled DuckDB oracle
+    * provably identical to this loop. Each round is one equi-join +
+    * one min-aggregate on the node key — O(E) per round, no global
+    * structure. Output: (node, dist). */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, rounds: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      seedCol: String = "node"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    var d = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L))
+    for (_ <- 1 to rounds) {
+      val relaxed = e.join(d, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      d = d.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    d
+  }
+
   /** Top-`k` most-similar nodes per node by exact integer-ppm Jaccard
     * of their ITEM neighborhoods, over a caller-supplied bipartite
     * membership frame (node, item) — "find sources like this one"

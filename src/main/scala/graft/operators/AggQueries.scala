@@ -497,10 +497,101 @@ object AggQueries extends QueryPack {
       merged.groupBy($"event_type")
         .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
         .orderBy($"event_type")
+    }),
+
+    // KMV set ALGEBRA (r11c): pairwise union/Jaccard estimates
+    // between event-type audiences computed entirely FROM THE
+    // SKETCHES — the reason a warehouse keeps KMV instead of HLL:
+    // k-min states are closed under union (K(A∪B) = k smallest of
+    // K(A) ∪ K(B), the Beyer et al. '07 mergeability identity), so
+    // every pairwise overlap query runs on 32-row sketches, never
+    // re-scanning the corpus. The corpus is touched ONCE (the same
+    // distinct→hash→per-type k-min pass as sketch_kmv); all 10 pair
+    // combinations then work over ≤ 5·32 hashes. Jaccard estimator:
+    // |K(A∪B) ∩ A-sketch ∩ B-sketch| / |K(A∪B)| in exact integer ppm
+    // — every quantity is a deterministic set cardinality, so the
+    // ESTIMATE itself hash-matches DuckDB exactly (the sketch_kmv
+    // discipline: estimates are deterministic functions of exact
+    // states).
+    "sketch_kmv_ops" -> ((s, dir) => {
+      import s.implicits._
+      val k = 32
+      val ks = Tables.load(s, dir, "events")
+        .select($"event_type", $"user_id").distinct()
+        .select($"event_type", md5($"user_id".cast(StringType)).as("h"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"event_type").orderBy($"h")))
+        .filter($"rn" <= k)
+        .select($"event_type", $"h")
+      val prs = ks.select($"event_type".as("ta")).distinct()
+        .join(ks.select($"event_type".as("tb")).distinct(), $"ta" < $"tb")
+      val u = prs
+        .join(ks.withColumnRenamed("event_type", "t"),
+          $"t" === $"ta" || $"t" === $"tb")
+        .select($"ta", $"tb", $"h").distinct()
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"ta", $"tb").orderBy($"h")))
+        .filter($"rn" <= k)
+      val flagged = u
+        .join(ks.select($"event_type".as("t1"), $"h".as("hx")),
+          $"t1" === $"ta" && $"hx" === $"h", "left_outer")
+        .withColumn("in_a", $"hx".isNotNull).drop("t1", "hx")
+        .join(ks.select($"event_type".as("t2"), $"h".as("hy")),
+          $"t2" === $"tb" && $"hy" === $"h", "left_outer")
+        .withColumn("in_b", $"hy".isNotNull).drop("t2", "hy")
+      flagged.groupBy($"ta", $"tb")
+        .agg(count(lit(1)).as("k_eff"),
+          sum(when($"in_a" && $"in_b", 1L).otherwise(0L)).as("j_hits"),
+          max($"h").as("kth_hash"))
+        .withColumn("jacc_ppm", expr("j_hits * 1000000 div k_eff"))
+        .withColumn("kth_val",
+          expr("CAST(conv(substr(kth_hash, 1, 15), 16, 10) AS BIGINT)"))
+        .withColumn("est_union",
+          when($"k_eff" < k, $"k_eff".cast(DoubleType))
+            .otherwise(($"k_eff" - lit(1)).cast(DoubleType) *
+              lit(1152921504606846976.0) / $"kth_val".cast(DoubleType)))
+        .select($"ta", $"tb", $"k_eff", $"j_hits", $"jacc_ppm",
+          $"est_union")
+        .orderBy($"ta", $"tb")
     })
   )
 
   def oracle: Seq[(String, String)] = Seq(
+    "sketch_kmv_ops" ->
+      """WITH ks AS (SELECT event_type, h FROM (
+        |    SELECT event_type, h, row_number() OVER (
+        |      PARTITION BY event_type ORDER BY h) AS rn
+        |    FROM (SELECT DISTINCT event_type,
+        |        md5(CAST(user_id AS VARCHAR)) AS h FROM events))
+        |  WHERE rn <= 32),
+        |prs AS (SELECT a.event_type AS ta, b.event_type AS tb
+        |  FROM (SELECT DISTINCT event_type FROM ks) a
+        |  JOIN (SELECT DISTINCT event_type FROM ks) b
+        |    ON a.event_type < b.event_type),
+        |u AS (SELECT ta, tb, h FROM (
+        |    SELECT ta, tb, h, row_number() OVER (
+        |      PARTITION BY ta, tb ORDER BY h) AS rn
+        |    FROM (SELECT DISTINCT prs.ta, prs.tb, ks.h
+        |      FROM prs JOIN ks
+        |        ON ks.event_type = prs.ta OR ks.event_type = prs.tb))
+        |  WHERE rn <= 32),
+        |fl AS (SELECT u.ta, u.tb, u.h,
+        |    ka.h IS NOT NULL AS in_a, kb.h IS NOT NULL AS in_b
+        |  FROM u
+        |  LEFT JOIN ks ka ON ka.event_type = u.ta AND ka.h = u.h
+        |  LEFT JOIN ks kb ON kb.event_type = u.tb AND kb.h = u.h)
+        |SELECT ta, tb, count(*) AS k_eff,
+        |  CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS j_hits,
+        |  CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000 // count(*) AS jacc_ppm,
+        |  CASE WHEN count(*) < 32 THEN CAST(count(*) AS DOUBLE)
+        |    ELSE CAST(count(*) - 1 AS DOUBLE) * 1152921504606846976.0
+        |      / CAST(CAST('0x' || substr(max(h), 1, 15) AS BIGINT)
+        |             AS DOUBLE)
+        |  END AS est_union
+        |FROM fl GROUP BY ta, tb ORDER BY ta, tb""".stripMargin,
+
     "agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

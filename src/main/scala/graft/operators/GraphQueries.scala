@@ -44,6 +44,11 @@ object GraphQueries extends QueryPack {
     * part degree is 10, so the cap is a no-op there by construction). */
   val jaccHubCap = 35
 
+  /** graph_distance BFS rounds — fixed so the unrolled oracle and the
+    * Spark loop are provably the same computation; 6 covers the
+    * bipartite graph's diameter from the 10% seed set at every SF. */
+  val bfsRounds = 6
+
   /** Edge list: distinct (part, supplier) pairs from lineitem, both
     * directions (bipartite undirected); suppliers offset to their own
     * id space. Built once per (session, dir) — every consumer
@@ -187,6 +192,31 @@ object GraphQueries extends QueryPack {
         .select($"node".as("s1"), $"rk", $"other".as("s2"),
           $"common", $"jacc_ppm")
         .orderBy($"s1", $"rk")
+    }),
+
+    // Multi-source BFS distance (r11c): min-hop distance from the 10%
+    // seed-supplier set over the same session-cached bipartite graph
+    // — the reachability/propagation primitive (contamination spread,
+    // trust distance, crawl-frontier depth). Thin adapter over
+    // graft.api.Graph.bfsDistances: 6 synchronous Bellman-Ford
+    // rounds, each one equi-join + one min-aggregate on the node key;
+    // min is order-free so the result is bit-identical across
+    // engines, and the FIXED round count is what lets the DuckDB
+    // oracle unroll the exact same iterations (the pagerank
+    // discipline with min for sum). Unreached nodes are absent by
+    // declared semantics.
+    "graph_distance" -> ((s, dir) => {
+      import s.implicits._
+      val ed = edgeRel(s, dir)
+      val seeds = ed.select($"src".as("node")).distinct()
+        .filter($"node" >= 1000000000L &&
+          ($"node" - 1000000000L) % 10 === 0)
+      graft.api.Graph.bfsDistances(ed, seeds, bfsRounds)
+        .select($"node",
+          when($"node" >= 1000000000L, "supplier").otherwise("part")
+            .as("node_type"),
+          $"dist")
+        .orderBy($"node")
     }))
 
   /** The ten unrolled iterations, generated from the same constants as
@@ -208,7 +238,33 @@ object GraphQueries extends QueryPack {
        |  CROSS JOIN nn)""".stripMargin
   }.mkString(",\n")
 
+  /** The unrolled BFS rounds, generated from the same constant as the
+    * Spark loop (pagerank's shared-template discipline). */
+  private val bfsChain: String = (1 to bfsRounds).map { i =>
+    s"""b$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+       |    SELECT node, dist FROM b${i - 1}
+       |    UNION ALL
+       |    SELECT ed.dst AS node, p.dist + 1 AS dist
+       |    FROM ed JOIN b${i - 1} p ON p.node = ed.src)
+       |  GROUP BY node)""".stripMargin
+  }.mkString(",\n")
+
   def oracle: Seq[(String, String)] = Seq(
+    "graph_distance" ->
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey AS p,
+         |    1000000000 + l_suppkey AS sn FROM lineitem),
+         |ed AS MATERIALIZED (SELECT p AS src, sn AS dst FROM e
+         |       UNION ALL SELECT sn, p FROM e),
+         |b0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+         |  FROM ed
+         |  WHERE src >= 1000000000 AND (src - 1000000000) % 10 = 0),
+         |$bfsChain
+         |SELECT node,
+         |  CASE WHEN node >= 1000000000 THEN 'supplier'
+         |       ELSE 'part' END AS node_type,
+         |  dist
+         |FROM b$bfsRounds ORDER BY node""".stripMargin,
+
     "graph_jaccard" ->
       s"""WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sup
          |  FROM lineitem),

@@ -162,6 +162,69 @@ class R11cOpsSpec extends SparkTestBase {
     } finally got.unpersist()
   }
 
+  test("sketch_kmv_ops: estimator bounds and accuracy vs exact sets") {
+    val got = q("sketch_kmv_ops").cache()
+    try {
+      assert(got.count() == 10, "C(5,2) unordered type pairs")
+      assert(got.filter($"jacc_ppm" < 0 || $"jacc_ppm" > 1000000)
+        .count() == 0, "jaccard estimate outside [0, 1e6]")
+      assert(got.filter($"j_hits" > $"k_eff" || $"k_eff" > 32)
+        .count() == 0, "hits exceed sketch size")
+      // Accuracy law: the from-sketch union estimate must land within
+      // the KMV error envelope of the EXACT union (k=32 → σ ≈ 18%;
+      // 4σ bound keeps the law tight but non-flaky, per ProfilerSpec
+      // conventions).
+      val ev = Tables.load(spark, sf, "events")
+        .select($"event_type", $"user_id").distinct().cache()
+      try {
+        val rows = got.select($"ta", $"tb", $"est_union", $"jacc_ppm")
+          .collect()
+        rows.foreach { r =>
+          val (ta, tb) = (r.getString(0), r.getString(1))
+          val both = ev.filter($"event_type" === ta ||
+            $"event_type" === tb)
+          val exactU = both.select($"user_id").distinct().count().toDouble
+          val est = r.getDouble(2)
+          assert(math.abs(est - exactU) / exactU < 0.72,
+            s"($ta,$tb) union est $est vs exact $exactU beyond 4σ")
+        }
+      } finally ev.unpersist()
+    } finally got.unpersist()
+  }
+
+  test("graph_distance: BFS consistency and seed laws") {
+    val got = q("graph_distance").cache()
+    try {
+      assert(got.filter($"dist" < 0 ||
+        $"dist" > operators.GraphQueries.bfsRounds).count() == 0,
+        "distance outside [0, rounds]")
+      // Seeds are exactly the dist-0 rows.
+      val seeds = got.filter($"dist" === 0)
+      assert(seeds.filter(($"node" < 1000000000L) ||
+        (($"node" - 1000000000L) % 10 =!= 0)).count() == 0,
+        "a non-seed node has distance 0")
+      assert(seeds.count() > 0, "no seeds — vacuous")
+      assert(got.filter($"dist" >= 2).count() > 0,
+        "no multi-hop node — BFS never propagated")
+      // Triangle consistency: every dist-d>0 node has an in-neighbor
+      // at dist d-1 (the defining property of BFS layers).
+      val ed = Tables.load(spark, sf, "lineitem")
+        .select($"l_partkey".as("p"),
+          ($"l_suppkey" + 1000000000L).as("sn")).distinct()
+      val edges = ed.select($"p".as("src"), $"sn".as("dst"))
+        .unionByName(ed.select($"sn".as("src"), $"p".as("dst")))
+      val parent = got.select($"node".as("src"), $"dist".as("pd"))
+      val orphan = got.filter($"dist" > 0)
+        .join(edges, got("node") === edges("dst"))
+        .join(parent, Seq("src"))
+        .groupBy(got("node"), got("dist"))
+        .agg(min($"pd").as("best"))
+        .filter($"best" =!= got("dist") - 1)
+        .count()
+      assert(orphan == 0, "a BFS layer skips a level")
+    } finally got.unpersist()
+  }
+
   test("sink_bucketed: the join consumes the bucket layout directly") {
     val joined = q("sink_bucketed")
     joined.collect()
