@@ -193,17 +193,23 @@ object DedupCluster extends QueryPack {
     * round, final CTE `lbl<rounds>(n, l)`. Replaces the r3 recursive
     * transitive closure, whose O(Σ|comp|²) row count is intractable on
     * the dense near-clique components at sf0.1 (>5 min in DuckDB; this
-    * form closes in <1 s). 8 propagate+jump rounds cover diameter far
-    * beyond any fixture (sf0.1 reaches its fixpoint in 5 — verified
-    * round-over-round in dev); the Spark side independently throws if
-    * its own fixpoint isn't reached, so a diameter blowup cannot pass
-    * silently on either engine. */
+    * form closes in <1 s). Default rounds = 12: the sf0.1 fixture
+    * reaches its fixpoint in 5, but the 10x sf1-equivalent staging
+    * MEASURED 10 rounds on dedup_semantic's percolated 88-member
+    * blocks (8 under-converged — caught by dev/scalecheck.py r11:
+    * DuckDB reported stale labels while the Spark fixpoint, which
+    * iterates to convergence and THROWS if it can't, was correct;
+    * ground-truthed by a driver-side union-find over the oracle's own
+    * pair relation). 12 = measured need + headroom; the cost is
+    * linear in rounds. The Spark side's loud non-convergence guard
+    * remains the backstop for a true diameter blowup. */
   /** Name of the final CTE emitted by `closureSql(rounds)` — callers
-    * must interpolate this instead of hardcoding `lbl8`, or a changed
-    * round count silently reads an under-converged intermediate. */
-  private[graft] def closureFinalCte(rounds: Int = 8): String = s"lbl$rounds"
+    * must interpolate this instead of hardcoding the name, or a
+    * changed round count silently reads an under-converged
+    * intermediate. */
+  private[graft] def closureFinalCte(rounds: Int = 12): String = s"lbl$rounds"
 
-  private[graft] def closureSql(rounds: Int = 8): String = {
+  private[graft] def closureSql(rounds: Int = 12): String = {
     val sb = new StringBuilder
     // MATERIALIZED throughout: DuckDB inlines CTEs by default, and each
     // round references its predecessor twice (propagate ∪ keep, then
