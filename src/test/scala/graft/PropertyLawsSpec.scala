@@ -399,4 +399,91 @@ class PropertyLawsSpec extends SparkTestBase {
       assert(bad.count() == 0)
     } finally feats.unpersist()
   }
+
+  test("Warehouse.scd2Merge == rebuild over random change streams " +
+      "and random cutoffs (property law)") {
+    // Random per-entity event streams (few entities, few attribute
+    // values → dense change/no-change mixtures) merged at three
+    // different cutoffs, including cutoffs that make the delta empty
+    // and cutoffs before all data (hist empty — every user is a
+    // brand-new insert). The merge must equal the full rebuild in
+    // every case — the law that catches the boundary corners a single
+    // fixture cutoff cannot.
+    val evGen = for {
+      key <- Gen.chooseNum(1, 6)
+      tmin <- Gen.chooseNum(0, 99)
+      attr <- Gen.oneOf("a", "b", "c")
+    } yield (key.toLong, tmin, attr)
+    val rows = sample(evGen, 120, seed = 7L).zipWithIndex.map {
+      case ((k, tmin, a), i) =>
+        (k, java.sql.Timestamp.valueOf(
+          f"2024-03-01 ${tmin / 60}%02d:${tmin % 60}%02d:00"), i.toLong, a)
+    }.toDF("k", "t", "tie", "attr")
+    val rebuilt = api.Warehouse.scd2(rows, "k", "t", "tie", "attr")
+    Seq("2024-02-01 00:00:00", "2024-03-01 00:50:00",
+        "2024-12-31 00:00:00").foreach { cut =>
+      val c = java.sql.Timestamp.valueOf(cut)
+      val hist = api.Warehouse.scd2(rows.filter($"t" < c),
+        "k", "t", "tie", "attr")
+      val merged = api.Warehouse.scd2Merge(hist,
+        rows.filter($"t" >= c), "k", "t", "tie", "attr")
+      assertSameRows(merged, rebuilt, s"merge@$cut vs rebuild")
+    }
+  }
+
+  test("Graph.bfsDistances equals a driver-side reference BFS on " +
+      "random graphs (property law)") {
+    val edgeGen = for {
+      a <- Gen.chooseNum(0, 25); b <- Gen.chooseNum(0, 25)
+    } yield (a.toLong, b.toLong)
+    val edges = sample(edgeGen, 60, seed = 11L).distinct
+    val seeds = Seq(0L, 7L, 13L)
+    // Reference: plain frontier BFS over the directed adjacency.
+    val adj = edges.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    var hops = 0L
+    while (frontier.nonEmpty && hops < 8) {
+      hops += 1
+      val next = frontier.flatMap(n => adj.getOrElse(n, Nil))
+        .distinct.filterNot(dist.contains)
+      next.foreach(n => dist += n -> hops)
+      frontier = next
+    }
+    val got = api.Graph.bfsDistances(
+        edges.toDF("src", "dst"), seeds.toDF("node"), rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == dist,
+      s"BFS mismatch:\n got  ${got.toSeq.sorted}\n want ${dist.toSeq.sorted}")
+  }
+
+  test("Graph.jaccardTopK matches a brute-force Jaccard on random " +
+      "bipartite memberships (property law)") {
+    val mGen = for {
+      node <- Gen.chooseNum(1, 8); item <- Gen.chooseNum(1, 15)
+    } yield (node.toLong, s"i$item")
+    val mem = sample(mGen, 70, seed = 23L).distinct
+    val cap = 5
+    // Brute force on the capped item set.
+    val itemCount = mem.groupBy(_._2).map { case (i, xs) => i -> xs.size }
+    val capped = mem.filter { case (_, i) => itemCount(i) <= cap }
+    val sets = capped.groupBy(_._1).map { case (n, xs) =>
+      n -> xs.map(_._2).toSet }
+    val want = (for {
+      (n1, s1) <- sets.toSeq; (n2, s2) <- sets.toSeq
+      if n1 != n2
+      common = (s1 & s2).size if common > 0
+    } yield (n1, n2, common.toLong,
+        common.toLong * 1000000L / (s1.size + s2.size - common)))
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._4, r._2)).take(5)
+      }.toSet
+    val got = api.Graph.jaccardTopK(mem.toDF("n", "i"), "n", "i",
+        hubCap = cap, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want,
+      s"jaccard mismatch:\n got  ${got.toSeq.sorted}\n" +
+        s" want ${want.toSeq.sorted}")
+  }
 }
