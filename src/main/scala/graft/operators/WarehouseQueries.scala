@@ -87,6 +87,42 @@ object WarehouseQueries extends QueryPack {
     "dim_scd2" -> ((s, dir) =>
       scd2(s, dir).orderBy(col("user_id"), col("version"))),
 
+    // Point-in-time FACT ENRICHMENT over the SCD2 history (r11d) —
+    // the query the history exists FOR: every view event picks up the
+    // user's spend tier AS OF the event's own timestamp (not today's
+    // tier — the classic training-label leak this op exists to
+    // prevent). Join is keyed by the dimension's natural key
+    // (user_id) with the validity interval as a post-match predicate:
+    // each fact row matches AT MOST ONE history version (intervals
+    // partition time by construction), so there is no row
+    // multiplication; views before the user's first purchase (or from
+    // never-purchasers) keep tier 'none' via the left join. At 100 TB
+    // the history is bounded by CHANGE COUNT (<< fact count) — either
+    // broadcast or co-partitioned with the facts on user_id; the
+    // session cache stands in for the stored history table.
+    "dim_lookup_pit" -> ((s, dir) => {
+      import s.implicits._
+      val hist = graft.SessionCache.cached(s, s"scd2.full:$dir") {
+        scd2(s, dir)
+      }
+      val facts = Tables.load(s, dir, "events")
+        .filter($"event_type" === "view")
+        .select($"user_id".as("uid"),
+          unix_micros($"ts").as("ts_us"), $"value")
+      facts.join(hist,
+          $"uid" === hist("user_id") &&
+            hist("valid_from") <= $"ts_us" &&
+            (hist("valid_to").isNull || $"ts_us" < hist("valid_to")),
+          "left_outer")
+        .select(coalesce($"tier", lit("none")).as("tier"),
+          $"uid", $"value")
+        .groupBy($"tier")
+        .agg(count(lit(1)).as("n_views"),
+          countDistinct($"uid").as("n_users"),
+          Det.dsum($"value").as("sum_value"))
+        .orderBy($"tier")
+    }),
+
     // Point-in-time (AS OF) snapshot over the SCD2 history — the
     // query side of dim_scd2's build side: the dimension as it stood
     // at T is the rows whose validity interval covers T. One filter
@@ -212,6 +248,35 @@ object WarehouseQueries extends QueryPack {
         .orderBy($"l_returnflag")
     }),
 
+    // Weighted lower median + weighted p90 (r11d): "the quantity
+    // below which half the REVENUE sits" — the mass-weighted quantile
+    // every curation pipeline runs (token-mass-weighted doc length,
+    // byte-weighted file size). Exact by construction: weights are
+    // cent-scaled BIGINTs (loud overflow via Det.centsLong), the
+    // domain collapses to ≤50 distinct (flag, quantity) rows in a
+    // two-phase aggregate BEFORE any window — the running-sum windows
+    // scan ~150 rows total at ANY corpus size (the agg_percentile
+    // discipline: aggregate first, sort never) — and the pick is
+    // "min q with 2·cumweight ≥ total", pure integer comparisons.
+    "agg_weighted_median" -> ((s, dir) => {
+      import s.implicits._
+      val w = Tables.load(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_quantity".cast(LongType).as("q"),
+          Det.money($"l_extendedprice").as("price"))
+        .groupBy($"l_returnflag", $"q")
+        .agg(Det.centsLong(sum($"price"), 100, "w"))
+      val cum = w
+        .withColumn("cw", sum($"w").over(
+          Window.partitionBy($"l_returnflag").orderBy($"q")))
+        .withColumn("tot", sum($"w").over(
+          Window.partitionBy($"l_returnflag")))
+      cum.groupBy($"l_returnflag")
+        .agg(min(when($"cw" * 2 >= $"tot", $"q")).as("w_median"),
+          min(when($"cw" * 10 >= $"tot" * 9, $"q")).as("w_p90"),
+          max($"tot").as("w_cents"))
+        .orderBy($"l_returnflag")
+    }),
+
     "agg_corrmatrix" -> ((s, dir) => {
       import s.implicits._
       import Det.money
@@ -282,6 +347,51 @@ object WarehouseQueries extends QueryPack {
     "dim_scd2" -> scd2Sql,
 
     "dim_scd2_merge" -> scd2Sql,
+
+    // Point-in-time enrichment: the same hist CTEs, then every view
+    // joins the version whose validity interval covers its timestamp.
+    "dim_lookup_pit" ->
+      """WITH tiered AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN value < 100 THEN 'low'
+        |         WHEN value < 500 THEN 'mid' ELSE 'high' END AS tier
+        |  FROM events WHERE event_type = 'purchase'),
+        |flagged AS (SELECT *,
+        |    lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev FROM tiered),
+        |changes AS (SELECT user_id, ts, event_id, tier FROM flagged
+        |  WHERE prev IS NULL OR prev <> tier),
+        |hist AS (SELECT user_id, tier,
+        |    epoch_us(ts) AS valid_from,
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id)) AS valid_to
+        |  FROM changes),
+        |v AS (SELECT user_id AS uid, epoch_us(ts) AS ts_us, value
+        |  FROM events WHERE event_type = 'view')
+        |SELECT COALESCE(h.tier, 'none') AS tier,
+        |  count(*) AS n_views,
+        |  count(DISTINCT v.uid) AS n_users,
+        |  CAST(sum(CAST(v.value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_value
+        |FROM v LEFT JOIN hist h ON h.user_id = v.uid
+        |  AND h.valid_from <= v.ts_us
+        |  AND (h.valid_to IS NULL OR v.ts_us < h.valid_to)
+        |GROUP BY 1 ORDER BY tier""".stripMargin,
+
+    "agg_weighted_median" ->
+      """WITH w AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+        |         AS BIGINT) AS w
+        |  FROM lineitem GROUP BY l_returnflag, q),
+        |c AS (SELECT l_returnflag, q, w,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY q) AS cw,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM w)
+        |SELECT l_returnflag,
+        |  min(CASE WHEN cw * 2 >= tot THEN q END) AS w_median,
+        |  min(CASE WHEN cw * 10 >= tot * 9 THEN q END) AS w_p90,
+        |  CAST(max(tot) AS BIGINT) AS w_cents
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "dim_snapshot" ->
       """WITH tiered AS (SELECT user_id, ts, event_id,

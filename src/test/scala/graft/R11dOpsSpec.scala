@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Laws for the r11d additions. All keys are DuckDB-oracled; these pin
+  * the semantics the cross-engine hash can't see — the point-in-time
+  * lookup's non-anticipation (every fact sees exactly the dimension
+  * version that was current at ITS OWN timestamp, proven against a
+  * brute-force latest-purchase-before lookup), and the weighted
+  * median's defining inequality (proven against a sequential replay
+  * over the collected distribution).
+  */
+class R11dOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def q(key: String) = SparkEntry.queries(key)(spark, sf)
+
+  test("dim_lookup_pit: accounts for every view; tiers well-formed") {
+    val got = q("dim_lookup_pit").cache()
+    try {
+      val views = Tables.load(spark, sf, "events")
+        .filter($"event_type" === "view").count()
+      val summed = got.agg(sum($"n_views")).head().getLong(0)
+      assert(summed == views,
+        s"n_views sums to $summed but the corpus has $views view events")
+      val tiers = got.select($"tier").collect().map(_.getString(0)).toSet
+      assert(tiers.subsetOf(Set("none", "low", "mid", "high")),
+        s"unexpected tier labels: $tiers")
+      assert(tiers.contains("none"),
+        "no 'none' tier — the pre-first-purchase left-join branch is " +
+          "vacuous at this fixture; the law would not cover it")
+    } finally got.unpersist()
+  }
+
+  test("dim_lookup_pit: as-of == brute-force latest-purchase-before") {
+    // The SCD2 interval lookup must equal the direct definition: a
+    // view's tier is the tier of the user's latest purchase at or
+    // before the view (ties broken by event_id, the build's window
+    // order), 'none' when no such purchase exists.
+    val ev = Tables.load(spark, sf, "events")
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+        $"event_type", $"value")
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id".as("uid"), $"ts_us".as("vts"),
+        $"value".as("vvalue"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("uid"), $"ts_us".as("pts"), $"event_id",
+        when($"value" < 100, "low").when($"value" < 500, "mid")
+          .otherwise("high").as("ptier"))
+    val want = views.join(purchases.withColumnRenamed("uid", "puid"),
+        $"uid" === $"puid" && $"pts" <= $"vts", "left_outer")
+      .groupBy($"uid", $"vts", $"vvalue")
+      .agg(max_by($"ptier", struct($"pts", $"event_id")).as("tier0"))
+      .select(coalesce($"tier0", lit("none")).as("tier"), $"uid",
+        $"vvalue")
+      .groupBy($"tier")
+      .agg(count(lit(1)).as("n_views"),
+        countDistinct($"uid").as("n_users"),
+        Det.dsum($"vvalue").as("sum_value"))
+    assertSameRows(q("dim_lookup_pit"), want, "pit-vs-bruteforce")
+  }
+
+  test("agg_weighted_median: defining inequality + sequential replay") {
+    val got = q("agg_weighted_median").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.nonEmpty, "empty weighted-median output")
+    val rows = Tables.load(spark, sf, "lineitem")
+      .select($"l_returnflag", $"l_quantity".cast("long"),
+        (Det.money($"l_extendedprice") * 100).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (flag, rs) =>
+      val (gm, gp90, gtot) = got(flag)
+      val tot = rs.map(_._3).sum
+      assert(gtot == tot, s"$flag: w_cents $gtot != exact $tot")
+      // Sequential replay of the defining picks over the sorted
+      // (quantity, weight-mass) distribution.
+      val byQ = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      def pick(mult: Long, frac: Long): Long = {
+        var cum = 0L
+        byQ.collectFirst {
+          case (qv, w) if { cum += w; cum * mult >= tot * frac } => qv
+        }.get
+      }
+      assert(gm == pick(2, 1), s"$flag: median ${gm} != replay")
+      assert(gp90 == pick(10, 9), s"$flag: p90 ${gp90} != replay")
+      assert(gp90 >= gm, s"$flag: p90 below median")
+      // The median really splits the mass: weight at or below the
+      // median is >= half, weight strictly below is < half.
+      val below = byQ.filter(_._1 < gm).map(_._2).sum
+      assert(below * 2 < tot, s"$flag: mass strictly below median " +
+        "already >= half — picked value too high")
+    }
+  }
+}
