@@ -187,4 +187,46 @@ object Graph {
       .select(col("s1").as("node"), col("rk"), col("s2").as("other"),
         col("common"), col("jacc_ppm"))
   }
+
+  /** k-core peel: `rounds` synchronous rounds of "drop every node
+    * with degree < k, then recount" over a SYMMETRIC (doubled) edge
+    * frame — the degeneracy/periphery pruning every graph-quality
+    * pipeline runs before the expensive algorithms (a node outside
+    * the k-core cannot sit on k edge-disjoint paths; crawl-graph
+    * peripheries and one-off contributors peel away first).
+    *
+    * The op is a SHRINKING fixpoint — the dual of bfsDistances'
+    * growing one: each round is one count-aggregate on the src key +
+    * two semi-shaped equi-joins against the (small, shrinking)
+    * survivor set — O(E) per round, no global structure; per-round
+    * `localCheckpoint` truncates lineage exactly like the components
+    * loop (without it the plan tree re-derives round i-1 three times
+    * per round). A FIXED round count is what lets the DuckDB oracle
+    * unroll the identical iterations (the pagerank/BFS discipline);
+    * callers pick rounds ≥ the cascade depth they care about and the
+    * keyed query law-asserts the fixpoint is reached at the fixture.
+    * Degrees count the doubled relation's out-edges, so dropping a
+    * node removes both directions symmetrically.
+    *
+    * Output: (node, deg) — nodes surviving `rounds` peels with their
+    * degree INSIDE the surviving subgraph (≥ k at the fixpoint). */
+  def kcore(edges: DataFrame, k: Int, rounds: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k)
+      e = e.join(keep.select(col("src").as("__ka")),
+            col("src") === col("__ka"))
+        .join(keep.select(col("src").as("__kb")),
+            col("dst") === col("__kb"))
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+  }
 }

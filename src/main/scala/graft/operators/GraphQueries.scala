@@ -49,6 +49,16 @@ object GraphQueries extends QueryPack {
     * bipartite graph's diameter from the 10% seed set at every SF. */
   val bfsRounds = 6
 
+  /** graph_kcore parameters. k=10 is the smallest degree bound that
+    * actually peels the customer↔part purchase graph at every SF
+    * (measured: 2/350 nodes drop at sf0.001, 10/3500 at sf0.01 —
+    * non-vacuity law in R11dOpsSpec); 4 rounds = the measured
+    * cascade depth (2 at every SF) + headroom, with the fixpoint
+    * (round 4 == round 5) law-asserted so the FIXED unroll the
+    * oracle needs is also provably the converged core. */
+  val kcoreK = 10
+  val kcoreRounds = 4
+
   /** Edge list: distinct (part, supplier) pairs from lineitem, both
     * directions (bipartite undirected); suppliers offset to their own
     * id space. Built once per (session, dir) — every consumer
@@ -217,6 +227,37 @@ object GraphQueries extends QueryPack {
             .as("node_type"),
           $"dist")
         .orderBy($"node")
+    }),
+
+    // k-core peel (r11d) over the customer↔part PURCHASE graph (the
+    // second bipartite graph the fact tables hold — who-buys-what,
+    // with real degree variance from order counts; the part↔supplier
+    // graph is too uniform to cascade). Thin adapter over
+    // graft.api.Graph.kcore: 4 synchronous drop-degree-<k rounds,
+    // each one count-aggregate + two survivor equi-joins — O(E) per
+    // round, lineage truncated per round; the SHRINKING-fixpoint dual
+    // of graph_distance's growing one. The FIXED round count is what
+    // the unrolled DuckDB oracle replays; the fixpoint (round 4 ==
+    // round 5) and a brute-force sequential peel are law-asserted in
+    // R11dOpsSpec. Output: surviving nodes with their in-core degree.
+    "graph_kcore" -> ((s, dir) => {
+      import s.implicits._
+      val ed = graft.SessionCache.cached(s, s"kcore.edges:$dir") {
+        val b = Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "orders"),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".as("c"),
+            ($"l_partkey" + 2000000000L).as("p"))
+          .distinct()
+        b.select($"c".as("src"), $"p".as("dst"))
+          .unionByName(b.select($"p".as("src"), $"c".as("dst")))
+      }
+      graft.api.Graph.kcore(ed, kcoreK, kcoreRounds)
+        .select($"node",
+          when($"node" >= 2000000000L, "part").otherwise("customer")
+            .as("node_type"),
+          $"deg")
+        .orderBy($"node")
     }))
 
   /** The ten unrolled iterations, generated from the same constants as
@@ -249,7 +290,32 @@ object GraphQueries extends QueryPack {
        |  GROUP BY node)""".stripMargin
   }.mkString(",\n")
 
+  /** The unrolled peel rounds, generated from the same constants as
+    * the Spark loop (the bfsChain discipline; MATERIALIZED so each
+    * round computes once — the unrolled tree references its
+    * predecessor three times per round). */
+  private val kcoreChain: String = (1 to kcoreRounds).map { i =>
+    s"""k$i AS MATERIALIZED (SELECT src FROM e${i - 1}
+       |  GROUP BY src HAVING count(*) >= $kcoreK),
+       |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+       |  JOIN k$i a ON e.src = a.src
+       |  JOIN k$i b ON e.dst = b.src)""".stripMargin
+  }.mkString(",\n")
+
   def oracle: Seq[(String, String)] = Seq(
+    "graph_kcore" ->
+      s"""WITH b AS MATERIALIZED (SELECT DISTINCT o_custkey AS c,
+         |    2000000000 + l_partkey AS p
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e0 AS MATERIALIZED (SELECT c AS src, p AS dst FROM b
+         |       UNION ALL SELECT p, c FROM b),
+         |$kcoreChain
+         |SELECT src AS node,
+         |  CASE WHEN src >= 2000000000 THEN 'part'
+         |       ELSE 'customer' END AS node_type,
+         |  count(*) AS deg
+         |FROM e$kcoreRounds GROUP BY src ORDER BY node""".stripMargin,
+
     "graph_distance" ->
       s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey AS p,
          |    1000000000 + l_suppkey AS sn FROM lineitem),

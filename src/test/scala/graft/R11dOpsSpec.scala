@@ -61,6 +61,50 @@ class R11dOpsSpec extends SparkTestBase {
     assertSameRows(q("dim_lookup_pit"), want, "pit-vs-bruteforce")
   }
 
+  test("graph_kcore: fixed rounds reach the fixpoint; peel non-vacuous") {
+    import operators.GraphQueries.{kcoreK, kcoreRounds}
+    val got = q("graph_kcore").cache()
+    try {
+      val b = Tables.load(spark, sf, "lineitem")
+        .join(Tables.load(spark, sf, "orders"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"o_custkey".as("c"), ($"l_partkey" + 2000000000L).as("p"))
+        .distinct()
+      val ed = b.select($"c".as("src"), $"p".as("dst"))
+        .unionByName(b.select($"p".as("src"), $"c".as("dst")))
+      val total = ed.select($"src").distinct().count()
+      val n = got.count()
+      assert(n > 0, "empty core — degenerate fixture")
+      assert(n < total,
+        s"peel removed nothing at $sf (k=$kcoreK is vacuous here)")
+      // Fixpoint: one more round changes nothing — the fixed unroll
+      // the oracle replays is also the converged core.
+      assertSameRows(
+        api.Graph.kcore(ed, kcoreK, kcoreRounds + 1),
+        got.select($"node", $"deg"), "round4-vs-round5")
+      // Core property at the fixpoint: every survivor keeps >= k
+      // in-core neighbors.
+      assert(got.filter($"deg" < kcoreK).count() == 0,
+        s"a core node has degree < $kcoreK at the asserted fixpoint")
+      // Brute-force sequential peel over the collected graph.
+      var adj = ed.collect().map(r => (r.getLong(0), r.getLong(1)))
+      var changed = true
+      while (changed) {
+        val deg = adj.groupBy(_._1).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= kcoreK).keySet
+        val next = adj.filter { case (s2, d) =>
+          keep(s2) && keep(d) }
+        changed = next.length != adj.length
+        adj = next
+      }
+      val want = adj.groupBy(_._1).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      val gotPairs = got.select($"node", $"deg").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(gotPairs == want, "kcore differs from the sequential peel")
+    } finally got.unpersist()
+  }
+
   test("agg_weighted_median: defining inequality + sequential replay") {
     val got = q("agg_weighted_median").collect()
       .map(r => r.getString(0) ->
