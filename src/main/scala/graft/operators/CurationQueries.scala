@@ -81,6 +81,38 @@ object CurationQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // Deterministic epoch shuffle (r11d): the shard + within-shard
+    // ORDER a training run actually reads — shard by a salted hash,
+    // order within the shard by (hash, doc_id). Re-run/retry stable
+    // (never rand(); the sample_split discipline), and the order is
+    // PROVEN cross-engine: the audit row carries an order-sensitive
+    // integer checksum Σ hash32(position ':' doc_id) — exact, order-
+    // free to AGGREGATE but position-sensitive in VALUE, so it hash-
+    // matches iff both engines assign identical positions to
+    // identical docs (a collect_list digest would prove the same but
+    // buffers a whole shard in one task; the sum form is scale-safe).
+    // At 100 TB the per-shard row_number is a range-partitioned sort
+    // of one shard — exactly the write path of an epoch shard file.
+    "curate_shard" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"n_chars",
+          md5(concat(lit("shard:"), $"doc_id".cast(StringType)))
+            .as("hkey"))
+        .withColumn("shard", expr(
+          "CAST(conv(substr(hkey, 1, 4), 16, 10) AS BIGINT) % 16"))
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"shard").orderBy($"hkey", $"doc_id")))
+      d.groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"),
+          sum(expr("CAST(conv(substr(md5(concat(CAST(pos AS STRING)," +
+            " ':', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+            .as("order_sum"))
+        .orderBy($"shard")
+    }),
+
     "sample_split" -> ((s, dir) => {
       import s.implicits._
       Tables.load(s, dir, "documents")
@@ -446,6 +478,24 @@ object CurationQueries extends QueryPack {
         |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
         |    * 1000 // count(*) AS dup_permille
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "curate_shard" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    md5('shard:' || CAST(doc_id AS VARCHAR)) AS hkey
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_chars, hkey,
+        |    CAST('0x' || substr(hkey, 1, 4) AS BIGINT) % 16 AS shard
+        |  FROM d),
+        |p AS (SELECT shard, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY shard
+        |                       ORDER BY hkey, doc_id) AS pos
+        |  FROM s)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(CAST(pos AS VARCHAR) || ':'
+        |      || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS order_sum
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
 
     "sample_split" ->
       """WITH b AS (SELECT doc_id, n_chars,

@@ -234,6 +234,37 @@ object SourceSinkQueries extends QueryPack {
         .orderBy($"event_type")
     }),
 
+    // Small-file compaction PLANNER (r11d): assign items to target-
+    // sized output files by greedy in-order bin packing — the
+    // OPTIMIZE/rewrite-data-files planning step every table format
+    // runs against a manifest. bin = floor(exclusive-prefix-sum of
+    // bytes / target): pure integer arithmetic over one per-source
+    // running-sum window, so the plan is deterministic and every bin
+    // except the last of a source lands in [target, target + max
+    // item) bytes (law in R11dOpsSpec). Per-source windows are the
+    // scale shape: a 100-TB table's compaction planner sorts FILE
+    // MANIFEST rows (thousands per partition), never data — the
+    // window input here is metadata-sized by construction, and
+    // distinct sources plan in parallel.
+    "sink_compaction_plan" -> ((s, dir) => {
+      import s.implicits._
+      val target = 2000L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      Tables.load(s, dir, "documents")
+        .select($"source", $"doc_id", $"n_chars")
+        .withColumn("prior", coalesce(sum($"n_chars").over(w), lit(0L)))
+        .withColumn("bin", expr(s"prior div ${target}L"))
+        .groupBy($"source", $"bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("bin_chars"),
+          min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
+        .orderBy($"source", $"bin")
+    }),
+
     // Bucketed-table sink + exchange-free join (r11c): the storage
     // layout decision that deletes the biggest shuffle a warehouse
     // has — both fact tables are written `bucketBy(8, orderkey)` +
@@ -446,6 +477,19 @@ object SourceSinkQueries extends QueryPack {
         |FROM orders
         |WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "sink_compaction_plan" ->
+      """WITH d AS (SELECT source, doc_id, n_chars,
+        |    COALESCE(sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS prior
+        |  FROM documents)
+        |SELECT source, CAST(prior // 2000 AS BIGINT) AS bin,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS bin_chars,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM d GROUP BY source, bin ORDER BY source, bin""".stripMargin,
 
     "sink_parquet_part" ->
       """SELECT event_type, count(*) AS n,

@@ -61,6 +61,96 @@ class R11dOpsSpec extends SparkTestBase {
     assertSameRows(q("dim_lookup_pit"), want, "pit-vs-bruteforce")
   }
 
+  test("curate_shard: accounting, reshard stability, order-sensitive sum") {
+    val got = q("curate_shard").cache()
+    try {
+      val docs = Tables.load(spark, sf, "documents")
+      assert(got.count() == 16, "not all 16 shards present")
+      val Array(nd, sc) = got.agg(sum($"n_docs"), sum($"sum_chars"))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      assert(nd == docs.count(), "shard doc counts don't sum to corpus")
+      assert(sc == docs.agg(sum($"n_chars")).head().getLong(0),
+        "shard char mass doesn't sum to corpus")
+      // Reshard stability: the assignment/order must not depend on
+      // input partitioning (the whole point of hash order vs rand()).
+      val docs2 = docs.repartition(7, $"lang")
+      val got2 = docs2
+        .select($"doc_id", $"n_chars",
+          md5(concat(lit("shard:"), $"doc_id".cast("string"))).as("hkey"))
+        .withColumn("shard", expr(
+          "CAST(conv(substr(hkey, 1, 4), 16, 10) AS BIGINT) % 16"))
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"shard").orderBy($"hkey", $"doc_id")))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+          sum(expr("CAST(conv(substr(md5(concat(CAST(pos AS STRING)," +
+            " ':', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+            .as("order_sum"))
+      assertSameRows(got, got2.orderBy($"shard"), "reshard-stability")
+      // The checksum must actually SEE order: reversing the
+      // within-shard order must change it (else the order proof is
+      // vacuous — a membership digest in disguise).
+      val rev = docs
+        .select($"doc_id",
+          md5(concat(lit("shard:"), $"doc_id".cast("string"))).as("hkey"))
+        .withColumn("shard", expr(
+          "CAST(conv(substr(hkey, 1, 4), 16, 10) AS BIGINT) % 16"))
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"shard").orderBy($"hkey".desc, $"doc_id".desc)))
+        .groupBy($"shard")
+        .agg(sum(expr("CAST(conv(substr(md5(concat(CAST(pos AS STRING)," +
+          " ':', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+          .as("order_sum"))
+      val fwd = got.select($"shard", $"order_sum")
+      val differing = fwd.join(rev.withColumnRenamed("order_sum", "r"),
+        "shard").filter($"order_sum" === $"r").count()
+      assert(differing < 16,
+        "reversed order produced identical checksums on every shard")
+    } finally got.unpersist()
+  }
+
+  test("sink_compaction_plan: sequential replay + bin shape") {
+    val got = q("sink_compaction_plan").cache()
+    try {
+      val docs = Tables.load(spark, sf, "documents")
+        .select($"source", $"doc_id", $"n_chars").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.agg(sum($"n_docs")).head().getLong(0) == docs.length,
+        "bin doc counts don't sum to corpus")
+      // Greedy replay: walk each source in doc_id order, bin =
+      // floor(running-prior / target).
+      val assigned: Seq[(String, Long, Long, Long)] =
+        docs.groupBy(_._1).toSeq.flatMap { case (src, rs) =>
+          var prior = 0L
+          rs.sortBy(_._2).map { case (_, id, ch) =>
+            val bin = prior / 2000L
+            prior += ch
+            (src, bin, id, ch)
+          }.toSeq
+        }
+      val want = assigned.groupBy(t => (t._1, t._2)).toSeq
+        .map { case ((src, bin), xs) =>
+          (src, bin, xs.size.toLong, xs.map(_._4).sum,
+            xs.map(_._3).min, xs.map(_._3).max)
+        }.sortBy(x => (x._1, x._2))
+      val gotRows = got.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      assert(gotRows == want, "compaction plan differs from replay")
+      // Bins are contiguous from 0 per source, and the planner is
+      // non-vacuous (some source actually needs >1 file).
+      val shape = got.groupBy($"source")
+        .agg(min($"bin").as("mn"), max($"bin").as("mx"),
+          countDistinct($"bin").as("nb"))
+      assert(shape.filter($"mn" =!= 0 || $"nb" =!= $"mx" + 1)
+        .count() == 0, "bins not contiguous from 0")
+      assert(shape.filter($"nb" > 1).count() > 0,
+        "every source fits one bin — target vacuous at this fixture")
+    } finally got.unpersist()
+  }
+
   test("graph_kcore: fixed rounds reach the fixpoint; peel non-vacuous") {
     import operators.GraphQueries.{kcoreK, kcoreRounds}
     val got = q("graph_kcore").cache()
