@@ -252,6 +252,41 @@ object TrainQueries extends QueryPack {
         .orderBy($"source")
     }),
 
+    // Leak-proof train/valid/test split (r11d): the contamination
+    // bug sample_split cannot fix — two near-duplicate docs hashed
+    // by their OWN ids can land in train and test, leaking eval
+    // content into training verbatim. Here the split key is the
+    // doc's LSH CLUSTER label (its component's canonical min id;
+    // singletons fall back to their own id), so every near-dup
+    // cluster moves as a unit by construction — the group-aware
+    // split k-fold CV calls "grouped", applied to dedup clusters.
+    // All the heavy lifting is the session-cached components
+    // fixpoint shared with dedup_minhash_cluster/pipeline_neardup;
+    // this key adds one left join + a salted-hash bucket + one
+    // two-phase agg. The leak property itself (no cluster straddles
+    // splits, and the naive split WOULD have straddled) is
+    // law-asserted in R11dOpsSpec at sf0.1, where true dup clusters
+    // exist by fixture construction.
+    "sample_split_leakproof" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", $"n_chars")
+        .join(minhashComps(s, dir), Seq("doc_id"), "left")
+        .withColumn("grp", coalesce($"comp", $"doc_id"))
+        .withColumn("bucket", expr(
+          "CAST(conv(substr(md5(concat('lsplit:', CAST(grp AS STRING)))," +
+            " 1, 4), 16, 10) AS BIGINT) % 100"))
+        .withColumn("split",
+          when($"bucket" < 80, "train")
+            .when($"bucket" < 90, "valid")
+            .otherwise("test"))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"grp").as("n_groups"),
+          sum($"n_chars").as("sum_chars"))
+        .orderBy($"split")
+    }),
+
     // 16-bit SimHash over tf-weighted token hashes; docs sharing a
     // signature (n_mates > 1) are near-dup candidates.
     "dedup_simhash" -> ((s, dir) => {
@@ -890,6 +925,25 @@ object TrainQueries extends QueryPack {
         |  CAST(sum(CASE WHEN keep THEN n_chars END) AS BIGINT)
         |    AS kept_chars
         |FROM applied GROUP BY source ORDER BY source""".stripMargin,
+
+    // The same closure CTEs as dedup_minhash_cluster, then the split
+    // is a pure function of the (component-or-self) group key.
+    "sample_split_leakproof" ->
+      s"""WITH $minhashClosureCtes,
+        |g AS (SELECT d.doc_id, d.n_chars,
+        |    COALESCE(c.l, d.doc_id) AS grp
+        |  FROM documents d
+        |  LEFT JOIN ${DedupCluster.closureFinalCte()} c ON d.doc_id = c.n),
+        |b AS (SELECT doc_id, n_chars, grp,
+        |    CAST('0x' || substr(md5('lsplit:' || CAST(grp AS VARCHAR)),
+        |         1, 4) AS BIGINT) % 100 AS bucket FROM g),
+        |s AS (SELECT CASE WHEN bucket < 80 THEN 'train'
+        |    WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+        |    doc_id, n_chars, grp FROM b)
+        |SELECT split, count(*) AS n_docs,
+        |  count(DISTINCT grp) AS n_groups,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
 
     "dedup_simhash" ->
       """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (

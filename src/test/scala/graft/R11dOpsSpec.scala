@@ -195,6 +195,41 @@ class R11dOpsSpec extends SparkTestBase {
     } finally got.unpersist()
   }
 
+  test("sample_split_leakproof: clusters never straddle; naive would") {
+    // sf0.1 is the fixture tier with true dup clusters by
+    // construction (8 exact-duplicate texts).
+    val dir = "/root/testdata/sf0.1"
+    val comps = SparkEntry.queries("dedup_minhash_cluster")(spark, dir)
+      .filter(!$"canonical").select($"doc_id", $"comp").cache()
+    try {
+      assert(comps.count() > 0,
+        "no non-singleton clusters at sf0.1 — the leak law is vacuous")
+      def splitOf(grpCol: org.apache.spark.sql.Column) =
+        expr("CAST(conv(substr(md5(concat('lsplit:', CAST(grp AS " +
+          "STRING))), 1, 4), 16, 10) AS BIGINT) % 100")
+      // Cluster-keyed split: every member of a component gets its
+      // canonical label's bucket — by construction AND verified.
+      val docs = Tables.load(spark, dir, "documents").select($"doc_id")
+      val withGrp = docs.join(comps, Seq("doc_id"), "left")
+        .withColumn("grp", coalesce($"comp", $"doc_id"))
+        .withColumn("bucket", splitOf($"grp"))
+      val straddling = withGrp.filter($"comp".isNotNull)
+        .groupBy($"comp").agg(countDistinct($"bucket").as("nb"))
+        .filter($"nb" > 1).count()
+      assert(straddling == 0, "a dup cluster straddles split buckets")
+      // The op is non-vacuous: the doc-id-keyed naive split WOULD
+      // have torn at least one cluster apart (eval leakage).
+      val naive = docs.join(comps, Seq("doc_id"))
+        .withColumn("grp", $"doc_id")
+        .withColumn("bucket", splitOf($"grp"))
+        .groupBy($"comp").agg(countDistinct($"bucket").as("nb"))
+        .filter($"nb" > 1).count()
+      assert(naive > 0,
+        "naive split tears no cluster at sf0.1 — the fixture no " +
+          "longer demonstrates the leak this op prevents")
+    } finally comps.unpersist()
+  }
+
   test("agg_weighted_median: defining inequality + sequential replay") {
     val got = q("agg_weighted_median").collect()
       .map(r => r.getString(0) ->
