@@ -513,6 +513,48 @@ object AggQueries extends QueryPack {
     // ESTIMATE itself hash-matches DuckDB exactly (the sketch_kmv
     // discipline: estimates are deterministic functions of exact
     // states).
+    // EXACT bitmap set algebra (r11d): the exact twin of
+    // sketch_kmv_ops. The per-(type, bucket) bitmap states built by
+    // agg_bitmap_distinct are a reusable INDEX — audience-overlap
+    // questions (how many users did both A and B?) answer from the
+    // states alone, never re-scanning events. Spark 4 ships or-merge
+    // (bitmap_or_agg) but no bitmap_and, so intersection uses
+    // inclusion-exclusion: |A∩B| = |A| + |B| − |A∪B|, with |A∪B| one
+    // bucket-keyed or-merge per pair — 10 pairs × a few 4 KB bitmaps
+    // here, and at ANY corpus size the pair algebra runs over
+    // state-sized relations (buckets × 4 KB), corpus-independent.
+    // Jaccard is exact integer ppm over exact cardinalities, so the
+    // whole overlap matrix hash-matches DuckDB's COUNT(DISTINCT)
+    // ground truth.
+    "sketch_bitmap_ops" -> ((s, dir) => {
+      import s.implicits._
+      val bm = graft.SessionCache.cached(s, s"bitmap.states:$dir") {
+        Tables.load(s, dir, "events")
+          .select($"event_type",
+            expr("bitmap_bucket_number(user_id)").as("bkt"),
+            expr("bitmap_bit_position(user_id)").as("pos"))
+          .groupBy($"event_type", $"bkt")
+          .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+      }
+      val counts = bm.groupBy($"event_type")
+        .agg(sum(expr("bitmap_count(bm)")).as("n"))
+      val prs = counts.select($"event_type".as("ta"), $"n".as("na"))
+        .join(counts.select($"event_type".as("tb"), $"n".as("nb")),
+          $"ta" < $"tb")
+      val unions = prs.select($"ta", $"tb")
+        .join(bm, $"event_type" === $"ta" || $"event_type" === $"tb")
+        .groupBy($"ta", $"tb", $"bkt")
+        .agg(expr("bitmap_or_agg(bm)").as("u"))
+        .groupBy($"ta", $"tb")
+        .agg(sum(expr("bitmap_count(u)")).as("n_union"))
+      prs.join(unions, Seq("ta", "tb"))
+        .select($"ta", $"tb", $"na", $"nb", $"n_union",
+          ($"na" + $"nb" - $"n_union").as("n_inter"),
+          expr("(na + nb - n_union) * 1000000 div n_union")
+            .as("jacc_ppm"))
+        .orderBy($"ta", $"tb")
+    }),
+
     "sketch_kmv_ops" -> ((s, dir) => {
       import s.implicits._
       val k = 32
@@ -557,6 +599,24 @@ object AggQueries extends QueryPack {
   )
 
   def oracle: Seq[(String, String)] = Seq(
+    // Ground truth for the bitmap algebra: plain exact distincts.
+    "sketch_bitmap_ops" ->
+      """WITH a AS (SELECT DISTINCT event_type, user_id FROM events),
+        |c AS (SELECT event_type, count(*) AS n FROM a
+        |  GROUP BY event_type),
+        |prs AS (SELECT x.event_type AS ta, x.n AS na,
+        |    y.event_type AS tb, y.n AS nb
+        |  FROM c x JOIN c y ON x.event_type < y.event_type),
+        |u AS (SELECT p.ta, p.tb, count(DISTINCT a.user_id) AS n_union
+        |  FROM prs p JOIN a ON a.event_type = p.ta
+        |    OR a.event_type = p.tb
+        |  GROUP BY p.ta, p.tb)
+        |SELECT ta, tb, na, nb, n_union,
+        |  na + nb - n_union AS n_inter,
+        |  (na + nb - n_union) * 1000000 // n_union AS jacc_ppm
+        |FROM prs JOIN u USING (ta, tb)
+        |ORDER BY ta, tb""".stripMargin,
+
     "sketch_kmv_ops" ->
       """WITH ks AS (SELECT event_type, h FROM (
         |    SELECT event_type, h, row_number() OVER (

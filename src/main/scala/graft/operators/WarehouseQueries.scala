@@ -180,6 +180,45 @@ object WarehouseQueries extends QueryPack {
         .orderBy($"user_id", $"version")
     }),
 
+    // Incremental MATERIALIZED-VIEW maintenance (r11d): the
+    // aggregate twin of dim_scd2_merge. A 100-TB warehouse never
+    // recomputes its per-(type, day) rollup from all of time — it
+    // stores the aggregate STATE and folds in the day's delta. The
+    // state here is the mergeable partial (n, sum, min, max): count
+    // and sum add, min/max combine, so merge = union the stored and
+    // delta partials and re-aggregate — one shuffle of state-sized
+    // relations (bounded by |group keys|, not |events|). Day is
+    // integer epoch-microseconds div 86400e6 (never engine date
+    // functions — the ts_seasonality cross-engine discipline);
+    // value folds through exact cents. The correctness claim is the
+    // strongest available: the ORACLE IS THE FULL RECOMPUTE —
+    // incremental ≡ recompute row-for-row — and cut-invariance
+    // (any two cutoffs merge to the same view) is law-asserted in
+    // R11dOpsSpec.
+    "agg_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val t = java.time.Instant.parse("2024-01-16T00:00:00Z")
+      def partial(pred: org.apache.spark.sql.Column) =
+        Tables.load(s, dir, "events").filter(pred)
+          .select($"event_type",
+            expr("unix_micros(ts) div 86400000000").as("day"),
+            Det.centsLong(Det.money($"value"), 100, "cents"),
+            $"event_id")
+          .groupBy($"event_type", $"day")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"),
+            min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+      // The stored MV state (pre-T), session-cached as the stand-in
+      // for the persisted table; the delta partial is the day's batch.
+      val hist = graft.SessionCache.cached(s, s"mv.hist:$dir") {
+        partial($"ts" < lit(t))
+      }
+      hist.unionByName(partial($"ts" >= lit(t)))
+        .groupBy($"event_type", $"day")
+        .agg(sum($"n").as("n"), sum($"sum_cents").as("sum_cents"),
+          min($"min_id").as("min_id"), max($"max_id").as("max_id"))
+        .orderBy($"event_type", $"day")
+    }),
+
     "win_ntile" -> ((s, dir) => {
       import s.implicits._
       Tables.load(s, dir, "customer")
@@ -376,6 +415,19 @@ object WarehouseQueries extends QueryPack {
         |  AND h.valid_from <= v.ts_us
         |  AND (h.valid_to IS NULL OR v.ts_us < h.valid_to)
         |GROUP BY 1 ORDER BY tier""".stripMargin,
+
+    // Full recompute — the merge must equal it row-for-row.
+    "agg_incremental" ->
+      """WITH g AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day, value, event_id
+        |  FROM events)
+        |SELECT event_type, CAST(day AS BIGINT) AS day,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |    AS sum_cents,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM g GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
 
     "agg_weighted_median" ->
       """WITH w AS (SELECT l_returnflag,

@@ -61,6 +61,64 @@ class R11dOpsSpec extends SparkTestBase {
     assertSameRows(q("dim_lookup_pit"), want, "pit-vs-bruteforce")
   }
 
+  test("agg_incremental: cut-invariance and non-vacuous cutoff") {
+    import org.apache.spark.sql.Column
+    def partial(pred: Column) =
+      Tables.load(spark, sf, "events").filter(pred)
+        .select($"event_type",
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          Det.centsLong(Det.money($"value"), 100, "cents"), $"event_id")
+        .groupBy($"event_type", $"day")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"),
+          min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+    def mergedAt(cut: String) = {
+      val t = java.time.Instant.parse(cut)
+      val h = partial($"ts" < lit(t))
+      val d = partial($"ts" >= lit(t))
+      assert(h.count() > 0 && d.count() > 0,
+        s"cutoff $cut leaves an empty side — the merge is vacuous")
+      h.unionByName(d).groupBy($"event_type", $"day")
+        .agg(sum($"n").as("n"), sum($"sum_cents").as("sum_cents"),
+          min($"min_id").as("min_id"), max($"max_id").as("max_id"))
+    }
+    // Any cutoff merges to the same view — the mergeable-state
+    // property that makes the MV maintainable at all.
+    val a = mergedAt("2024-01-16T00:00:00Z")
+    val b = mergedAt("2024-01-05T12:00:00Z")
+    assertSameRows(a, b, "cut-invariance")
+    assertSameRows(q("agg_incremental"),
+      a.orderBy($"event_type", $"day"), "key-vs-inline")
+  }
+
+  test("sketch_bitmap_ops: algebra bounds + in-engine ground truth") {
+    val got = q("sketch_bitmap_ops").cache()
+    try {
+      assert(got.count() == 10, "expected 10 type pairs")
+      assert(got.filter($"n_inter" > least($"na", $"nb") ||
+        $"n_union" < greatest($"na", $"nb") ||
+        $"n_union" > $"na" + $"nb").count() == 0,
+        "set-algebra bounds violated")
+      // Ground truth recomputed in-engine with plain distincts.
+      val a = Tables.load(spark, sf, "events")
+        .select($"event_type", $"user_id").distinct().cache()
+      val c = a.groupBy($"event_type").agg(count(lit(1)).as("n"))
+      val prs = c.select($"event_type".as("ta"), $"n".as("na"))
+        .join(c.select($"event_type".as("tb"), $"n".as("nb")),
+          $"ta" < $"tb")
+      val inter = a.select($"event_type".as("ta"), $"user_id")
+        .join(a.select($"event_type".as("tb"), $"user_id"),
+          Seq("user_id")).filter($"ta" < $"tb")
+        .groupBy($"ta", $"tb").agg(count(lit(1)).as("n_inter"))
+      val want = prs.join(inter, Seq("ta", "tb"))
+        .select($"ta", $"tb", $"na", $"nb",
+          ($"na" + $"nb" - $"n_inter").as("n_union"), $"n_inter",
+          expr("(n_inter) * 1000000 div (na + nb - n_inter)")
+            .as("jacc_ppm"))
+      assertSameRows(got, want, "bitmap-vs-distinct")
+      a.unpersist()
+    } finally got.unpersist()
+  }
+
   test("curate_shard: accounting, reshard stability, order-sensitive sum") {
     val got = q("curate_shard").cache()
     try {
