@@ -43,6 +43,12 @@ import org.apache.spark.sql.types._
   */
 object LlmQueries extends QueryPack {
 
+  /** vec_rerank_mmr knobs — shared by the Spark loop and the unrolled
+    * oracle template (the pagerank constants discipline): shortlist
+    * size per query and the FIXED greedy pick count. */
+  val mmrShort = 20
+  val mmrPicks = 3
+
   /** Distinct (doc_id, term) pairs, lowercased whitespace tokens. */
   private def tokens(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
@@ -424,6 +430,75 @@ object LlmQueries extends QueryPack {
           cIdCol = "vec_id", cVecCol = "embedding")
         .select($"q_id", $"rank", $"c_id", round($"cos", 6).as("cos_r"))
         .orderBy($"q_id", $"rank")
+    }),
+
+    // MMR diversified re-rank (r11d; Carbonell & Goldstein SIGIR'98):
+    // retrieval's second stage — a raw top-k is often near-duplicate
+    // spam (the corpus IS full of near-dups; that's why the dedup
+    // family exists), so the picks greedily trade relevance against
+    // similarity-to-already-picked: score = 0.7·rel − 0.3·max_sim.
+    // Scale shape: the expensive part stays the FIRST stage (any of
+    // vec_knn/vec_knn_ivf/vec_ivfpq); MMR itself runs entirely on the
+    // shortlist — 20 candidates and 20×19 pairwise sims per query,
+    // bounded per query regardless of corpus size, all broadcast-
+    // sized relations. The greedy rounds are UNROLLED (fixed pick
+    // count), each one anti-join + max-aggregate + argmax window over
+    // shortlist-sized frames — the same fixed-iteration discipline as
+    // pagerank/BFS/kcore, so the DuckDB oracle replays the identical
+    // rounds; relevance and pairwise sims reuse vec_knn's fold-equal
+    // cosine arithmetic, and every pick tie-breaks on c_id.
+    "vec_rerank_mmr" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "embeddings")
+      val shortlist = graft.SessionCache.cached(s, s"mmr.short:$dir") {
+        graft.api.VectorSearch.knnCosine(
+          e.filter($"vec_id" < 10), e, k = mmrShort,
+          qIdCol = "vec_id", qVecCol = "embedding",
+          cIdCol = "vec_id", cVecCol = "embedding")
+          .select($"q_id", $"c_id", $"cos".as("rel"))
+      }
+      val sims = graft.SessionCache.cached(s, s"mmr.sims:$dir") {
+        graft.functions.VectorExpressions.register(s)
+        val sc = shortlist.join(
+            e.select($"vec_id", $"embedding".as("ce"),
+              expr("fnorm2(embedding)").as("css")),
+            $"c_id" === $"vec_id")
+          .select($"q_id", $"c_id", $"ce", $"css")
+        sc.select($"q_id", $"c_id".as("a"), $"ce".as("ae"),
+            $"css".as("ass"))
+          .join(sc.select($"q_id".as("q2"), $"c_id".as("b"),
+              $"ce".as("be"), $"css".as("bss")),
+            $"q_id" === $"q2" && $"a" =!= $"b")
+          .select($"q_id", $"a", $"b",
+            (expr("fdot(ae, be)") / sqrt($"ass" * $"bss")).as("sim"))
+      }
+      val w = Window.partitionBy($"q_id")
+      var selected = shortlist
+        .withColumn("rn", row_number().over(
+          w.orderBy($"rel".desc, $"c_id")))
+        .filter($"rn" === 1)
+        .select($"q_id", lit(1L).as("pick"), $"c_id",
+          ($"rel" * 0.7).as("score"))
+      for (r <- 2 to mmrPicks) {
+        val selIds = selected.select($"q_id".as("sq"), $"c_id".as("s_id"))
+        val maxsim = sims.join(selIds,
+            $"q_id" === $"sq" && $"b" === $"s_id")
+          .groupBy($"q_id", $"a").agg(max($"sim").as("ms"))
+        val next = shortlist
+          .join(selIds, $"q_id" === $"sq" && $"c_id" === $"s_id",
+            "left_anti")
+          .join(maxsim.select($"q_id".as("mq"), $"a", $"ms"),
+            $"q_id" === $"mq" && $"c_id" === $"a")
+          .withColumn("score", $"rel" * 0.7 - $"ms" * 0.3)
+          .withColumn("rn", row_number().over(
+            w.orderBy($"score".desc, $"c_id")))
+          .filter($"rn" === 1)
+          .select($"q_id", lit(r.toLong).as("pick"), $"c_id", $"score")
+        selected = selected.unionByName(next)
+      }
+      selected.select($"q_id", $"pick", $"c_id",
+          round($"score", 6).as("score_r"))
+        .orderBy($"q_id", $"pick")
     }),
 
     // IVF-style approximate kNN — the 100-TB scale path for
@@ -945,6 +1020,62 @@ object LlmQueries extends QueryPack {
         |  CAST(min(norm_r) AS DOUBLE) AS min_norm,
         |  CAST(max(norm_r) AS DOUBLE) AS max_norm
         |FROM v GROUP BY label ORDER BY label""".stripMargin,
+
+    "vec_rerank_mmr" -> {
+      // Rounds 2..mmrPicks generated from the same constants as the
+      // Spark loop (the pagerank shared-template discipline).
+      val rounds = (2 to mmrPicks).map { r =>
+        s"""ms$r AS MATERIALIZED (SELECT s.q_id, s.a, max(s.sim) AS ms
+           |  FROM sims s JOIN cum${r - 1} c
+           |    ON s.q_id = c.q_id AND s.b = c.c_id
+           |  GROUP BY s.q_id, s.a),
+           |cand$r AS (SELECT sh.q_id, sh.c_id,
+           |    sh.rel * 0.7 - m.ms * 0.3 AS score
+           |  FROM short sh JOIN ms$r m
+           |    ON sh.q_id = m.q_id AND sh.c_id = m.a
+           |  WHERE NOT EXISTS (SELECT 1 FROM cum${r - 1} c
+           |    WHERE c.q_id = sh.q_id AND c.c_id = sh.c_id)),
+           |sel$r AS (SELECT q_id, $r AS pick, c_id, score FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY score DESC, c_id) AS rn FROM cand$r)
+           |  WHERE rn = 1),
+           |cum$r AS MATERIALIZED (SELECT * FROM cum${r - 1}
+           |  UNION ALL SELECT * FROM sel$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding,
+        |    list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |      (a, b) -> a + b) AS ss FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+        |      (a, b) -> a + b) / sqrt(q.ss * c.ss) AS rel
+        |  FROM e q CROSS JOIN e c
+        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |short AS MATERIALIZED (SELECT q_id, c_id, rel FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY rel DESC, c_id) AS rank FROM pairs)
+        |  WHERE rank <= $mmrShort),
+        |sc AS MATERIALIZED (SELECT s.q_id, s.c_id,
+        |    e.embedding AS ce, e.ss AS css
+        |  FROM short s JOIN e ON s.c_id = e.vec_id),
+        |sims AS MATERIALIZED (SELECT x.q_id, x.c_id AS a, y.c_id AS b,
+        |    list_reduce(list_transform(list_zip(x.ce, y.ce),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+        |      (a2, b2) -> a2 + b2) / sqrt(x.css * y.css) AS sim
+        |  FROM sc x JOIN sc y
+        |    ON x.q_id = y.q_id AND x.c_id <> y.c_id),
+        |cum1 AS MATERIALIZED (SELECT q_id, 1 AS pick, c_id,
+        |    rel * 0.7 AS score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY rel DESC, c_id) AS rn FROM short)
+        |  WHERE rn = 1),
+        |$rounds
+        |SELECT q_id, CAST(pick AS BIGINT) AS pick, c_id,
+        |  round(score, 6) AS score_r
+        |FROM cum$mmrPicks ORDER BY q_id, pick""".stripMargin
+    },
 
     "vec_knn" ->
       """WITH e AS (SELECT vec_id, embedding,

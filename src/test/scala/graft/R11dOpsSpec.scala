@@ -61,6 +61,65 @@ class R11dOpsSpec extends SparkTestBase {
     assertSameRows(q("dim_lookup_pit"), want, "pit-vs-bruteforce")
   }
 
+  test("vec_rerank_mmr: exact greedy replay + diversification bites") {
+    import operators.LlmQueries.{mmrShort, mmrPicks}
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s0 = 0.0; var i = 0
+      while (i < a.length) { s0 += a(i).toDouble * b(i).toDouble; i += 1 }
+      s0
+    }
+    def norm2(a: Array[Float]): Double = dot(a, a)
+    val queries = vecs.keys.filter(_ < 10).toSeq.sorted
+    val replay = queries.flatMap { q =>
+      val qv = vecs(q)
+      val rel = vecs.toSeq.filter(_._1 != q).map { case (c, cv) =>
+        c -> dot(qv, cv) / math.sqrt(norm2(qv) * norm2(cv))
+      }
+      val short = rel.sortBy { case (c, r) => (-r, c) }.take(mmrShort)
+      val relMap = short.toMap
+      var selected = Vector.empty[(Long, Long, Long, Double)]
+      var chosen = Set.empty[Long]
+      for (p <- 1 to mmrPicks) {
+        val cands = short.filterNot { case (c, _) => chosen(c) }
+        val scored = cands.map { case (c, r) =>
+          val ms = if (chosen.isEmpty) 0.0
+            else chosen.map(s0 => dot(vecs(c), vecs(s0)) /
+              math.sqrt(norm2(vecs(c)) * norm2(vecs(s0)))).max
+          c -> (if (chosen.isEmpty) r * 0.7 else r * 0.7 - ms * 0.3)
+        }
+        val (c, sc) = scored.minBy { case (cd, s0) => (-s0, cd) }
+        selected :+= ((q, p.toLong, c,
+          BigDecimal(sc).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble))
+        chosen += c
+      }
+      assert(relMap.nonEmpty)
+      selected
+    }
+    val got = q("vec_rerank_mmr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) ==
+      replay.map(t => (t._1, t._2, t._3)),
+      "MMR picks differ from the exact greedy replay")
+    got.zip(replay).foreach { case (g, w) =>
+      assert(math.abs(g._4 - w._4) < 2e-6,
+        s"score drift at ${g._1}/${g._2}: ${g._4} vs ${w._4}")
+    }
+    // Diversification must actually bite somewhere: at least one
+    // query's pick list deviates from the pure-relevance order.
+    val knn = SparkEntry.queries("vec_knn")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val deviates = got.filter(_._2 >= 2).exists { case (q0, p, c, _) =>
+      knn.get((q0, p)).exists(_ != c)
+    }
+    assert(deviates,
+      "every MMR list equals the raw top-k — diversification vacuous")
+  }
+
   test("agg_incremental: cut-invariance and non-vacuous cutoff") {
     import org.apache.spark.sql.Column
     def partial(pred: Column) =
