@@ -199,6 +199,74 @@ object SensorQueries extends QueryPack {
         .orderBy($"user_id")
     }),
 
+    // Cohort retention matrix (r11d) — the canonical product-
+    // analytics rollup: users grouped by SIGNUP day, distinct-active
+    // counted per (cohort, day offset). Cohort and activity days are
+    // integer epoch_us div 86400e6 (never engine date functions —
+    // ts_seasonality's adjudication); pre-signup activity is excluded
+    // by the offset >= 0 filter (retention counts activity SINCE
+    // signup); ret_ppm is exact-integer against the offset-0 cohort
+    // size. Scale shape: one user-keyed shuffle builds both the
+    // cohort relation and the distinct (user, day) activity relation,
+    // then everything aggregates to |cohorts|x|offsets| rows; the
+    // matrix is state-sized, never event-sized.
+    "agg_cohort_retention" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"user_id", $"event_type",
+          expr("unix_micros(ts) div 86400000000").as("day"))
+      val cohort = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"day").as("cd"))
+      val act = ev.select($"user_id", $"day").distinct()
+      val cells = act.join(cohort, "user_id")
+        .filter($"day" >= $"cd")
+        .select($"cd", ($"day" - $"cd").as("offset"), $"user_id")
+        .groupBy($"cd", $"offset")
+        .agg(countDistinct($"user_id").as("n_users"))
+      val size = cells.filter($"offset" === 0)
+        .select($"cd", $"n_users".as("cohort_n"))
+      cells.join(size, "cd")
+        .select($"cd", $"offset", $"n_users", $"cohort_n",
+          expr("n_users * 1000000 div cohort_n").as("ret_ppm"))
+        .orderBy($"cd", $"offset")
+    }),
+
+    // Time-BOUNDED conversion funnel (r11d): funnel_steps with
+    // conversion windows — a click only counts within 48 h of the
+    // user's first view, a purchase within 48 h of that click (the
+    // attribution-window semantics real funnels carry; the unbounded
+    // form overstates conversion by attributing a purchase weeks
+    // later). Same chained per-user min-aggregate shape as
+    // funnel_steps — never a raw-history window — with the window
+    // bound as a join predicate; gaps stay exact integer
+    // microseconds. Output is the 1-row stage summary with exact gap
+    // mass (the per-user relation is funnel_steps' surface).
+    "funnel_window" -> ((s, dir) => {
+      import s.implicits._
+      val W = 172800000000L // 48 h in us
+      val ev = Tables.load(s, dir, "events")
+        .select($"user_id", $"event_type",
+          expr("unix_micros(ts)").as("tus"))
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"tus").as("vt"))
+      val c = ev.filter($"event_type" === "click").join(v, "user_id")
+        .filter($"tus" > $"vt" && $"tus" <= $"vt" + W)
+        .groupBy($"user_id", $"vt").agg(min($"tus").as("ct"))
+      val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+        .filter($"tus" > $"ct" && $"tus" <= $"ct" + W)
+        .groupBy($"user_id", $"ct").agg(min($"tus").as("pt"))
+      val nv = v.agg(count(lit(1)).as("n_view"))
+      val nc = c.agg(count(lit(1)).as("n_click"),
+        sum($"ct" - $"vt").as("click_gap_us"))
+      val np = p.agg(count(lit(1)).as("n_purchase"),
+        sum($"pt" - $"ct").as("purchase_gap_us"))
+      nv.crossJoin(nc).crossJoin(np)
+        .select($"n_view", $"n_click", $"n_purchase",
+          $"click_gap_us", $"purchase_gap_us",
+          expr("n_click * 1000000 div n_view").as("view_click_ppm"),
+          expr("n_purchase * 1000000 div n_click").as("click_purch_ppm"))
+    }),
+
     // Per-type min-max normalization: extrema are an order-free 5-row
     // aggregate broadcast back onto the stream; the normalized value
     // is a single IEEE (value−min)/(max−min) — bit-identical
@@ -699,6 +767,48 @@ object SensorQueries extends QueryPack {
         |FROM w
         |WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "agg_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cd FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, day FROM ev),
+        |cells AS (SELECT cd, day - cd AS "offset",
+        |    count(DISTINCT a.user_id) AS n_users
+        |  FROM act a JOIN cohort c ON a.user_id = c.user_id
+        |  WHERE day >= cd GROUP BY cd, day - cd),
+        |sz AS (SELECT cd, n_users AS cohort_n FROM cells
+        |  WHERE "offset" = 0)
+        |SELECT CAST(cd AS BIGINT) AS cd,
+        |  CAST("offset" AS BIGINT) AS offset, n_users, cohort_n,
+        |  n_users * 1000000 // cohort_n AS ret_ppm
+        |FROM cells JOIN sz USING (cd)
+        |ORDER BY cd, "offset"""".stripMargin,
+
+    "funnel_window" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus
+        |  FROM events),
+        |v AS (SELECT user_id, min(tus) AS vt FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, vt, min(tus) AS ct FROM ev e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE event_type = 'click' AND tus > vt
+        |    AND tus <= vt + 172800000000 GROUP BY e.user_id, vt),
+        |p AS (SELECT e.user_id, ct, min(tus) AS pt FROM ev e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE event_type = 'purchase' AND tus > ct
+        |    AND tus <= ct + 172800000000 GROUP BY e.user_id, ct),
+        |nv AS (SELECT count(*) AS n_view FROM v),
+        |nc AS (SELECT count(*) AS n_click,
+        |  CAST(sum(ct - vt) AS BIGINT) AS click_gap_us FROM c),
+        |np AS (SELECT count(*) AS n_purchase,
+        |  CAST(sum(pt - ct) AS BIGINT) AS purchase_gap_us FROM p)
+        |SELECT n_view, n_click, n_purchase, click_gap_us,
+        |  purchase_gap_us,
+        |  n_click * 1000000 // n_view AS view_click_ppm,
+        |  n_purchase * 1000000 // n_click AS click_purch_ppm
+        |FROM nv, nc, np""".stripMargin,
 
     "funnel_steps" ->
       """WITH e AS (SELECT user_id, event_type,

@@ -61,6 +61,44 @@ class R11dOpsSpec extends SparkTestBase {
     assertSameRows(q("dim_lookup_pit"), want, "pit-vs-bruteforce")
   }
 
+  test("agg_cohort_retention: matrix shape and retention algebra") {
+    val got = q("agg_cohort_retention").cache()
+    try {
+      assert(got.select($"cd").distinct().count() >= 2,
+        "single cohort — the matrix is degenerate at this fixture")
+      assert(got.select($"offset").distinct().count() >= 5,
+        "fewer than 5 offsets — the time axis is degenerate")
+      assert(got.filter($"offset" === 0 && $"ret_ppm" =!= 1000000L)
+        .count() == 0, "offset-0 retention must be exactly 1e6 ppm")
+      assert(got.filter($"n_users" > $"cohort_n").count() == 0,
+        "a cell retains more users than its cohort holds")
+      assert(got.filter($"offset" < 0).count() == 0,
+        "pre-signup activity leaked into the matrix")
+      // Every cohort has its offset-0 row (the join base).
+      val missing = got.groupBy($"cd")
+        .agg(min($"offset").as("m")).filter($"m" =!= 0).count()
+      assert(missing == 0, "a cohort lacks its offset-0 row")
+    } finally got.unpersist()
+  }
+
+  test("funnel_window: stage monotonicity and window bound") {
+    val r = q("funnel_window").head()
+    val (nv, nc, np) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (cg, pg) = (r.getLong(3), r.getLong(4))
+    assert(nv >= nc && nc >= np, "funnel stages must shrink")
+    assert(nc > 0 && np > 0, "windowed funnel empty — vacuous bound")
+    val W = 172800000000L
+    assert(cg > 0 && cg <= nc * W, "click gap mass outside (0, n*W]")
+    assert(pg > 0 && pg <= np * W, "purchase gap mass outside (0, n*W]")
+    // The bound only ever removes conversions vs the unbounded form.
+    val unbounded = SparkEntry.queries("funnel_steps")(spark, sf)
+      .agg(count(lit(1)),
+        sum(when($"t_click".isNotNull, 1L).otherwise(0L))).head()
+    assert(nv == unbounded.getLong(0), "view stage must match")
+    assert(nc <= unbounded.getLong(1),
+      "windowed clicks exceed unbounded first-clicks")
+  }
+
   test("vec_rerank_mmr: exact greedy replay + diversification bites") {
     import operators.LlmQueries.{mmrShort, mmrPicks}
     val vecs = Tables.load(spark, sf, "embeddings")
