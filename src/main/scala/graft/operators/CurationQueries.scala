@@ -343,6 +343,34 @@ object CurationQueries extends QueryPack {
         .orderBy($"rk")
     }),
 
+    // Deterministic WEIGHTED sample (r11d): sample_reservoir's
+    // uniform selection, with selection pressure proportional to a
+    // weight (char mass here — the "sample by token count" a mixture
+    // builder runs). Priority = hash64 div weight: an item with 2×
+    // the weight halves its priority scale, doubling its win rate in
+    // the k-smallest cut, while staying fully deterministic and
+    // re-run/retry stable (never rand(), never A-ES's u^(1/w) — libm
+    // pow can't cross-engine hash-match). Plans exactly like
+    // sample_reservoir: TakeOrderedAndProject (per-partition k-heap +
+    // driver merge, no global sort); the rank window runs over the k
+    // survivors only. The weight-pressure property (selected mean
+    // weight > corpus mean) is law-asserted in R11dOpsSpec.
+    "sample_weighted" -> ((s, dir) => {
+      import s.implicits._
+      val k = 100
+      val top = Tables.load(s, dir, "documents")
+        .withColumn("pri", expr(
+          "CAST(conv(substr(md5(concat('wsample:', " +
+            "CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)" +
+            " div n_chars"))
+        .orderBy($"pri", $"doc_id").limit(k)
+      top
+        .withColumn("rk", row_number().over(
+          Window.orderBy($"pri", $"doc_id")).cast(LongType))
+        .select($"rk", $"doc_id", $"lang", $"source", $"n_chars", $"pri")
+        .orderBy($"rk")
+    }),
+
     // Lexical-diversity scoring (r11c): per-doc type-token ratio and
     // Gini-impurity of the word-frequency distribution — the exact
     // integer complement of the log-based entropy score (which cannot
@@ -636,5 +664,17 @@ object CurationQueries extends QueryPack {
         |t AS (SELECT *, row_number() OVER (ORDER BY hk, doc_id) AS rk
         |  FROM h)
         |SELECT CAST(rk AS BIGINT) AS rk, doc_id, lang, source, n_chars
+        |FROM t WHERE rk <= 100 ORDER BY rk""".stripMargin,
+
+    "sample_weighted" ->
+      """WITH h AS (SELECT doc_id, lang, source, n_chars,
+        |    CAST('0x' || substr(md5('wsample:' ||
+        |         CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      // n_chars AS pri
+        |  FROM documents),
+        |t AS (SELECT *, row_number() OVER (ORDER BY pri, doc_id) AS rk
+        |  FROM h)
+        |SELECT CAST(rk AS BIGINT) AS rk, doc_id, lang, source,
+        |  n_chars, pri
         |FROM t WHERE rk <= 100 ORDER BY rk""".stripMargin)
 }

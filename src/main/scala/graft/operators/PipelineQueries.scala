@@ -31,6 +31,30 @@ import org.apache.spark.sql.types._
   */
 object PipelineQueries extends QueryPack {
 
+  /** Benchmark word-5-gram contamination hits per corpus doc —
+    * session-cached because BOTH the detection key
+    * (text_contamination) and the action key (text_decontaminate)
+    * consume one build. The bench gram set is distinct-reduced then
+    * broadcast into a left-semi join (r6 — replaced the corpus-wide
+    * gram window). */
+  private def contamHits(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.SessionCache.cached(s, s"contam.hits:$dir") {
+      import s.implicits._
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("toks", split(lower($"text"), " "))
+        .select($"doc_id", explode(expr(
+          "CASE WHEN size(toks) < 5 THEN array() " +
+            "ELSE transform(sequence(1, size(toks) - 4), " +
+            "i -> array_join(slice(toks, i, 5), ' ')) END")).as("gram"))
+      val docs = Tables.load(s, dir, "documents")
+      val benchGrams = grams(docs.filter($"source" === "src0"))
+        .select($"gram").distinct()
+      grams(docs.filter($"source" =!= "src0"))
+        .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+        .groupBy($"doc_id").agg(count_distinct($"gram").as("n_hits"))
+    }
+
   def queries: Seq[(String, Q)] = Seq(
     // Fixed-size char chunking with overlap (chunk 200, stride 150) —
     // the standard pre-tokenization step for embedding/training windows.
@@ -104,21 +128,32 @@ object PipelineQueries extends QueryPack {
     // aggregate. At 100 TB the corpus side stays map-side until the
     // doc_id aggregate; the r3 window form instead sorted every corpus
     // gram inside gram partitions.
-    "text_contamination" -> ((s, dir) => {
+    "text_contamination" -> ((s, dir) =>
+      contamHits(s, dir).orderBy(col("doc_id"))),
+
+    // Decontamination APPLIED (r11d) — the action twin of
+    // text_contamination (the dedup_apply pattern: detect → act →
+    // audit). Docs whose benchmark 5-gram overlap reaches the
+    // threshold are dropped; output is the per-source kept/dropped
+    // audit a pipeline logs per shard. The hit relation is the same
+    // broadcast-semi-join construction (session-cached — detection
+    // and action consume one build); the apply step is one left join
+    // + a two-phase aggregate, with the left join keyed on doc_id —
+    // the hit relation is bounded by contaminated docs, far smaller
+    // than the corpus at any scale.
+    "text_decontaminate" -> ((s, dir) => {
       import s.implicits._
-      def grams(df: org.apache.spark.sql.DataFrame) = df
-        .withColumn("toks", split(lower($"text"), " "))
-        .select($"doc_id", explode(expr(
-          "CASE WHEN size(toks) < 5 THEN array() " +
-            "ELSE transform(sequence(1, size(toks) - 4), " +
-            "i -> array_join(slice(toks, i, 5), ' ')) END")).as("gram"))
-      val docs = Tables.load(s, dir, "documents")
-      val benchGrams = grams(docs.filter($"source" === "src0"))
-        .select($"gram").distinct()
-      grams(docs.filter($"source" =!= "src0"))
-        .join(broadcast(benchGrams), Seq("gram"), "left_semi")
-        .groupBy($"doc_id").agg(count_distinct($"gram").as("n_hits"))
-        .orderBy($"doc_id")
+      Tables.load(s, dir, "documents")
+        .filter($"source" =!= "src0")
+        .select($"doc_id", $"source", $"n_chars")
+        .join(contamHits(s, dir), Seq("doc_id"), "left")
+        .withColumn("keep", coalesce($"n_hits" < 3, lit(true)))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+          sum(when(!$"keep", 1L).otherwise(0L)).as("n_dropped"),
+          sum(when($"keep", $"n_chars")).as("kept_chars"))
+        .orderBy($"source")
     }),
 
     // Equi-width histogram of order totals (bucket = 25k) with a
@@ -338,6 +373,32 @@ object PipelineQueries extends QueryPack {
         |SELECT doc_id, count(*) AS n_hits
         |FROM corp JOIN bench USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_decontaminate" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    string_split(lower(text), ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, source, unnest(
+        |    CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(generate_series(1, len(toks) - 4),
+        |      i -> array_to_string(list_slice(toks, i, i + 4), ' ')) END)
+        |    AS gram FROM d),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+        |corp AS (SELECT DISTINCT doc_id, gram FROM g
+        |         WHERE source <> 'src0'),
+        |hits AS (SELECT doc_id, count(*) AS n_hits
+        |  FROM corp JOIN bench USING (gram) GROUP BY doc_id),
+        |app AS (SELECT dd.source, dd.n_chars,
+        |    COALESCE(h.n_hits < 3, TRUE) AS keep
+        |  FROM documents dd LEFT JOIN hits h ON dd.doc_id = h.doc_id
+        |  WHERE dd.source <> 'src0')
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  CAST(sum(CASE WHEN keep THEN n_chars END) AS BIGINT)
+        |    AS kept_chars
+        |FROM app GROUP BY source ORDER BY source""".stripMargin,
 
     "agg_histogram" ->
       """SELECT bucket, CAST(bucket * 25000 AS DOUBLE) AS lo,

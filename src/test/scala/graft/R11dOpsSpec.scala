@@ -61,6 +61,44 @@ class R11dOpsSpec extends SparkTestBase {
     assertSameRows(q("dim_lookup_pit"), want, "pit-vs-bruteforce")
   }
 
+  test("sample_weighted: exact k and weight pressure") {
+    val got = q("sample_weighted").cache()
+    try {
+      assert(got.count() == 100, "weighted sample must keep exactly k")
+      val selMean = got.agg(avg($"n_chars")).head().getDouble(0)
+      val corpusMean = Tables.load(spark, sf, "documents")
+        .agg(avg($"n_chars")).head().getDouble(0)
+      assert(selMean > corpusMean,
+        f"selection pressure missing: selected mean $selMean%.1f <= " +
+          f"corpus mean $corpusMean%.1f")
+      // Ranks are a clean 1..k permutation.
+      assert(got.agg(min($"rk"), max($"rk"),
+        countDistinct($"rk")).head().toSeq == Seq(1L, 100L, 100L))
+    } finally got.unpersist()
+  }
+
+  test("text_decontaminate: accounting + consistency with detection") {
+    // sf0.1: the tier where the 5-gram overlap relation is dense
+    // enough that the threshold actually drops docs.
+    val dir = "/root/testdata/sf0.1"
+    val got = SparkEntry.queries("text_decontaminate")(spark, dir).cache()
+    try {
+      val corp = Tables.load(spark, dir, "documents")
+        .filter($"source" =!= "src0")
+      assert(got.agg(sum($"n_docs")).head().getLong(0) == corp.count(),
+        "audit doesn't account for every non-benchmark doc")
+      assert(got.filter($"n_kept" + $"n_dropped" =!= $"n_docs")
+        .count() == 0, "kept + dropped != total in some source")
+      val dropped = got.agg(sum($"n_dropped")).head().getLong(0)
+      val flagged = SparkEntry.queries("text_contamination")(spark, dir)
+        .filter($"n_hits" >= 3).count()
+      assert(dropped == flagged,
+        s"action dropped $dropped but detection flags $flagged")
+      assert(dropped > 0,
+        "threshold drops nothing at sf0.1 — the action is vacuous")
+    } finally got.unpersist()
+  }
+
   test("agg_cohort_retention: matrix shape and retention algebra") {
     val got = q("agg_cohort_retention").cache()
     try {
