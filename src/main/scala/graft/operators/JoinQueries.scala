@@ -323,6 +323,46 @@ object JoinQueries extends QueryPack {
         .orderBy($"p_id", $"c_id")
     }),
 
+    // Grid-bucketed RADIUS join (r11d) — the canonical spatial-join
+    // shape (geo points, UI coordinates, 2D feature slices): pairs
+    // within L2 distance r, found via a uniform grid of cell size r.
+    // One side explodes to its 3×3 cell neighborhood, the other keys
+    // by its own cell, so the join is a bucketed EQUI-join (never
+    // all-pairs) and PROVABLY complete: two points within r differ by
+    // < r per axis, so their cells differ by ≤ 1 — the candidate
+    // bucket always exists (completeness asserted vs brute force in
+    // R11dOpsSpec). The exact (dx² + dy² ≤ r²) gate is one fixed IEEE
+    // expression, byte-identical in the oracle; cell ids are integer
+    // floor(x/r) folds. Cost: 9 candidate rows per point into a
+    // cell-keyed shuffle — linear in points × local density, the
+    // interval-overlap bucketing argument in 2D. Skewed hot cells
+    // (urban clusters at geo scale) take the same salting/cap
+    // treatment as every bucketed join here.
+    "join_spatial_grid" -> ((s, dir) => {
+      import s.implicits._
+      val pts = Tables.load(s, dir, "embeddings")
+        .select($"vec_id",
+          $"embedding".getItem(0).cast("double").as("x"),
+          $"embedding".getItem(1).cast("double").as("y"))
+        .withColumn("cx", floor($"x" / 0.05).cast("long"))
+        .withColumn("cy", floor($"y" / 0.05).cast("long"))
+      val b = pts.select($"vec_id".as("db"), $"x".as("bx"),
+        $"y".as("by"), ($"cx" * 100000L + $"cy").as("cell"))
+      val a = pts.select($"vec_id".as("da"), $"x".as("ax"),
+          $"y".as("ay"), $"cx", $"cy")
+        .withColumn("cell", explode(expr(
+          "transform(sequence(0, 8), " +
+            "i -> (cx + i div 3 - 1) * 100000 + (cy + i % 3 - 1))")))
+      a.join(b, Seq("cell"))
+        .filter($"da" < $"db")
+        .filter(($"ax" - $"bx") * ($"ax" - $"bx") +
+          ($"ay" - $"by") * ($"ay" - $"by") <= 0.0025)
+        .select($"da", $"db",
+          round(sqrt(($"ax" - $"bx") * ($"ax" - $"bx") +
+            ($"ay" - $"by") * ($"ay" - $"by")), 6).as("dist_r"))
+        .orderBy($"da", $"db")
+    }),
+
     // Bloom-style semi-join reduction (r11c): the runtime-filter
     // pattern behind every big fact⋈selective-dim join at 100 TB —
     // shuffling the whole fact table to discover that most rows have
@@ -508,6 +548,27 @@ object JoinQueries extends QueryPack {
     // The bucket prefilter is pure execution strategy — the oracle is
     // the PLAIN join, proving the reduction changes the plan, not the
     // answer (false positives die in the exact join).
+    "join_spatial_grid" ->
+      """WITH pts AS (SELECT vec_id,
+        |    CAST(embedding[1] AS DOUBLE) AS x,
+        |    CAST(embedding[2] AS DOUBLE) AS y
+        |  FROM embeddings),
+        |cells AS (SELECT vec_id, x, y,
+        |    CAST(floor(x / 0.05) AS BIGINT) AS cx,
+        |    CAST(floor(y / 0.05) AS BIGINT) AS cy FROM pts),
+        |b AS (SELECT vec_id AS db, x AS bx, y AS by,
+        |    cx * 100000 + cy AS cell FROM cells),
+        |a AS (SELECT vec_id AS da, x AS ax, y AS ay,
+        |    (cx + i // 3 - 1) * 100000 + (cy + i % 3 - 1) AS cell
+        |  FROM cells CROSS JOIN generate_series(0, 8) AS g(i))
+        |SELECT da, db,
+        |  round(sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by)), 6)
+        |    AS dist_r
+        |FROM a JOIN b USING (cell)
+        |WHERE da < db
+        |  AND (ax - bx) * (ax - bx) + (ay - by) * (ay - by) <= 0.0025
+        |ORDER BY da, db""".stripMargin,
+
     "join_bloom" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -61,6 +61,29 @@ class R11dOpsSpec extends SparkTestBase {
     assertSameRows(q("dim_lookup_pit"), want, "pit-vs-bruteforce")
   }
 
+  test("join_spatial_grid: complete vs brute force; gate tight") {
+    val pts = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)(0).toDouble,
+        r.getSeq[Float](1)(1).toDouble))
+    val want = (for {
+      (ia, xa, ya) <- pts; (ib, xb, yb) <- pts
+      if ia < ib &&
+        (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= 0.0025
+    } yield (ia, ib)).toSet
+    val got = q("join_spatial_grid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"grid join pairs differ from brute force: missing " +
+        s"${(want -- got).take(3)}, extra ${(got -- want).take(3)}")
+    assert(want.nonEmpty, "no pairs within r — gate vacuous")
+    // The grid must also genuinely prune: candidate pairs should be
+    // far below the all-pairs count (else the bucketing is dead).
+    assert(want.size < pts.length.toLong * (pts.length - 1) / 8,
+      "radius keeps >25% of all pairs — fixture too dense to prove " +
+        "the grid prunes")
+  }
+
   test("sample_weighted: exact k and weight pressure") {
     val got = q("sample_weighted").cache()
     try {
