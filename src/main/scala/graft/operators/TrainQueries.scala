@@ -39,6 +39,28 @@ object TrainQueries extends QueryPack {
   private val MB = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
   private val STOP = Seq("the", "a", "data", "key", "value")
 
+  /** text_bpe_merges: fixed learn-round count, shared by the Spark
+    * loop and the unrolled oracle (the pagerank constants
+    * discipline). */
+  val bpeRounds = 4
+
+  /** The BPE merge fold — greedy left-to-right replacement of the
+    * round's winning pair (ma, mb) over a '|'-delimited symbol
+    * string, as ONE deterministic string fold (semantically identical
+    * lambda text in the DuckDB oracle). The delimiter is safe because
+    * '|'-containing terms are filtered at dictionary build. */
+  private val bpeMergeExpr: String =
+    """CASE WHEN size(split(st, '\\|')) < 2 THEN st
+      |ELSE aggregate(
+      |  slice(split(st, '\\|'), 2, size(split(st, '\\|')) - 1),
+      |  element_at(split(st, '\\|'), 1),
+      |  (acc, x) -> CASE
+      |    WHEN acc = ma AND x = mb THEN concat(acc, x)
+      |    WHEN endswith(acc, concat('|', ma)) AND x = mb
+      |      THEN concat(substr(acc, 1, length(acc) - length(ma) - 1),
+      |                  '|', ma, mb)
+      |    ELSE concat(acc, '|', x) END) END""".stripMargin
+
   /** 16-bit tf-weighted SimHash signature per doc — shared by
     * `dedup_simhash` (exact-signature mates) and `dedup_hamming`
     * (Hamming-ball candidates).
@@ -494,6 +516,57 @@ object TrainQueries extends QueryPack {
 
     // Token counting: whitespace tokens vs a BPE-ish regex lexer
     // ([a-z]+ | digit runs | single punctuation), bytes and chars.
+    // BPE merge learning (r11d; Sennrich et al. ACL'16) — the
+    // tokenizer-TRAINING op of an LLM-data engine (text_tokens
+    // consumes a tokenizer; this key learns one). Standard algorithm
+    // on the word-frequency dictionary: start from characters, each
+    // round count adjacent symbol pairs weighted by word frequency,
+    // merge the most frequent pair everywhere (greedy left-to-right,
+    // ties broken lexicographically — a total order, so the learned
+    // table is deterministic). The scale shape is the real one: after
+    // ONE corpus pass builds the (term, freq) dictionary, every round
+    // runs over the VOCABULARY — corpus-size-independent — as one
+    // pair-explode aggregate + a 1-row argmax broadcast + a map-side
+    // merge fold; state is localCheckpointed per round (the
+    // components-loop lineage discipline). The FIXED round count lets
+    // the DuckDB oracle unroll the identical rounds; the merge fold
+    // is one deterministic string aggregate with the same lambda
+    // semantics in both engines. Greedy-fold correctness (incl. the
+    // overlapping-pair 'a a a' -> 'aa a' case) is law-asserted in
+    // R11dOpsSpec against a driver-side reference merger.
+    "text_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      val w0 = Tables.load(s, dir, "documents")
+        .select(explode(split(lower($"text"), " ")).as("term"))
+        .filter($"term" =!= "" && !$"term".contains("|"))
+        .groupBy($"term").agg(count(lit(1)).as("freq"))
+      var st = w0.select(
+          expr("array_join(transform(sequence(1, length(term)), " +
+            "i -> substr(term, i, 1)), '|')").as("st"),
+          $"freq")
+        .localCheckpoint(true)
+      var out: org.apache.spark.sql.DataFrame = null
+      for (r <- 1 to bpeRounds) {
+        val pairs = st
+          .select(expr("split(st, '\\\\|')").as("arr"), $"freq")
+          .withColumn("i", explode(expr(
+            "CASE WHEN size(arr) < 2 THEN array() " +
+              "ELSE sequence(1, size(arr) - 1) END")))
+          .select(expr("element_at(arr, i)").as("a"),
+            expr("element_at(arr, i + 1)").as("b"), $"freq")
+          .groupBy($"a", $"b").agg(sum($"freq").as("n"))
+        val m = pairs.orderBy($"n".desc, $"a", $"b").limit(1)
+          .select($"a".as("ma"), $"b".as("mb"), $"n".as("mn"))
+        val mrow = m.select(lit(r.toLong).as("round"),
+          $"ma".as("l_sym"), $"mb".as("r_sym"), $"mn".as("n"))
+        out = if (out == null) mrow else out.unionByName(mrow)
+        st = st.crossJoin(broadcast(m))
+          .select(expr(bpeMergeExpr).as("st"), $"freq")
+          .localCheckpoint(true)
+      }
+      out.orderBy($"round")
+    }),
+
     "text_tokens" -> ((s, dir) => {
       import s.implicits._
       Tables.load(s, dir, "documents")
@@ -1144,6 +1217,46 @@ object TrainQueries extends QueryPack {
         |    AS rep_flag
         |FROM base b LEFT JOIN top t USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // The same rounds unrolled from one shared template; the merge
+    // fold's lambda is semantically identical to bpeMergeExpr.
+    "text_bpe_merges" -> {
+      val rounds = (1 to bpeRounds).map { r =>
+        s"""p$r AS MATERIALIZED (SELECT arr[i] AS a, arr[i+1] AS b,
+           |    CAST(sum(freq) AS BIGINT) AS n
+           |  FROM (SELECT string_split(st, '|') AS arr, freq
+           |        FROM s${r - 1}) x,
+           |       unnest(range(1, len(arr))) AS rr$r(i)
+           |  GROUP BY a, b),
+           |m$r AS MATERIALIZED (SELECT a, b, n FROM p$r
+           |  ORDER BY n DESC, a, b LIMIT 1),
+           |s$r AS MATERIALIZED (SELECT
+           |    CASE WHEN len(arr) < 2 THEN st
+           |    ELSE list_reduce(arr, (acc, x) -> CASE
+           |      WHEN acc = m.a AND x = m.b THEN acc || x
+           |      WHEN ends_with(acc, '|' || m.a) AND x = m.b
+           |        THEN substr(acc, 1, len(acc) - len(m.a) - 1) ||
+           |             '|' || m.a || m.b
+           |      ELSE acc || '|' || x END) END AS st, freq
+           |  FROM (SELECT st, string_split(st, '|') AS arr, freq
+           |        FROM s${r - 1}) x
+           |  CROSS JOIN m$r m)""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 to bpeRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, a AS l_sym, " +
+          s"b AS r_sym, n FROM m$r").mkString("\nUNION ALL ")
+      s"""WITH w0 AS MATERIALIZED (SELECT term, count(*) AS freq FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS term
+         |    FROM documents) t
+         |  WHERE term <> '' AND NOT contains(term, '|')
+         |  GROUP BY term),
+         |s0 AS MATERIALIZED (SELECT
+         |    array_to_string(string_split(term, ''), '|') AS st, freq
+         |  FROM w0),
+         |$rounds
+         |$sel
+         |ORDER BY round""".stripMargin
+    },
 
     "text_tokens" ->
       """SELECT doc_id,

@@ -61,6 +61,64 @@ class R11dOpsSpec extends SparkTestBase {
     assertSameRows(q("dim_lookup_pit"), want, "pit-vs-bruteforce")
   }
 
+  test("text_bpe_merges: reference replay incl. overlapping pairs") {
+    import operators.TrainQueries.bpeRounds
+    // Driver-side reference BPE on the same word-frequency dict.
+    val freqs = Tables.load(spark, sf, "documents")
+      .select(explode(split(lower($"text"), " ")).as("term"))
+      .filter($"term" =!= "" && !$"term".contains("|"))
+      .groupBy($"term").agg(count(lit(1)).as("freq")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    def mergeWord(syms: Vector[String], a: String, b: String)
+        : Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    var words = freqs.map { case (t, f) =>
+      (t.toVector.map(_.toString), f) }.toVector
+    val wantMerges = (1 to bpeRounds).map { r =>
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + f }
+      }
+      val ((a, b), n) = counts.toSeq
+        .minBy { case ((x, y), c) => (-c, x, y) }
+      words = words.map { case (s2, f) => (mergeWord(s2, a, b), f) }
+      (r.toLong, a, b, n)
+    }
+    val got = q("text_bpe_merges").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got == wantMerges,
+      s"merge table differs from reference BPE:\n got  $got\n want $wantMerges")
+    // The overlapping-pair semantics specifically: greedy
+    // left-to-right on 'a a a a a' yields 'aa aa a'.
+    val df = Seq(("a|a|a|a|a", 1L)).toDF("st", "freq")
+      .withColumn("ma", lit("a")).withColumn("mb", lit("a"))
+    val folded = df.selectExpr(
+      """CASE WHEN size(split(st, '\\|')) < 2 THEN st
+        |ELSE aggregate(
+        |  slice(split(st, '\\|'), 2, size(split(st, '\\|')) - 1),
+        |  element_at(split(st, '\\|'), 1),
+        |  (acc, x) -> CASE
+        |    WHEN acc = ma AND x = mb THEN concat(acc, x)
+        |    WHEN endswith(acc, concat('|', ma)) AND x = mb
+        |      THEN concat(substr(acc, 1, length(acc) - length(ma) - 1),
+        |                  '|', ma, mb)
+        |    ELSE concat(acc, '|', x) END) END AS st""".stripMargin)
+      .head().getString(0)
+    assert(folded == "aa|aa|a",
+      s"overlap fold wrong: got $folded, want aa|aa|a")
+  }
+
   test("join_spatial_grid: complete vs brute force; gate tight") {
     val pts = Tables.load(spark, sf, "embeddings")
       .select($"vec_id", $"embedding").collect()
