@@ -114,4 +114,43 @@ object Curation {
         (col("score") > 0L).as("selected"))
     df.join(scored, col(idCol) === col("__id")).drop("__id")
   }
+
+  /** Deterministic WEIGHTED k-sample: keep the k rows with the
+    * smallest priority = hash64(salt, id) div weight — selection
+    * pressure proportional to `weightCol` (2× weight halves the
+    * priority scale), fully deterministic and re-run/retry stable
+    * (never rand(), never A-ES's u^(1/w) — libm pow is not
+    * correctly-rounded cross-engine). Plans as TakeOrderedAndProject:
+    * per-partition k-heap + driver merge, no global sort. Weights
+    * must be positive integers. Output: the k rows + (pri, rk). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "wsample"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.withColumn("pri", expr(
+        s"CAST(conv(substr(md5(concat('$salt:', " +
+          s"CAST($idCol AS STRING))), 1, 15), 16, 10) AS BIGINT)" +
+          s" div $weightCol"))
+      .orderBy(col("pri"), col(idCol)).limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("pri"), col(idCol))).cast("long"))
+  }
+
+  /** Deterministic epoch shuffle: assign every row a shard (salted
+    * md5 bucket) and a within-shard position (ordered by the hash,
+    * id tiebreak) — the shard + read-order a training run consumes,
+    * stable under re-runs, retries, and resharding. The per-shard
+    * row_number is a range-partitioned sort of one shard — exactly
+    * the epoch-shard write path at scale. Output: input columns +
+    * (hkey, shard, pos). */
+  def epochShards(df: DataFrame, idCol: String, shards: Int,
+      salt: String = "shard"): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    df.withColumn("hkey", md5(concat(lit(s"$salt:"),
+        col(idCol).cast(StringType))))
+      .withColumn("shard", expr(
+        s"CAST(conv(substr(hkey, 1, 4), 16, 10) AS BIGINT) % $shards"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("hkey"), col(idCol))))
+  }
 }

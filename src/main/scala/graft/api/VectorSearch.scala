@@ -93,4 +93,51 @@ object VectorSearch {
       .withColumn("keep", col("vid") === col("comp"))
       .select(col("vid").as(idCol), col("comp"), col("keep"))
   }
+
+  /** MMR diversified re-rank (Carbonell & Goldstein SIGIR'98) over a
+    * per-query shortlist: greedily pick `picks` candidates, each
+    * maximizing lambda·rel − (1−lambda)·max-sim-to-already-picked
+    * (ties on c_id — a total cut). `shortlist` = (q_id, c_id, rel);
+    * `sims` = (q_id, a, b, sim), both directions, over shortlist
+    * members. Cost is bounded by the shortlist size per query
+    * regardless of corpus size — stage 1 (knnCosine / IVF / IVF-PQ)
+    * stays the expensive part. The greedy rounds are unrolled at the
+    * FIXED pick count so a SQL oracle can replay them; lambdaPct is
+    * an integer percent so both engines build identical double
+    * constants. Output: (q_id, pick, c_id, score). */
+  def mmrRerank(shortlist: DataFrame, sims: DataFrame, picks: Int,
+      lambdaPct: Int = 70): DataFrame = {
+    require(picks >= 1, s"picks must be >= 1, got $picks")
+    require(lambdaPct >= 0 && lambdaPct <= 100,
+      s"lambdaPct must be in [0, 100], got $lambdaPct")
+    val lam = lambdaPct / 100.0
+    val om = (100 - lambdaPct) / 100.0
+    val w = Window.partitionBy(col("q_id"))
+    var selected = shortlist
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("rel").desc, col("c_id"))))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), lit(1L).as("pick"), col("c_id"),
+        (col("rel") * lam).as("score"))
+    for (r <- 2 to picks) {
+      val selIds = selected.select(col("q_id").as("sq"),
+        col("c_id").as("s_id"))
+      val maxsim = sims.join(selIds,
+          col("q_id") === col("sq") && col("b") === col("s_id"))
+        .groupBy(col("q_id"), col("a")).agg(max(col("sim")).as("ms"))
+      val next = shortlist
+        .join(selIds, col("q_id") === col("sq") &&
+          col("c_id") === col("s_id"), "left_anti")
+        .join(maxsim.select(col("q_id").as("mq"), col("a"), col("ms")),
+          col("q_id") === col("mq") && col("c_id") === col("a"))
+        .withColumn("score", col("rel") * lam - col("ms") * om)
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("score").desc, col("c_id"))))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), lit(r.toLong).as("pick"), col("c_id"),
+          col("score"))
+      selected = selected.unionByName(next)
+    }
+    selected
+  }
 }

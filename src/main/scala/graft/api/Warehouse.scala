@@ -81,4 +81,29 @@ object Warehouse {
         (col("is_current") && col("__close_us").isNull).as("is_current"))
     histAdj.unionByName(newRows)
   }
+
+  /** Point-in-time (AS OF) fact enrichment over an `scd2` history:
+    * each fact row picks up `attrCol` from the dimension version
+    * whose validity interval covers the fact's OWN epoch-µs
+    * timestamp — the non-anticipation join that keeps event-time
+    * features from leaking the future. Validity intervals partition
+    * time per key, so each fact matches at most one version (no row
+    * multiplication); facts with no covering version (pre-first-
+    * change, or unknown keys) keep a null `attrCol` under the left
+    * join. The join is keyed by the dimension's natural key with the
+    * interval as a post-match predicate; at scale the history is
+    * bounded by change count — broadcast it or co-partition both
+    * sides on the key. Output: the fact frame + `attrCol`. */
+  def pitLookup(facts: DataFrame, factKeyCol: String,
+      factTsUsCol: String, hist: DataFrame, histKeyCol: String,
+      attrCol: String): DataFrame =
+    facts.join(
+        hist.select(col(histKeyCol).as("__hk"), col(attrCol),
+          col("valid_from"), col("valid_to")),
+        col(factKeyCol) === col("__hk") &&
+          col("valid_from") <= col(factTsUsCol) &&
+          (col("valid_to").isNull ||
+            col(factTsUsCol) < col("valid_to")),
+        "left_outer")
+      .drop("__hk", "valid_from", "valid_to")
 }

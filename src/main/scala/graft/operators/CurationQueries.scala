@@ -95,15 +95,9 @@ object CurationQueries extends QueryPack {
     // of one shard — exactly the write path of an epoch shard file.
     "curate_shard" -> ((s, dir) => {
       import s.implicits._
-      val d = Tables.load(s, dir, "documents")
-        .select($"doc_id", $"n_chars",
-          md5(concat(lit("shard:"), $"doc_id".cast(StringType)))
-            .as("hkey"))
-        .withColumn("shard", expr(
-          "CAST(conv(substr(hkey, 1, 4), 16, 10) AS BIGINT) % 16"))
-        .withColumn("pos", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy($"shard").orderBy($"hkey", $"doc_id")))
+      val d = graft.api.Curation.epochShards(
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"n_chars"), "doc_id", 16)
       d.groupBy($"shard")
         .agg(count(lit(1)).as("n_docs"),
           sum($"n_chars").as("sum_chars"),
@@ -357,16 +351,8 @@ object CurationQueries extends QueryPack {
     // weight > corpus mean) is law-asserted in R11dOpsSpec.
     "sample_weighted" -> ((s, dir) => {
       import s.implicits._
-      val k = 100
-      val top = Tables.load(s, dir, "documents")
-        .withColumn("pri", expr(
-          "CAST(conv(substr(md5(concat('wsample:', " +
-            "CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)" +
-            " div n_chars"))
-        .orderBy($"pri", $"doc_id").limit(k)
-      top
-        .withColumn("rk", row_number().over(
-          Window.orderBy($"pri", $"doc_id")).cast(LongType))
+      graft.api.Curation.weightedSample(
+          Tables.load(s, dir, "documents"), "doc_id", "n_chars", 100)
         .select($"rk", $"doc_id", $"lang", $"source", $"n_chars", $"pri")
         .orderBy($"rk")
     }),

@@ -472,31 +472,8 @@ object LlmQueries extends QueryPack {
           .select($"q_id", $"a", $"b",
             (expr("fdot(ae, be)") / sqrt($"ass" * $"bss")).as("sim"))
       }
-      val w = Window.partitionBy($"q_id")
-      var selected = shortlist
-        .withColumn("rn", row_number().over(
-          w.orderBy($"rel".desc, $"c_id")))
-        .filter($"rn" === 1)
-        .select($"q_id", lit(1L).as("pick"), $"c_id",
-          ($"rel" * 0.7).as("score"))
-      for (r <- 2 to mmrPicks) {
-        val selIds = selected.select($"q_id".as("sq"), $"c_id".as("s_id"))
-        val maxsim = sims.join(selIds,
-            $"q_id" === $"sq" && $"b" === $"s_id")
-          .groupBy($"q_id", $"a").agg(max($"sim").as("ms"))
-        val next = shortlist
-          .join(selIds, $"q_id" === $"sq" && $"c_id" === $"s_id",
-            "left_anti")
-          .join(maxsim.select($"q_id".as("mq"), $"a", $"ms"),
-            $"q_id" === $"mq" && $"c_id" === $"a")
-          .withColumn("score", $"rel" * 0.7 - $"ms" * 0.3)
-          .withColumn("rn", row_number().over(
-            w.orderBy($"score".desc, $"c_id")))
-          .filter($"rn" === 1)
-          .select($"q_id", lit(r.toLong).as("pick"), $"c_id", $"score")
-        selected = selected.unionByName(next)
-      }
-      selected.select($"q_id", $"pick", $"c_id",
+      graft.api.VectorSearch.mmrRerank(shortlist, sims, mmrPicks)
+        .select($"q_id", $"pick", $"c_id",
           round($"score", 6).as("score_r"))
         .orderBy($"q_id", $"pick")
     }),

@@ -109,11 +109,8 @@ object WarehouseQueries extends QueryPack {
         .filter($"event_type" === "view")
         .select($"user_id".as("uid"),
           unix_micros($"ts").as("ts_us"), $"value")
-      facts.join(hist,
-          $"uid" === hist("user_id") &&
-            hist("valid_from") <= $"ts_us" &&
-            (hist("valid_to").isNull || $"ts_us" < hist("valid_to")),
-          "left_outer")
+      graft.api.Warehouse
+        .pitLookup(facts, "uid", "ts_us", hist, "user_id", "tier")
         .select(coalesce($"tier", lit("none")).as("tier"),
           $"uid", $"value")
         .groupBy($"tier")

@@ -366,4 +366,82 @@ class ApiSpec extends SparkTestBase {
     // occupied buckets materialize), never corpus-sized.
     assert(table.count() <= 64, "feature table exceeds the hash space")
   }
+
+  test("Warehouse.pitLookup enriches each fact with the version " +
+       "current at ITS timestamp") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s"2024-02-0$s:00:00")
+    val changes = Seq(
+      (1L, t("1 10"), 1L, "A"), (1L, t("2 10"), 2L, "B"),
+      (2L, t("1 12"), 3L, "X")
+    ).toDF("acct", "at", "seq", "plan")
+    val hist = api.Warehouse.scd2(changes, "acct", "at", "seq", "plan")
+    def us(s: String) = t(s).getTime * 1000L
+    val facts = Seq(
+      (10L, 1L, us("1 09")),  // before acct 1's first change -> null
+      (11L, 1L, us("1 15")),  // inside version A
+      (12L, 1L, us("2 10")),  // exactly at the B change -> B
+      (13L, 1L, us("3 00")),  // open current row -> B
+      (14L, 3L, us("2 00"))   // unknown key -> null
+    ).toDF("fid", "acct", "at_us")
+    val got = api.Warehouse
+      .pitLookup(facts, "acct", "at_us", hist, "acct", "plan")
+      .select($"fid", $"plan").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(10L -> None, 11L -> Some("A"), 12L -> Some("B"),
+      13L -> Some("B"), 14L -> None), s"pit lookup wrong: $got")
+    // No row multiplication: one output row per fact.
+    assert(api.Warehouse.pitLookup(facts, "acct", "at_us", hist,
+      "acct", "plan").count() == 5)
+  }
+
+  test("Curation.weightedSample pressure and epochShards stability " +
+       "on an ad-hoc frame") {
+    val df = (1L to 400L).map(i =>
+      (i, if (i % 2 == 0) 1000L else 10L)).toDF("id", "w")
+    val sel = api.Curation.weightedSample(df, "id", "w", 50, "t")
+    assert(sel.count() == 50)
+    // Heavy rows (weight 1000) must dominate the selection.
+    val heavy = sel.filter($"w" === 1000L).count()
+    assert(heavy > 40, s"only $heavy/50 heavy rows selected — no " +
+      "selection pressure")
+    // epochShards: exhaustive partition, contiguous positions, and
+    // reshard stability.
+    val sh = api.Curation.epochShards(df, "id", 8)
+    assert(sh.count() == 400)
+    val bad = sh.groupBy($"shard")
+      .agg(count(lit(1)).as("n"), max($"pos").as("mx"),
+        countDistinct($"pos").as("nd"))
+      .filter($"mx" =!= $"n" || $"nd" =!= $"n").count()
+    assert(bad == 0, "positions are not a contiguous 1..n per shard")
+    assertSameRows(sh, api.Curation.epochShards(
+      df.repartition(13), "id", 8), "epochShards reshard stability")
+  }
+
+  test("VectorSearch.mmrRerank prefers a diverse pick over a " +
+       "redundant one on a hand-built shortlist") {
+    // Query 1: candidate 100 is most relevant; 101 is nearly a
+    // duplicate of 100 (sim .99) but slightly more relevant than 102
+    // (independent, sim .1). Pure relevance ranks 101 second; MMR
+    // must pick 102 second.
+    val shortlist = Seq(
+      (1L, 100L, 0.90), (1L, 101L, 0.80), (1L, 102L, 0.75)
+    ).toDF("q_id", "c_id", "rel")
+    val simPairs = Seq(
+      (1L, 100L, 101L, 0.99), (1L, 100L, 102L, 0.10),
+      (1L, 101L, 102L, 0.12))
+    val sims = simPairs.toDF("q_id", "a", "b", "sim").unionByName(
+      simPairs.map { case (q, a, b, s0) => (q, b, a, s0) }
+        .toDF("q_id", "a", "b", "sim"))
+    val got = api.VectorSearch.mmrRerank(shortlist, sims, 3)
+      .orderBy($"pick").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(_._2) == Seq(100L, 102L, 101L),
+      s"MMR order wrong: $got (want 100, 102, 101)")
+    // Scores: pick1 = .7*.90; pick2 = .7*.75 - .3*.10.
+    val scores = api.VectorSearch.mmrRerank(shortlist, sims, 3)
+      .orderBy($"pick").collect().map(_.getDouble(3))
+    assert(math.abs(scores(0) - 0.63) < 1e-12)
+    assert(math.abs(scores(1) - (0.7 * 0.75 - 0.3 * 0.10)) < 1e-12)
+  }
 }
