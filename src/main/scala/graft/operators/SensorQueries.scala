@@ -604,6 +604,61 @@ object SensorQueries extends QueryPack {
     // hash partitioning; no global structure anywhere.
     // Thin adapter over graft.api.TimeSeries.madOutliers — the DuckDB
     // oracle proves the API function.
+    // Rolling exact median (r11d) — the windowed twin of
+    // ts_outlier_mad: a trailing-20 robust smoother per user (the
+    // filter a spiky sensor needs where a rolling MEAN chases every
+    // spike). Exactness discipline: the frame is collected (O(20)
+    // state — a DECLARED frame bound, never history-sized), sorted,
+    // and the lower median selected by rank (n+1) div 2 — integer
+    // cents, value-identical to DuckDB's list_sort pick; never an
+    // interpolating percentile. At scale this is one user-keyed
+    // window pass with constant per-row state.
+    "ts_rolling_median" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+        .select($"user_id", $"event_id",
+          expr("unix_micros(ts)").as("tus"),
+          Det.centsLong(Det.money($"value"), 100, "cents"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"tus", $"event_id").rowsBetween(-19, 0)
+      e.withColumn("arr", sort_array(collect_list($"cents").over(w)))
+        .select($"event_id", $"user_id", $"cents",
+          size($"arr").cast("long").as("n_window"),
+          expr("element_at(arr, CAST((size(arr) + 1) div 2 AS INT))")
+            .as("roll_med"))
+        .orderBy($"event_id")
+    }),
+
+    // Exact DAU / WAU / MAU (r11d) — the sliding-distinct rollup
+    // every analytics warehouse serves. The corpus reduces ONCE to
+    // the distinct (user, day) activity relation; each activity row
+    // then contributes to its ≤7 (resp. ≤30) trailing target days by
+    // an integer sequence-explode — bounded fanout into an equi-join
+    // aggregate, the interval-bucket pattern, never a range
+    // nested-loop over raw events. Observed-days join keeps the
+    // output to real days. At larger windows the same rollup runs on
+    // per-day bitmap states (sketch_bitmap_ops' or-merge); this is
+    // the exact form those states must reproduce.
+    "agg_active_users" -> ((s, dir) => {
+      import s.implicits._
+      val act = Tables.load(s, dir, "events")
+        .select($"user_id",
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val days = act.select($"day").distinct()
+      val dau = act.groupBy($"day")
+        .agg(countDistinct($"user_id").as("dau"))
+      def windowed(n: Int, nm: String) = act
+        .select($"user_id",
+          explode(expr(s"sequence(day, day + ${n - 1})")).as("d"))
+        .join(days.select($"day".as("d")), "d")
+        .groupBy($"d").agg(countDistinct($"user_id").as(nm))
+        .withColumnRenamed("d", "day")
+      dau.join(windowed(7, "wau"), "day")
+        .join(windowed(30, "mau"), "day")
+        .orderBy($"day")
+    }),
+
     "ts_outlier_mad" -> ((s, dir) => {
       import s.implicits._
       val e = Tables.load(s, dir, "events")
@@ -630,6 +685,37 @@ object SensorQueries extends QueryPack {
   }.mkString(" + ")
 
   def oracle: Seq[(String, String)] = Seq(
+    "ts_rolling_median" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM events),
+        |f AS (SELECT event_id, user_id, cents,
+        |    list_sort(list(cents) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id
+        |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM e)
+        |SELECT event_id, user_id, cents,
+        |  CAST(len(arr) AS BIGINT) AS n_window,
+        |  arr[(len(arr) + 1) // 2] AS roll_med
+        |FROM f ORDER BY event_id""".stripMargin,
+
+    "agg_active_users" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM act),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM act
+        |  GROUP BY day),
+        |w7 AS (SELECT d AS day, count(DISTINCT user_id) AS wau FROM (
+        |    SELECT user_id, unnest(range(day, day + 7)) AS d FROM act)
+        |  JOIN days ON d = days.day GROUP BY d),
+        |w30 AS (SELECT d AS day, count(DISTINCT user_id) AS mau FROM (
+        |    SELECT user_id, unnest(range(day, day + 30)) AS d FROM act)
+        |  JOIN days ON d = days.day GROUP BY d)
+        |SELECT CAST(dau.day AS BIGINT) AS day, dau, wau, mau
+        |FROM dau JOIN w7 USING (day) JOIN w30 USING (day)
+        |ORDER BY day""".stripMargin,
+
     // percentile_disc(0.5) picks the first value whose cume_dist
     // reaches 0.5 — exactly the rank-(n+1)÷2 lower median the Spark
     // side selects by row_number, value-identical for every n.

@@ -61,6 +61,47 @@ class R11dOpsSpec extends SparkTestBase {
     assertSameRows(q("dim_lookup_pit"), want, "pit-vs-bruteforce")
   }
 
+  test("ts_rolling_median: sequential replay + robustness vs mean") {
+    val rows = Tables.load(spark, sf, "events")
+      .select($"user_id", $"event_id", expr("unix_micros(ts)"),
+        (Det.money($"value") * 100).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = rows.groupBy(_._1).flatMap { case (_, rs) =>
+      val sorted = rs.sortBy(t => (t._3, t._2))
+      sorted.indices.map { i =>
+        val frame = sorted.slice(math.max(0, i - 19), i + 1).map(_._4)
+          .sorted
+        (sorted(i)._2, frame((frame.length + 1) / 2 - 1),
+          frame.length.toLong)
+      }
+    }.toSeq.sortBy(_._1)
+    val got = q("ts_rolling_median").select($"event_id", $"roll_med",
+        $"n_window").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == want, "rolling median differs from replay")
+    // Frames really slide: windows reach the full 20 readings.
+    assert(got.exists(_._3 == 20L), "no full-width frame at sf0.001")
+  }
+
+  test("agg_active_users: DAU <= WAU <= MAU and exact W1 identity") {
+    val got = q("agg_active_users").cache()
+    try {
+      assert(got.count() >= 25, "too few days")
+      assert(got.filter($"dau" > $"wau" || $"wau" > $"mau")
+        .count() == 0, "DAU <= WAU <= MAU violated")
+      // First observed day: its trailing windows contain only itself.
+      val first = got.orderBy($"day").head()
+      assert(first.getLong(1) == first.getLong(2) &&
+        first.getLong(2) == first.getLong(3),
+        "first day's trailing windows must equal its DAU")
+      // WAU must genuinely exceed DAU somewhere (the window bites).
+      assert(got.filter($"wau" > $"dau").count() > 0,
+        "WAU never exceeds DAU — sliding window vacuous")
+    } finally got.unpersist()
+  }
+
   test("text_bpe_merges: reference replay incl. overlapping pairs") {
     import operators.TrainQueries.bpeRounds
     // Driver-side reference BPE on the same word-frequency dict.
