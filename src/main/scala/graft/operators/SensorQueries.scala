@@ -894,7 +894,7 @@ object SensorQueries extends QueryPack {
         |  purchase_gap_us,
         |  n_click * 1000000 // n_view AS view_click_ppm,
         |  n_purchase * 1000000 // n_click AS click_purch_ppm
-        |FROM nv, nc, np""".stripMargin,
+        |FROM nv, nc, np ORDER BY n_view""".stripMargin,
 
     "funnel_steps" ->
       """WITH e AS (SELECT user_id, event_type,
