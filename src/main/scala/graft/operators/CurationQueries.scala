@@ -259,6 +259,38 @@ object CurationQueries extends QueryPack {
     // are then map-side. Integer headroom: ppm scaling stays exact to
     // ~9.2e12 total tokens (2^63/1e6); past that, pre-divide the token
     // counts by a fixed shard factor before the ppm step.
+    // Temperature-flattened source mixing (r11d) — the UniMax /
+    // multilingual-sampling weight scheme: weight ∝ share^(1/T)
+    // boosts under-represented sources without letting any source
+    // dominate. T = 2 DELIBERATELY: share^(1/2) is one sqrt — the
+    // only power libm guarantees correctly rounded, so the whole
+    // weight table is cross-engine exact (an arbitrary-T pow() could
+    // never hash-match; the same adjudication as agg_gini's
+    // entropy-vs-Gini). Everything else is integer ppm arithmetic
+    // over two broadcast-sized aggregates (|sources| rows); the
+    // flattening property (weight ratios strictly closer than share
+    // ratios) is law-asserted in R11dOpsSpec.
+    "curate_mix_temperature" -> ((s, dir) => {
+      import s.implicits._
+      val perSrc = Tables.load(s, dir, "documents")
+        .select($"source",
+          size(split($"text", " ")).cast(LongType).as("n_toks"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("src_tokens"))
+      val total = perSrc.agg(sum($"src_tokens").as("total_tokens"))
+      val shared = perSrc.crossJoin(broadcast(total))
+        .withColumn("share_ppm",
+          expr("src_tokens * 1000000 div total_tokens"))
+        .withColumn("raw", expr(
+          "CAST(floor(sqrt(CAST(share_ppm AS DOUBLE) * 1000000.0))" +
+            " AS BIGINT)"))
+      val rawTotal = shared.agg(sum($"raw").as("raw_total"))
+      shared.crossJoin(broadcast(rawTotal))
+        .select($"source", $"n_docs", $"src_tokens", $"share_ppm",
+          expr("raw * 1000000 div raw_total").as("t2_ppm"))
+        .orderBy($"source")
+    }),
+
     "curate_domain_mix" -> ((s, dir) => {
       import s.implicits._
       val perSrc = Tables.load(s, dir, "documents")
@@ -600,6 +632,23 @@ object CurationQueries extends QueryPack {
         |  ORDER BY dot DESC, c_id) AS rank FROM pairs)
         |SELECT q_id, rank, c_id, dot
         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "curate_mix_temperature" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |      AS src_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens
+        |  FROM per),
+        |sh AS (SELECT source, n_docs, src_tokens,
+        |    src_tokens * 1000000 // total_tokens AS share_ppm,
+        |    CAST(floor(sqrt(CAST(src_tokens * 1000000 // total_tokens
+        |      AS DOUBLE) * 1000000.0)) AS BIGINT) AS raw
+        |  FROM per, tot),
+        |rt AS (SELECT CAST(sum(raw) AS BIGINT) AS raw_total FROM sh)
+        |SELECT source, n_docs, src_tokens, share_ppm,
+        |  raw * 1000000 // raw_total AS t2_ppm
+        |FROM sh, rt ORDER BY source""".stripMargin,
 
     "curate_domain_mix" ->
       """WITH per AS (SELECT source, count(*) AS n_docs,

@@ -61,6 +61,25 @@ class R11dOpsSpec extends SparkTestBase {
     assertSameRows(q("dim_lookup_pit"), want, "pit-vs-bruteforce")
   }
 
+  test("curate_mix_temperature: flattening + normalization algebra") {
+    val got = q("curate_mix_temperature").collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    assert(got.length == 20, "expected 20 sources")
+    val shares = got.map(_._2); val t2 = got.map(_._3)
+    // Weights normalize to ~1e6 (floor losses bounded by n sources).
+    val sum2 = t2.sum
+    assert(sum2 <= 1000000L && sum2 > 1000000L - got.length,
+      s"t2 weights sum to $sum2, not ~1e6")
+    // Flattening: the extreme ratio strictly shrinks (cross-
+    // multiplied, no division).
+    assert(t2.max * shares.min < shares.max * t2.min,
+      "temperature did not flatten the share distribution")
+    // Order preserved: bigger share never gets a smaller weight.
+    val byShare = got.sortBy(_._2)
+    assert(byShare.zip(byShare.tail).forall { case (a, b) =>
+      a._3 <= b._3 }, "t2 weights not monotone in share")
+  }
+
   test("ts_rolling_median: sequential replay + robustness vs mean") {
     val rows = Tables.load(spark, sf, "events")
       .select($"user_id", $"event_id", expr("unix_micros(ts)"),
