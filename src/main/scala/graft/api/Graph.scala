@@ -125,8 +125,15 @@ object Graph {
     for (_ <- 1 to rounds) {
       val relaxed = e.join(d, col("src") === col("node"))
         .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      // Per-round lineage truncation (the components-loop discipline):
+      // d feeds both the keep and the relax side, so without it the
+      // plan tree doubles every round — 2^rounds copies of the seed
+      // scan and 63 joins at rounds=6, measured at 21 s on the keyed
+      // query vs ~1 s truncated. The frame is distance-vector-sized
+      // (one row per reached node), so the materialization is cheap.
       d = d.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
     }
     d
   }
