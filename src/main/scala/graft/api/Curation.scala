@@ -126,10 +126,15 @@ object Curation {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int, salt: String = "wsample"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // Loud guard: a zero/negative weight would yield a NULL (div 0)
+    // or negative priority — and NULLS sort FIRST under the
+    // ascending cut, so a weightless row would silently ALWAYS win.
     df.withColumn("pri", expr(
         s"CAST(conv(substr(md5(concat('$salt:', " +
           s"CAST($idCol AS STRING))), 1, 15), 16, 10) AS BIGINT)" +
-          s" div $weightCol"))
+          s" div (${graft.Det.nonNegExpr(
+            s"CAST($weightCol AS BIGINT) - 1",
+            "weightedSample weight-1")} + 1)"))
       .orderBy(col("pri"), col(idCol)).limit(k)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("pri"), col(idCol))).cast("long"))

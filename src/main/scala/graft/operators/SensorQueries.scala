@@ -199,6 +199,72 @@ object SensorQueries extends QueryPack {
         .orderBy($"user_id")
     }),
 
+    // Event-path n-grams (r11d) — the path-analysis rollup behind
+    // every Sankey/flow view: the top-10 3-step event sequences
+    // across all user histories. Two leads over one (user, time, id)
+    // window — a single shuffle on the high-cardinality user key,
+    // pattern assembly map-side (win_seqpattern's plan shape, lifted
+    // from one fixed pattern to the full pattern DISTRIBUTION); the
+    // pattern space is |event types|³ ≤ 125, so the aggregate is
+    // state-sized and the top-10 is a TakeOrdered under the total
+    // (n DESC, path) order.
+    "agg_path_ngrams" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"tus", $"event_id")
+      Tables.load(s, dir, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          expr("unix_micros(ts)").as("tus"))
+        .withColumn("e2", lead($"event_type", 1).over(w))
+        .withColumn("e3", lead($"event_type", 2).over(w))
+        .filter($"e3".isNotNull)
+        .select(concat_ws(">", $"event_type", $"e2", $"e3").as("path"),
+          $"user_id")
+        .groupBy($"path")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"user_id").as("n_users"))
+        .orderBy($"n".desc, $"path").limit(10)
+    }),
+
+    // Two-proportion A/B significance (r11d): the experiment-readout
+    // op. Variants from a deterministic user-id split; conversion =
+    // the user's FIRST event is a purchase (any-purchase-ever
+    // saturates at ~100% on this dense fixture — pooled variance 0,
+    // z undefined; first-event conversion sits near 1/|event types|,
+    // keeping the statistic live at every SF). Counts reduce to 4
+    // BIGINTs (n, conv per arm), and the z-score is ONE fixed IEEE
+    // expression over them — subtraction, multiplication, division
+    // and sqrt are all correctly rounded, so the statistic itself
+    // hash-matches byte-identically (the agg_regression discipline
+    // applied to inference). Rates in exact integer ppm.
+    "agg_ab_test" -> ((s, dir) => {
+      import s.implicits._
+      val u = Tables.load(s, dir, "events")
+        .select($"user_id", $"event_type",
+          expr("unix_micros(ts)").as("tus"), $"event_id")
+        .groupBy($"user_id")
+        .agg(min_by($"event_type", struct($"tus", $"event_id"))
+          .as("first_type"))
+        .select($"user_id",
+          when($"first_type" === "purchase", 1L).otherwise(0L)
+            .as("conv"))
+        .withColumn("variant", pmod($"user_id", lit(2L)))
+      u.groupBy($"variant")
+        .agg(count(lit(1)).as("n"), sum($"conv").as("c"))
+        .agg(
+          sum(when($"variant" === 0, $"n")).as("n_a"),
+          sum(when($"variant" === 0, $"c")).as("c_a"),
+          sum(when($"variant" === 1, $"n")).as("n_b"),
+          sum(when($"variant" === 1, $"c")).as("c_b"))
+        .selectExpr("n_a", "c_a", "n_b", "c_b",
+          "c_a * 1000000 div n_a AS rate_a_ppm",
+          "c_b * 1000000 div n_b AS rate_b_ppm",
+          "round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)" +
+            " / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))" +
+            " * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))" +
+            " * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score")
+    }),
+
     // Cohort retention matrix (r11d) — the canonical product-
     // analytics rollup: users grouped by SIGNUP day, distinct-active
     // counted per (cohort, day offset). Cohort and activity days are
@@ -853,6 +919,51 @@ object SensorQueries extends QueryPack {
         |FROM w
         |WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "agg_path_ngrams" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS tus FROM events),
+        |p AS (SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id) AS e3
+        |  FROM ev),
+        |g AS (SELECT event_type || '>' || e2 || '>' || e3 AS path,
+        |    user_id FROM p WHERE e3 IS NOT NULL)
+        |SELECT path, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM g GROUP BY path
+        |ORDER BY n DESC, path LIMIT 10""".stripMargin,
+
+    "agg_ab_test" ->
+      """WITH f AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |u AS (SELECT user_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |      AS conv
+        |  FROM f WHERE rn = 1),
+        |v AS (SELECT user_id % 2 AS variant, conv FROM u),
+        |g AS (SELECT
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END)
+        |      AS BIGINT) AS c_a,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END)
+        |      AS BIGINT) AS c_b
+        |  FROM v)
+        |SELECT n_a, c_a, n_b, c_b,
+        |  c_a * 1000000 // n_a AS rate_a_ppm,
+        |  c_b * 1000000 // n_b AS rate_b_ppm,
+        |  round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+        |    / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |    * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |    * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+        |FROM g ORDER BY n_a""".stripMargin,
 
     "agg_cohort_retention" ->
       """WITH ev AS (SELECT user_id, event_type,

@@ -516,6 +516,37 @@ object TrainQueries extends QueryPack {
 
     // Token counting: whitespace tokens vs a BPE-ish regex lexer
     // ([a-z]+ | digit runs | single punctuation), bytes and chars.
+    // Vocabulary-growth curve (r11d) — the Heaps'-law saturation
+    // statistic a tokenizer/dedup pipeline reads before sizing a
+    // vocab: per 100-doc ingestion batch, how many NEVER-SEEN-BEFORE
+    // units appear, plus the running vocabulary size. Units are word
+    // BIGRAMS (the unigram vocabulary of this fixture saturates in
+    // batch 0 — 31 terms — so the unigram curve is a single row;
+    // bigrams give a ~|V|² space whose discovery genuinely spreads
+    // across the corpus). First-sight is an order-free min aggregate
+    // (bigram → min doc_id), so the curve is deterministic and
+    // reshard-stable; the cumulative window runs over the BATCH
+    // table (|corpus| div 100 rows), never raw tokens (the
+    // agg_histogram discipline). A flattening new_units column is
+    // the saturation signal: more data adds duplicates, not
+    // diversity.
+    "text_vocab_growth" -> ((s, dir) => {
+      import s.implicits._
+      val first = Tables.load(s, dir, "documents")
+        .select($"doc_id", split(lower($"text"), " ").as("t"))
+        .filter(size($"t") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(t) - 1)," +
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+          .as("bigram"))
+        .groupBy($"bigram").agg(min($"doc_id").as("first_doc"))
+      first.withColumn("batch", expr("first_doc div 100"))
+        .groupBy($"batch").agg(count(lit(1)).as("new_units"))
+        .withColumn("vocab_size",
+          sum($"new_units").over(Window.orderBy($"batch")))
+        .orderBy($"batch")
+    }),
+
     // BPE merge learning (r11d; Sennrich et al. ACL'16) — the
     // tokenizer-TRAINING op of an LLM-data engine (text_tokens
     // consumes a tokenizer; this key learns one). Standard algorithm
@@ -1217,6 +1248,21 @@ object TrainQueries extends QueryPack {
         |    AS rep_flag
         |FROM base b LEFT JOIN top t USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "text_vocab_growth" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ')
+        |    AS t FROM documents),
+        |bg AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+        |  FROM toks, unnest(range(1, len(t))) AS r(i)
+        |  WHERE len(t) >= 2),
+        |f AS (SELECT bigram, min(doc_id) AS first_doc FROM bg
+        |  GROUP BY bigram),
+        |b AS (SELECT first_doc // 100 AS batch, count(*) AS new_units
+        |  FROM f GROUP BY batch)
+        |SELECT CAST(batch AS BIGINT) AS batch, new_units,
+        |  CAST(sum(new_units) OVER (ORDER BY batch) AS BIGINT)
+        |    AS vocab_size
+        |FROM b ORDER BY batch""".stripMargin,
 
     // The same rounds unrolled from one shared template; the merge
     // fold's lambda is semantically identical to bpeMergeExpr.

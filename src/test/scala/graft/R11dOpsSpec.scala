@@ -61,6 +61,75 @@ class R11dOpsSpec extends SparkTestBase {
     assertSameRows(q("dim_lookup_pit"), want, "pit-vs-bruteforce")
   }
 
+  test("agg_path_ngrams: accounting + ordering") {
+    val got = q("agg_path_ngrams").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 10, "expected top-10 paths")
+    assert(got.forall { case (_, n, nu) => nu >= 1 && nu <= n },
+      "n_users outside [1, n]")
+    assert(got.zip(got.tail).forall { case (a, b) =>
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) },
+      "top-10 not in (n desc, path) order")
+    // Full-distribution accounting: total 3-gram instances equal
+    // Σ max(0, user_events − 2).
+    val perUser = Tables.load(spark, sf, "events")
+      .groupBy($"user_id").count().collect().map(_.getLong(1))
+    val totalGrams = perUser.map(n => math.max(0L, n - 2)).sum
+    val allPaths = Tables.load(spark, sf, "events")
+      .select($"user_id", $"event_id", $"event_type",
+        expr("unix_micros(ts)").as("tus"))
+      .withColumn("e2", lead($"event_type", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"tus", $"event_id")))
+      .withColumn("e3", lead($"event_type", 2).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"tus", $"event_id")))
+      .filter($"e3".isNotNull).count()
+    assert(allPaths == totalGrams,
+      s"3-gram instance count $allPaths != per-user sum $totalGrams")
+  }
+
+  test("agg_ab_test: proportions algebra and sign consistency") {
+    // sf0.01 (150 users, ~75/arm): the tier where both arms are
+    // non-degenerate; sf0.001's 7-8-user arms can legitimately have
+    // zero first-event purchases.
+    val r = SparkEntry.queries("agg_ab_test")(
+      spark, "/root/testdata/sf0.01").head()
+    val (na, ca, nb, cb) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))
+    val (ra, rb, z) = (r.getLong(4), r.getLong(5), r.getDouble(6))
+    val users = Tables.load(spark, "/root/testdata/sf0.01", "events")
+      .select($"user_id").distinct().count()
+    assert(na + nb == users, "arms don't partition the users")
+    assert(ca <= na && cb <= nb, "conversions exceed arm size")
+    assert(ca > 0 && cb > 0 && ca < na && cb < nb,
+      "a degenerate arm (0% or 100%) — the statistic is vacuous")
+    assert(ra == ca * 1000000L / na && rb == cb * 1000000L / nb)
+    assert((z > 0) == (ca.toDouble / na > cb.toDouble / nb) ||
+      z == 0.0, "z sign disagrees with the rate difference")
+    assert(math.abs(z) < 10.0, s"implausible z for an A/A split: $z")
+  }
+
+  test("text_vocab_growth: cumulative identity and closure") {
+    val got = q("text_vocab_growth").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length >= 3, "degenerate curve (fewer than 3 batches)")
+    var cum = 0L
+    got.foreach { case (_, nu, vs) =>
+      assert(nu > 0); cum += nu
+      assert(vs == cum, "vocab_size != running sum of new_units")
+    }
+    val distinctBigrams = Tables.load(spark, sf, "documents")
+      .select($"doc_id", split(lower($"text"), " ").as("t"))
+      .filter(size($"t") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1)," +
+          " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        .as("bg")).distinct().count()
+    assert(got.last._3 == distinctBigrams,
+      "final vocab_size != distinct bigram count")
+  }
+
   test("curate_mix_temperature: flattening + normalization algebra") {
     val got = q("curate_mix_temperature").collect()
       .map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
