@@ -221,19 +221,33 @@ object Graph {
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    var e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // Loop state is the SURVIVOR NODE SET, not the filtered edge
+    // relation: peeling is monotone (survivors only shrink), so the
+    // round-r edge set is always the ORIGINAL edges restricted to
+    // round-r survivors — the per-round work is two equi-joins of the
+    // (cached, immutable) edge relation against a node-sized frame
+    // plus one count aggregate, and only the node set is
+    // checkpointed. The r11d first cut checkpointed the full edge
+    // relation every round; at sf0.1 that was 4 eager 110k-row
+    // materializations ≈ the whole key's cost.
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    var surv = e.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+      surv = e
+        .join(surv.select(col("node").as("__ka")),
+          col("src") === col("__ka"))
+        .join(surv.select(col("node").as("__kb")),
+          col("dst") === col("__kb"))
+        .groupBy(col("src")).agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k)
-      e = e.join(keep.select(col("src").as("__ka")),
-            col("src") === col("__ka"))
-        .join(keep.select(col("src").as("__kb")),
-            col("dst") === col("__kb"))
-        .select(col("src"), col("dst"))
+        .select(col("src").as("node"))
         .localCheckpoint(true)
     }
-    e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    e.join(surv.select(col("node").as("__ka")), col("src") === col("__ka"))
+      .join(surv.select(col("node").as("__kb")), col("dst") === col("__kb"))
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
   }
 }
