@@ -130,4 +130,27 @@ object TimeSeries {
       .withColumn("outlier", col("__dev") * 10000L > col("mad_c") * 44478L)
       .drop("__c", "__dev")
   }
+
+  /** Rolling exact lower median over a trailing `width`-row frame per
+    * series — madOutliers' windowed twin (the robust smoother a
+    * spiky sensor needs where a rolling mean chases every spike).
+    * The frame is collected (O(width) state — a DECLARED bound,
+    * never history-sized), sorted, and the lower median selected by
+    * rank (n+1) div 2; over integer values this is exactly
+    * reproducible anywhere (never an interpolating percentile).
+    * Augment-style: input columns + (n_window, roll_med). */
+  def rollingMedian(events: DataFrame, seriesCol: String,
+      tsCol: String, tieCol: String, valueCol: String,
+      width: Int = 20): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    val w = Window.partitionBy(col(seriesCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-(width - 1), 0)
+    events
+      .withColumn("__arr", sort_array(collect_list(col(valueCol)).over(w)))
+      .withColumn("n_window", size(col("__arr")).cast("long"))
+      .withColumn("roll_med", expr(
+        "element_at(__arr, CAST((size(__arr) + 1) div 2 AS INT))"))
+      .drop("__arr")
+  }
 }

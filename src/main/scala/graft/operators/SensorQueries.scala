@@ -685,13 +685,10 @@ object SensorQueries extends QueryPack {
         .select($"user_id", $"event_id",
           expr("unix_micros(ts)").as("tus"),
           Det.centsLong(Det.money($"value"), 100, "cents"))
-      val w = Window.partitionBy($"user_id")
-        .orderBy($"tus", $"event_id").rowsBetween(-19, 0)
-      e.withColumn("arr", sort_array(collect_list($"cents").over(w)))
-        .select($"event_id", $"user_id", $"cents",
-          size($"arr").cast("long").as("n_window"),
-          expr("element_at(arr, CAST((size(arr) + 1) div 2 AS INT))")
-            .as("roll_med"))
+      graft.api.TimeSeries
+        .rollingMedian(e, "user_id", "tus", "event_id", "cents")
+        .select($"event_id", $"user_id", $"cents", $"n_window",
+          $"roll_med")
         .orderBy($"event_id")
     }),
 

@@ -418,6 +418,24 @@ class ApiSpec extends SparkTestBase {
       df.repartition(13), "id", 8), "epochShards reshard stability")
   }
 
+  test("TimeSeries.rollingMedian tracks the level through a spike") {
+    // Readings near 100 with one 9999 spike: the width-5 rolling
+    // median must never leave the [99, 101] band (the mean would
+    // jump ~2000 while the spike is in frame).
+    val rows = (1L to 12L).map(i =>
+      ("probe", i, i, if (i == 6) 9999L else 99L + (i % 3)))
+      .toDF("p", "t", "id", "v")
+    val got = api.TimeSeries.rollingMedian(rows, "p", "t", "id", "v",
+        width = 5)
+      .orderBy($"t").collect()
+      .map(r => (r.getLong(1), r.getLong(5), r.getLong(4)))
+    assert(got.forall { case (t, med, _) => med >= 99L && med <= 101L },
+      s"median left the level band: ${got.mkString(",")}")
+    // Frames really ramp 1..5 then hold at 5.
+    assert(got.map(_._3).toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L, 5L, 5L, 5L, 5L, 5L, 5L, 5L))
+  }
+
   test("VectorSearch.mmrRerank prefers a diverse pick over a " +
        "redundant one on a hand-built shortlist") {
     // Query 1: candidate 100 is most relevant; 101 is nearly a
