@@ -229,6 +229,34 @@ object GraphQueries extends QueryPack {
         .orderBy($"node")
     }),
 
+    // Degree assortativity (r11d; Newman 2002) — does the graph wire
+    // hubs to hubs (r > 0) or hubs to leaves (r < 0)? The one-number
+    // mixing diagnostic read before trusting degree-based sampling
+    // or pruning decisions. Pearson correlation of (deg(src),
+    // deg(dst)) over the DOUBLED edge relation (both stub
+    // directions — the standard estimator; symmetric, so Σx = Σy is
+    // also a built-in self-check). agg_regression's determinism
+    // discipline on graph structure: five exact BIGINT power sums in
+    // one two-phase aggregate, then ONE fixed IEEE expression whose
+    // text is byte-identical in the oracle. Cost: two broadcast-sized
+    // degree joins + a 1-row reduce over the session-cached edges.
+    "graph_assortativity" -> ((s, dir) => {
+      import s.implicits._
+      val ed = edgeRel(s, dir)
+      val deg = ed.groupBy($"src").agg(count(lit(1)).as("d"))
+      ed.join(deg.select($"src".as("a"), $"d".as("x")), $"src" === $"a")
+        .join(deg.select($"src".as("b"), $"d".as("y")), $"dst" === $"b")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+          sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+          sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+        .selectExpr("n", "sx", "sy",
+          "round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)" +
+            " / (sqrt(CAST(n AS DOUBLE) * sxx" +
+            " - CAST(sx AS DOUBLE) * sx)" +
+            " * sqrt(CAST(n AS DOUBLE) * syy" +
+            " - CAST(sy AS DOUBLE) * sy)), 12) AS assort_r")
+    }),
+
     // k-core peel (r11d) over the customer↔part PURCHASE graph (the
     // second bipartite graph the fact tables hold — who-buys-what,
     // with real degree variance from order counts; the part↔supplier
@@ -303,6 +331,29 @@ object GraphQueries extends QueryPack {
   }.mkString(",\n")
 
   def oracle: Seq[(String, String)] = Seq(
+    "graph_assortativity" ->
+      """WITH e AS (SELECT DISTINCT l_partkey AS p,
+        |    1000000000 + l_suppkey AS sn FROM lineitem),
+        |ed AS (SELECT p AS src, sn AS dst FROM e
+        |       UNION ALL SELECT sn, p FROM e),
+        |deg AS (SELECT src, count(*) AS d FROM ed GROUP BY src),
+        |j AS (SELECT a.d AS x, b.d AS y FROM ed
+        |  JOIN deg a ON ed.src = a.src
+        |  JOIN deg b ON ed.dst = b.src),
+        |g AS (SELECT count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM j)
+        |SELECT n, sx, sy,
+        |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |    / (sqrt(CAST(n AS DOUBLE) * sxx
+        |    - CAST(sx AS DOUBLE) * sx)
+        |    * sqrt(CAST(n AS DOUBLE) * syy
+        |    - CAST(sy AS DOUBLE) * sy)), 12) AS assort_r
+        |FROM g ORDER BY n""".stripMargin,
+
     "graph_kcore" ->
       s"""WITH b AS MATERIALIZED (SELECT DISTINCT o_custkey AS c,
          |    2000000000 + l_partkey AS p

@@ -554,6 +554,35 @@ class R11dOpsSpec extends SparkTestBase {
     } finally got.unpersist()
   }
 
+  test("graph_assortativity: symmetry self-check + bounds + replay") {
+    val r = q("graph_assortativity").head()
+    val (n, sx, sy, ar) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))
+    assert(sx == sy, "doubled-edge symmetry broken: sum x != sum y")
+    assert(ar >= -1.0 && ar <= 1.0, s"correlation out of [-1,1]: $ar")
+    // Exact driver replay over the collected edge relation.
+    val edges = Tables.load(spark, sf, "lineitem")
+      .select($"l_partkey".as("p"), ($"l_suppkey" + 1000000000L).as("s2"))
+      .distinct().collect().map(r2 => (r2.getLong(0), r2.getLong(1)))
+    val doubled = edges ++ edges.map { case (a, b) => (b, a) }
+    val deg = doubled.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val xs = doubled.map { case (a, b) => (deg(a), deg(b)) }
+    assert(n == doubled.length.toLong)
+    val (nn, sxr, syr) = (xs.length.toDouble,
+      xs.map(_._1).sum.toDouble, xs.map(_._2).sum.toDouble)
+    val sxy = xs.map { case (x, y) => x * y }.sum.toDouble
+    val sxx = xs.map(t => t._1 * t._1).sum.toDouble
+    val syy = xs.map(t => t._2 * t._2).sum.toDouble
+    val want = (nn * sxy - sxr * syr) /
+      (math.sqrt(nn * sxx - sxr * sxr) * math.sqrt(nn * syy - syr * syr))
+    assert(math.abs(ar - want) < 1e-9,
+      s"assortativity $ar differs from replay $want")
+    // The bipartite part↔supplier graph is strongly DISASSORTATIVE
+    // by construction (every edge joins a high-degree supplier to a
+    // low-degree part) — the sign is part of the semantics.
+    assert(ar < 0, s"bipartite hub-leaf graph not disassortative: $ar")
+  }
+
   test("graph_kcore: fixed rounds reach the fixpoint; peel non-vacuous") {
     import operators.GraphQueries.{kcoreK, kcoreRounds}
     val got = q("graph_kcore").cache()
