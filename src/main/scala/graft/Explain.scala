@@ -16,7 +16,9 @@ object Explain {
         "agg_percentile", "text_tfidf", "join_asof_native",
         "join_theta_range", "text_contamination", "ts_resample",
         "dedup_minhash", "dedup_minhash_pairs", "dedup_minhash_cluster",
-        "pipeline_neardup", "scan_time_range")
+        "pipeline_neardup", "scan_time_range",
+        "dim_lookup_pit", "graph_kcore", "vec_rerank_mmr",
+        "join_spatial_grid", "agg_active_users", "text_bpe_merges")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
