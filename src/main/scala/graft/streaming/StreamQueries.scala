@@ -371,6 +371,72 @@ object StreamQueries {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class TierRow(user_id: Long, ts_us: Long, event_id: Long,
+      tier: String)
+  case class Scd2St(version: Long, tier: String, last_ts: Long,
+      last_id: Long)
+  case class Scd2Out(user_id: Long, version: Long, tier: String,
+      valid_from: Long)
+
+  /** st22 (r11d) — STREAMING SCD2: continuous dimension maintenance.
+    * The nightly dim_scd2_merge collapses to its streaming limit: a
+    * per-key `transformWithState` processor holding (current tier,
+    * version, last event-time) — O(1) state per key — that emits a
+    * new VERSION ROW exactly when the tracked attribute changes.
+    * The emitted change stream is the batch history's generator:
+    * (user, version, tier, valid_from) must equal the DuckDB-oracled
+    * `dim_scd2` build row-for-row (valid_to/is_current are the
+    * deterministic lead() view over it). Contract: input arrives in
+    * event-time order ACROSS micro-batches (the replay stages
+    * time-contiguous chunks — in production, a watermark-sorted
+    * upstream); within a batch the processor sorts its buffered rows
+    * by (ts, event_id), and an out-of-order arrival across batches
+    * fails LOUDLY rather than corrupting history (late data belongs
+    * in the merge path, not silently misversioned). */
+  class Scd2Processor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TierRow, Scd2Out] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var st: ValueState[Scd2St] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Scd2St]("scd2",
+        org.apache.spark.sql.Encoders.product[Scd2St], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TierRow],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[Scd2Out] = {
+      val sorted = rows.toArray.sortBy(r => (r.ts_us, r.event_id))
+      var s = if (st.exists()) st.get()
+        else Scd2St(0L, null, Long.MinValue, Long.MinValue)
+      val out = Seq.newBuilder[Scd2Out]
+      sorted.foreach { r =>
+        if (r.ts_us < s.last_ts ||
+            (r.ts_us == s.last_ts && r.event_id <= s.last_id))
+          throw new IllegalStateException(
+            s"st22: out-of-order arrival for user $key " +
+              s"(${r.ts_us}/${r.event_id} after ${s.last_ts}/" +
+              s"${s.last_id}) — late data must go through the batch " +
+              "merge path, not the streaming history build")
+        if (s.tier == null || s.tier != r.tier) {
+          s = Scd2St(s.version + 1, r.tier, r.ts_us, r.event_id)
+          out += Scd2Out(key, s.version, r.tier, r.ts_us)
+        } else s = s.copy(last_ts = r.ts_us, last_id = r.event_id)
+      }
+      st.update(s)
+      out.result().iterator
+    }
+  }
+
+  /** st22 entry: tier change stream -> emitted version rows. */
+  def scd2Tws(rows: Dataset[TierRow]): Dataset[Scd2Out] = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    rows.groupByKey(_.user_id)
+      .transformWithState(new Scd2Processor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   case class DocSampleRow(doc_id: Long, hk: Long, lang: String,
       source: String, n_chars: Long)
   case class ReservoirState(n: Long, items: Seq[DocSampleRow])
