@@ -1,5 +1,36 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
+
+/** Per-round lineage truncation for driver-iterated fixpoint loops
+  * (DedupCluster.components, Graph.bfsDistances, Graph.kcore): without
+  * it the plan tree re-derives round i-1 every round, so work grows
+  * exponentially in the round count. Defaults to `localCheckpoint`
+  * (executor-local blocks — right for local mode and short loops, but
+  * on a real cluster a lost executor after round k can no longer
+  * replay the truncated lineage). Set
+  * `spark.graft.reliableCheckpoint=true` (legacy per-op alias
+  * `spark.graft.dedup.reliableCheckpoint` still honored) with
+  * `sparkContext.setCheckpointDir` pointing at HDFS/object storage to
+  * write reliable checkpoints instead — slower per round, but one
+  * dead executor costs a task retry, not the job. One config governs
+  * ALL the iterative loops (r11 ADVICE: Graph's loops hard-coded
+  * localCheckpoint while components was configurable — inconsistent
+  * resilience for equally long fixpoints). */
+object Fixpoint {
+  def truncate(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val reliable = Seq("spark.graft.reliableCheckpoint",
+        "spark.graft.dedup.reliableCheckpoint")
+      .exists(k => spark.conf.getOption(k).exists(_.toBoolean))
+    if (reliable && spark.sparkContext.getCheckpointDir.isEmpty)
+      throw new IllegalStateException(
+        "spark.graft.reliableCheckpoint=true requires " +
+          "sparkContext.setCheckpointDir (an HDFS/object-store path)")
+    if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+  }
+}
+
 /** Small shared utilities (one definition — several callers). */
 object Util {
 

@@ -127,14 +127,19 @@ object Curation {
       k: Int, salt: String = "wsample"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     // Loud guard: a zero/negative weight would yield a NULL (div 0)
-    // or negative priority — and NULLS sort FIRST under the
-    // ascending cut, so a weightless row would silently ALWAYS win.
+    // or negative priority, and a NULL weight a NULL priority — and
+    // NULLS sort FIRST under the ascending cut, so a weightless row
+    // would silently ALWAYS win. The NULL branch is explicit (r11
+    // ADVICE): nonNegExpr's `< 0` test is NULL on a NULL weight, so
+    // without it the guard silently passes the poisoned row through.
     df.withColumn("pri", expr(
         s"CAST(conv(substr(md5(concat('$salt:', " +
           s"CAST($idCol AS STRING))), 1, 15), 16, 10) AS BIGINT)" +
-          s" div (${graft.Det.nonNegExpr(
+          s" div (CASE WHEN ($weightCol) IS NULL THEN raise_error(" +
+          s"'weightedSample: NULL weight (NULL priority sorts first " +
+          s"and would always win)') ELSE ${graft.Det.nonNegExpr(
             s"CAST($weightCol AS BIGINT) - 1",
-            "weightedSample weight-1")} + 1)"))
+            "weightedSample weight-1")} END + 1)"))
       .orderBy(col("pri"), col(idCol)).limit(k)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("pri"), col(idCol))).cast("long"))

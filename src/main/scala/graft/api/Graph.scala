@@ -131,9 +131,10 @@ object Graph {
       // scan and 63 joins at rounds=6, measured at 21 s on the keyed
       // query vs ~1 s truncated. The frame is distance-vector-sized
       // (one row per reached node), so the materialization is cheap.
-      d = d.unionByName(relaxed)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+      // graft.Fixpoint honors spark.graft.reliableCheckpoint — the
+      // same durability knob as DedupCluster.components (r11 ADVICE).
+      d = graft.Fixpoint.truncate(d.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist")))
     }
     d
   }
@@ -230,20 +231,21 @@ object Graph {
     // checkpointed. The r11d first cut checkpointed the full edge
     // relation every round; at sf0.1 that was 4 eager 110k-row
     // materializations ≈ the whole key's cost.
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(true)
-    var surv = e.select(col("src").as("node")).distinct()
-      .localCheckpoint(true)
+    // graft.Fixpoint honors spark.graft.reliableCheckpoint — the same
+    // durability knob as DedupCluster.components (r11 ADVICE).
+    val e = graft.Fixpoint.truncate(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    var surv = graft.Fixpoint.truncate(
+      e.select(col("src").as("node")).distinct())
     for (_ <- 1 to rounds) {
-      surv = e
+      surv = graft.Fixpoint.truncate(e
         .join(surv.select(col("node").as("__ka")),
           col("src") === col("__ka"))
         .join(surv.select(col("node").as("__kb")),
           col("dst") === col("__kb"))
         .groupBy(col("src")).agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k)
-        .select(col("src").as("node"))
-        .localCheckpoint(true)
+        .select(col("src").as("node")))
     }
     e.join(surv.select(col("node").as("__ka")), col("src") === col("__ka"))
       .join(surv.select(col("node").as("__kb")), col("dst") === col("__kb"))

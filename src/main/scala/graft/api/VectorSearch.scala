@@ -125,11 +125,22 @@ object VectorSearch {
       val maxsim = sims.join(selIds,
           col("q_id") === col("sq") && col("b") === col("s_id"))
         .groupBy(col("q_id"), col("a")).agg(max(col("sim")).as("ms"))
+      // LEFT join + loud guard (r11 ADVICE): an inner join would
+      // silently drop any shortlist candidate whose sims rows are
+      // missing — an incomplete sims input must fail, not quietly
+      // pick the wrong candidates. sims must cover every ordered
+      // (candidate, selected) pair within a query.
       val next = shortlist
         .join(selIds, col("q_id") === col("sq") &&
           col("c_id") === col("s_id"), "left_anti")
         .join(maxsim.select(col("q_id").as("mq"), col("a"), col("ms")),
-          col("q_id") === col("mq") && col("c_id") === col("a"))
+          col("q_id") === col("mq") && col("c_id") === col("a"), "left")
+        .withColumn("ms", when(col("ms").isNull, raise_error(concat(
+            lit("mmrRerank: sims has no row for shortlist pair q_id="),
+            col("q_id").cast("string"), lit(" c_id="),
+            col("c_id").cast("string"),
+            lit(" — sims must cover all shortlist ordered pairs"))))
+          .otherwise(col("ms")))
         .withColumn("score", col("rel") * lam - col("ms") * om)
         .withColumn("rn", row_number().over(
           w.orderBy(col("score").desc, col("c_id"))))

@@ -37,26 +37,14 @@ object DedupCluster extends QueryPack {
   /** Connected components by min-label propagation. `edges` must have
     * columns (da, db); returns (doc_id, comp).
     *
-    * Durability: per-round lineage truncation defaults to
-    * `localCheckpoint` (executor-local blocks — right for local mode,
-    * but on a real cluster a lost executor after round k can no longer
-    * replay the truncated lineage). Set
-    * `spark.graft.dedup.reliableCheckpoint=true` (with
-    * `sparkContext.setCheckpointDir` pointing at HDFS/object storage)
-    * to write reliable checkpoints instead — slower per round, but one
-    * dead executor costs a task retry, not the job. */
+    * Durability: per-round lineage truncation via graft.Fixpoint —
+    * `localCheckpoint` by default, reliable checkpoints under
+    * `spark.graft.reliableCheckpoint=true` (see Fixpoint's scaladoc;
+    * the same config governs Graph's iterative loops). */
   def components(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val reliable = spark.conf
-      .getOption("spark.graft.dedup.reliableCheckpoint")
-      .exists(_.toBoolean)
-    if (reliable && spark.sparkContext.getCheckpointDir.isEmpty)
-      throw new IllegalStateException(
-        "spark.graft.dedup.reliableCheckpoint=true requires " +
-          "sparkContext.setCheckpointDir (an HDFS/object-store path)")
-    def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    def truncate(df: DataFrame): DataFrame = graft.Fixpoint.truncate(df)
     // No distinct on the doubled edges: duplicates only contribute
     // redundant candidates to the min-aggregate, and deduping them
     // costs a full extra shuffle of the edge list.

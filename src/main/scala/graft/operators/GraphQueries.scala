@@ -244,11 +244,22 @@ object GraphQueries extends QueryPack {
       import s.implicits._
       val ed = edgeRel(s, dir)
       val deg = ed.groupBy($"src").agg(count(lit(1)).as("d"))
+      // Power sums in DECIMAL(38,0) with a loud bounded cast back to
+      // BIGINT (r11 ADVICE): a plain BIGINT sum WRAPS silently in
+      // Spark on a high-degree graph while DuckDB aggregates in
+      // HUGEINT and errors on its BIGINT cast — the guard makes both
+      // engines fail identically instead of hash-diverging. centsLong
+      // with factor 1 is exactly that bounded cast.
+      val xd = $"x".cast(org.apache.spark.sql.types.DecimalType(19, 0))
+      val yd = $"y".cast(org.apache.spark.sql.types.DecimalType(19, 0))
       ed.join(deg.select($"src".as("a"), $"d".as("x")), $"src" === $"a")
         .join(deg.select($"src".as("b"), $"d".as("y")), $"dst" === $"b")
-        .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
-          sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
-          sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+        .agg(count(lit(1)).as("n"),
+          graft.Det.centsLong(sum(xd), 1, "sx"),
+          graft.Det.centsLong(sum(yd), 1, "sy"),
+          graft.Det.centsLong(sum(xd * yd), 1, "sxy"),
+          graft.Det.centsLong(sum(xd * xd), 1, "sxx"),
+          graft.Det.centsLong(sum(yd * yd), 1, "syy"))
         .selectExpr("n", "sx", "sy",
           "round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)" +
             " / (sqrt(CAST(n AS DOUBLE) * sxx" +

@@ -259,10 +259,18 @@ object SensorQueries extends QueryPack {
         .selectExpr("n_a", "c_a", "n_b", "c_b",
           "c_a * 1000000 div n_a AS rate_a_ppm",
           "c_b * 1000000 div n_b AS rate_b_ppm",
-          "round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)" +
+          // Degenerate-pooled-rate loud guard (r11 ADVICE): at pooled
+          // conversion 0 or 1 the pooled variance is 0 and z divides
+          // by zero — Spark would emit NaN/Inf where DuckDB's float
+          // division differs, a silent hash divergence. Both engines
+          // raise instead (oracle mirrors with error()).
+          "CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN" +
+            " raise_error('agg_ab_test: degenerate pooled rate" +
+            " (all or none convert) — z undefined') ELSE" +
+            " round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)" +
             " / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))" +
             " * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))" +
-            " * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score")
+            " * (1.0 / n_a + 1.0 / n_b)), 6) END AS z_score")
     }),
 
     // Cohort retention matrix (r11d) — the canonical product-
@@ -956,10 +964,13 @@ object SensorQueries extends QueryPack {
         |SELECT n_a, c_a, n_b, c_b,
         |  c_a * 1000000 // n_a AS rate_a_ppm,
         |  c_b * 1000000 // n_b AS rate_b_ppm,
+        |  CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN
+        |    error('agg_ab_test: degenerate pooled rate')
+        |  ELSE
         |  round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
         |    / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
         |    * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
-        |    * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+        |    * (1.0 / n_a + 1.0 / n_b)), 6) END AS z_score
         |FROM g ORDER BY n_a""".stripMargin,
 
     "agg_cohort_retention" ->
