@@ -5,11 +5,13 @@ dump taken on the ScaleBench staging dir and writes the per-key result
 to target/scalecheck.json.
 
 Usage: python3 dev/scalecheck.py <stagedDir> <verifyOutDir> [key ...]
+[env SCALECHECK_OUT overrides the output path (default
+target/scalecheck.json) — the 100x run writes scalecheck100.json]
 
 NOT shipped code — dev loop only (the Scala library has no
 python/duckdb dependency).
 """
-import json, re, subprocess, sys, pathlib
+import json, os, re, subprocess, sys, pathlib
 
 def main():
     staged, out_dir = sys.argv[1], sys.argv[2]
@@ -35,9 +37,9 @@ def main():
     doc = {"metric": "scalecheck", "staged": staged, "n_pass": n_pass,
            "n_fail": n_fail, "keys": results}
     pathlib.Path("target").mkdir(exist_ok=True)
-    pathlib.Path("target/scalecheck.json").write_text(
-        json.dumps(doc, indent=1, sort_keys=True))
-    print(f"scalecheck: {n_pass} pass, {n_fail} fail -> target/scalecheck.json")
+    out = os.environ.get("SCALECHECK_OUT", "target/scalecheck.json")
+    pathlib.Path(out).write_text(json.dumps(doc, indent=1, sort_keys=True))
+    print(f"scalecheck: {n_pass} pass, {n_fail} fail -> {out}")
     sys.exit(1 if n_fail or not n_pass else 0)
 
 if __name__ == "__main__":

@@ -39,9 +39,9 @@ import org.apache.spark.sql.functions._
   *   UNCHANGED: 10x customers across the same 25 nations is exactly
   *   what a real 10x looks like, and filter selectivities stay
   *   constant. Step 10^6 > max base key (149,999) keeps replicas
-  *   disjoint, and at M=10 the maxima stay inside every loud guard:
-  *   o_orderkey < 9.2*10^6 ≪ 10^9 (agg_minmax_by ordinal),
-  *   event_id < 9.1*10^6 < 10^7 (ts_ohlc ordinal).
+  *   disjoint, and up to M=100 the maxima stay inside every loud
+  *   guard: o_orderkey < 10^8 ≪ 10^9 (agg_minmax_by ordinal),
+  *   event_id < 10^8 < 10^9 (ts_ohlc ordinal, widened in r8).
   * - `events` x M: event_id and user_id offset by i*10^6; ts/value/
   *   props unchanged. 10x users with unchanged per-user history keeps
   *   session windows and funnels per-user-bounded (the realistic 10x:
@@ -82,6 +82,11 @@ object ScaleBench {
     def rep(c: String, step: Long) =
       (col(c) + $"rep".cast("long") * step).as(c)
 
+    // File counts scale with the multiplier past 10x so per-file bytes
+    // stay roughly constant (a 100x lineitem in 32 files would be one
+    // 19M-row write task per file).
+    def scaled(parts: Int): Int = math.max(parts, parts * m / 10)
+
     val docs = Tables.load(spark, base, "documents")
     docs.crossJoin(broadcast(reps))
       .select(
@@ -91,16 +96,21 @@ object ScaleBench {
             w => concat(w, lit("~r"), $"rep")), " ")).as("text"),
         $"lang", $"source")
       .withColumn("n_chars", length($"text"))
-      .repartition(32).write.parquet(s"$out/documents.parquet")
+      .repartition(scaled(32)).write.parquet(s"$out/documents.parquet")
 
+    // Sign-flip dims 0..6 by the replica's bits: 7 bits = 128 distinct
+    // sign patterns, so every replica pair up to m=100 lands in
+    // different sign-LSH buckets (4 bits was enough for m=10; at
+    // m=100 replicas i and i+16 would alias and cross-replica
+    // near-dup candidates would break the linear-scaling contract).
     Tables.load(spark, base, "embeddings").crossJoin(broadcast(reps))
       .select(
         rep("vec_id", docStep),
-        expr("transform(embedding, (x, j) -> CASE WHEN j < 4 AND " +
+        expr("transform(embedding, (x, j) -> CASE WHEN j < 7 AND " +
           "shiftright(rep, CAST(j AS INT)) % 2 = 1 THEN -x ELSE x END)")
           .as("embedding"),
         $"label")
-      .repartition(8).write.parquet(s"$out/embeddings.parquet")
+      .repartition(scaled(8)).write.parquet(s"$out/embeddings.parquet")
 
     /** Replicate a fact table, offsetting exactly the join-key columns. */
     def fact(table: String, keys: Seq[String], parts: Int): Unit = {
@@ -109,7 +119,7 @@ object ScaleBench {
         .select(t.columns.toIndexedSeq.map { c =>
           if (keys.contains(c)) rep(c, factStep) else col(c)
         }: _*)
-        .repartition(parts).write.parquet(s"$out/$table.parquet")
+        .repartition(scaled(parts)).write.parquet(s"$out/$table.parquet")
     }
     fact("customer", Seq("c_custkey"), 4)
     fact("supplier", Seq("s_suppkey"), 2)
@@ -127,7 +137,7 @@ object ScaleBench {
       .select(ev.columns.toIndexedSeq.map { c =>
         if (c == "event_id" || c == "user_id") rep(c, factStep) else col(c)
       }: _*)
-      .repartition(8).write.parquet(s"$out/events.parquet")
+      .repartition(scaled(8)).write.parquet(s"$out/events.parquet")
 
     Seq("region", "nation").foreach { t =>
       Files.createSymbolicLink(
@@ -138,9 +148,22 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "10").toInt
-    require(mult <= 10, // event_id guard: (m-1)*10^6 + 10^5 must stay < 10^7
-      s"SPARK_GRAFT_SCALE_MULT > 10 would breach the ts_ohlc ordinal guard")
+    // Ordinal-guard bound (r12, was 10): every radix composite packs
+    // its id with 10^9 headroom (ts_ohlc event_id and agg_minmax_by
+    // o_orderkey are both boundedExpr < 10^9), so replica offsets may
+    // reach (m-1)*10^6 + maxBaseKey < 10^9 → m ≤ ~990. The embedding
+    // sign-flip uses 7 bits → 128 distinct patterns; 100 keeps every
+    // replica pair in distinct sign-LSH buckets.
+    require(mult <= 100,
+      s"SPARK_GRAFT_SCALE_MULT > 100 would alias embedding sign " +
+        "patterns (7 flip bits = 128 distinct replicas)")
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1")
+    // Timing base: defaults to the staging SOURCE (the 1x-vs-mult
+    // comparison); point it at a previous staging to measure
+    // decade-over-decade instead (e.g. base=10x staging, scaled=100x
+    // → the 100x/10x ratio that exposes super-linearity BETWEEN
+    // decades, r11 verdict item 2).
+    val timingBase = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE", base)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Dev loop: SPARK_GRAFT_ONLY=k1,k2 times just those keys;
     // SPARK_GRAFT_SCALE_STAGE=skip reuses an existing staged dir
@@ -184,14 +207,16 @@ object ScaleBench {
     // exactly what a real cluster does by adding executors — and the
     // 32 cores simply run more waves. AQE (on in Tables.sessionConfs)
     // still coalesces the small stages back down.
-    val scaledParts = (cpus.toInt * mult).toString
+    val baseParts = sys.env.getOrElse("SPARK_GRAFT_BASE_PARTS", cpus)
+    val scaledParts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS",
+      (cpus.toInt * mult).toString)
     def atParts(parts: String)(body: => Double): Double = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
       try body finally
         spark.conf.set("spark.sql.shuffle.partitions", cpus)
     }
     val results = keys.map { name =>
-      val b = atParts(cpus)(warm(name, base))
+      val b = atParts(baseParts)(warm(name, timingBase))
       val s10 = atParts(scaledParts)(warm(name, out))
       val ratio = if (b > 0 && s10 >= 0) s10 / b else -1.0
       println(f"  $name%-24s base ${b}%8.2f s   ${mult}x ${s10}%8.2f s" +
@@ -207,14 +232,16 @@ object ScaleBench {
     val total10 = results.map(_._3).filter(_ >= 0).sum
     val json = s"""{"metric":"scale_total","value":${fmt(total10)},""" +
       s""""unit":"sec","mult":$mult,"n_keys":${results.length},""" +
-      s""""base_parts":$cpus,"scaled_parts":$scaledParts,""" +
+      s""""base_parts":$baseParts,"scaled_parts":$scaledParts,""" +
       s""""base_total":${fmt(totalB)},""" +
       s""""docs":${counts("documents")},"vecs":${counts("embeddings")},""" +
       s""""lineitem":${counts("lineitem")},"events":${counts("events")},""" +
       s""""queries":${m(_._3)},"base_s":${m(_._2)},"ratio":${m(_._4)},""" +
-      s""""base":"$base"}"""
+      s""""base":"$timingBase","staged":"$out"}"""
     Files.createDirectories(Paths.get("target"))
-    Files.writeString(Paths.get("target/scalebench.json"), json)
+    val outJson = if (mult == 10) "target/scalebench.json"
+      else s"target/scalebench$mult.json"
+    Files.writeString(Paths.get(outJson), json)
     println(json)
     SessionCache.clear(spark)
     spark.stop()

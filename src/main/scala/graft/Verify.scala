@@ -7,9 +7,14 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle width decouples from thread count for at-scale dumps
+    // (the 100x staging wants ~10 partitions per core so partition
+    // bytes match the driver-fixture runs; the driver sets nothing,
+    // so its runs keep parts = cpus).
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     Tables.sessionConfs.foreach { case (k, v) => builder.config(k, v) }

@@ -177,6 +177,16 @@ object Graph {
   private[graft] def jaccardTopKOnCapped(ce: DataFrame, k: Int)
       : DataFrame = {
     val deg = ce.groupBy(col("sup")).agg(count(lit(1)).as("deg"))
+    // Pair generation stays the p-keyed SELF-JOIN — r12 profiled the
+    // two candidate rewrites on the 10x staging and both lost:
+    // per-item sorted-array collect + mapper-side combination explode
+    // measured 4.52 s warm vs the self-join's 3.31 (array/struct
+    // churn beats the saved exchange), and caching ce pre-partitioned
+    // on p didn't elide the self-join exchanges (InMemoryTableScan
+    // fed a fresh Exchange) while slowing the tail. Warm 10x stage
+    // split: pairs 3.3 s / rank tail 3.2 s, both linear in the 5.0M
+    // pair count — the single-key 10x ratio is 3.66 (r11's 5.96 was
+    // full-suite ambient load, not this plan).
     val pairs = ce.as("a").join(ce.as("b"),
         col("a.p") === col("b.p") && col("a.sup") < col("b.sup"))
       .groupBy(col("a.sup").as("s1"), col("b.sup").as("s2"))

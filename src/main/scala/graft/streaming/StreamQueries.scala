@@ -437,6 +437,111 @@ object StreamQueries {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** st23 input row: TierRow plus the event-time column the watermark
+    * rides on (kept in the encoder so column pruning cannot drop the
+    * EventTimeWatermark input). */
+  case class TierRowW(user_id: Long, ts_us: Long, event_id: Long,
+      tier: String, ts: java.sql.Timestamp)
+
+  /** st23 (r12) — WATERMARK-BUFFERED streaming SCD2: st22 for
+    * OUT-OF-ORDER arrivals. st22's contract is event-time order
+    * across micro-batches (a violation throws — late data goes to the
+    * batch merge). st23 relaxes it to BOUNDED lateness: rows may
+    * arrive in any order within the watermark delay. Per key, a
+    * ListState buffers rows still inside the lateness horizon; once
+    * the event-time watermark passes a row, nothing earlier can still
+    * arrive (Spark drops later-than-watermark input upstream), so the
+    * buffered prefix at ts < watermark is FINAL — it is drained in
+    * (ts, event_id) order through exactly st22's version transition,
+    * and the emitted change stream equals the batch dim_scd2 build on
+    * any replay whose disorder the delay covers
+    * (StreamingEquivalenceSpec st23: a deliberately shuffled replay
+    * st22 would reject). An event-time TIMER at the earliest pending
+    * row flushes keys that get no further input (the sentinel-driven
+    * no-data batch fires it at end of stream). State per key is O(
+    * rows inside the delay horizon) — the price of reordering; the
+    * finalized history stays O(1). A drain that would step backwards
+    * vs the finalized state means the watermark contract was broken
+    * upstream and throws the same loud error as st22. */
+  class Scd2BufferedProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TierRowW, Scd2Out] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+      OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[Scd2St] = _
+    @transient private var buf: ListState[TierRow] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[Scd2St]("scd2",
+        org.apache.spark.sql.Encoders.product[Scd2St], TTLConfig.NONE)
+      buf = getHandle.getListState[TierRow]("buf",
+        org.apache.spark.sql.Encoders.product[TierRow], TTLConfig.NONE)
+    }
+
+    /** Finalize every buffered row with ts_us < the watermark (µs):
+      * sort, run st22's transition, emit; re-buffer the rest and arm
+      * a timer at the earliest pending row so the key flushes even
+      * with no further input. */
+    private def drain(wmUs: Long): Iterator[Scd2Out] = {
+      val all = {
+        val it = buf.get(); val b = Array.newBuilder[TierRow]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+      if (all.isEmpty) return Iterator.empty
+      val (ready, pending) = all.partition(_.ts_us < wmUs)
+      buf.clear()
+      if (pending.nonEmpty) {
+        buf.appendList(pending)
+        // fires once the watermark passes the earliest pending event;
+        // stale timers from earlier batches just re-run a no-op drain.
+        getHandle.registerTimer(pending.map(_.ts_us).min / 1000 + 1)
+      }
+      if (ready.isEmpty) return Iterator.empty
+      var s = if (st.exists()) st.get()
+        else Scd2St(0L, null, Long.MinValue, Long.MinValue)
+      val out = Seq.newBuilder[Scd2Out]
+      ready.sortBy(r => (r.ts_us, r.event_id)).foreach { r =>
+        if (r.ts_us < s.last_ts ||
+            (r.ts_us == s.last_ts && r.event_id <= s.last_id))
+          throw new IllegalStateException(
+            s"st23: arrival beyond the watermark delay for user " +
+              s"${r.user_id} (${r.ts_us} after finalized ${s.last_ts})" +
+              " — raise the delay or route it through the batch merge")
+        if (s.tier == null || s.tier != r.tier) {
+          s = Scd2St(s.version + 1, r.tier, r.ts_us, r.event_id)
+          out += Scd2Out(r.user_id, s.version, r.tier, r.ts_us)
+        } else s = s.copy(last_ts = r.ts_us, last_id = r.event_id)
+      }
+      st.update(s)
+      out.result().iterator
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TierRowW],
+        timers: TimerValues): Iterator[Scd2Out] = {
+      val fresh = rows
+        .map(r => TierRow(r.user_id, r.ts_us, r.event_id, r.tier)).toArray
+      if (fresh.nonEmpty) buf.appendList(fresh)
+      drain(timers.getCurrentWatermarkInMs() * 1000)
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Scd2Out] =
+      drain(timers.getCurrentWatermarkInMs() * 1000)
+  }
+
+  /** st23 entry: out-of-order tier stream + lateness bound ->
+    * version rows identical to the batch SCD2 build. */
+  def scd2TwsBuffered(rows: Dataset[TierRowW], delay: String)
+      : Dataset[Scd2Out] = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    rows.toDF().withWatermark("ts", delay).as[TierRowW]
+      .groupByKey(_.user_id)
+      .transformWithState(new Scd2BufferedProcessor,
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
   case class DocSampleRow(doc_id: Long, hk: Long, lang: String,
       source: String, n_chars: Long)
   case class ReservoirState(n: Long, items: Seq[DocSampleRow])

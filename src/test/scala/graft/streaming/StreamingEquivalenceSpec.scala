@@ -568,6 +568,157 @@ class StreamingEquivalenceSpec extends SparkTestBase {
     }
   }
 
+  /** st23 shared staging: the st22 tier rows with a caller-chosen
+    * CONTENT→REPLAY-POSITION shuffle, plus a far-future sentinel row
+    * (user -1) whose only job is to push the final watermark past
+    * every real event so the buffered tails flush. Returns (replay
+    * dir, batch-want frame, delay string). `order(i)` = which
+    * time-contiguous content chunk replays at position i; `delayUs`
+    * computed by the caller from the staged chunk spans. */
+  private def stageSt23(name: String, order: Seq[Int],
+      delayOf: Seq[(Long, Long)] => Long): (String, DataFrame, String) = {
+    val dir = scratch(s"replay_$name")
+    val tieredTs = Tables.load(spark, sf, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id",
+        when($"value" < 100, "low").when($"value" < 500, "mid")
+          .otherwise("high").as("tier"))
+    val tiered = tieredTs
+      .select($"user_id", expr("unix_micros(ts)").as("ts_us"),
+        $"event_id", $"tier")
+    val rows = tiered.count()
+    val per = math.max(1L, (rows + order.length - 1) / order.length)
+    val chunked = tiered.orderBy($"ts_us", $"event_id").coalesce(1)
+      .withColumn("chunk",
+        (monotonically_increasing_id() / per).cast("int"))
+      .cache()
+    try {
+      // (min, max) event time per content chunk, for the delay bound
+      val spans = (0 until order.length).map { c =>
+        val r = chunked.filter($"chunk" === c)
+          .agg(min($"ts_us"), max($"ts_us")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val delayUs = delayOf(spans)
+      order.zipWithIndex.foreach { case (content, pos) =>
+        val tmp = s"${dir}_tmp"
+        chunked.filter($"chunk" === content)
+          .select($"user_id", $"ts_us", $"event_id", $"tier")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        EventStreams.promoteChunk(tmp, dir, pos, ".parquet")
+      }
+      val maxUs = spans.map(_._2).max
+      val sentinelUs = maxUs + delayUs + 60000000L
+      val tmp = s"${dir}_tmp"
+      Seq((-1L, sentinelUs, 0L, "low"))
+        .toDF("user_id", "ts_us", "event_id", "tier")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      EventStreams.promoteChunk(tmp, dir, order.length, ".parquet")
+      val want = graft.api.Warehouse.scd2(tieredTs,
+          "user_id", "ts", "event_id", "tier")
+        .select($"user_id", $"version", $"tier", $"valid_from")
+      (dir, want, s"${delayUs / 1000000 + 1} seconds")
+    } finally chunked.unpersist()
+  }
+
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def st23Stream(dir: String) = spark.readStream
+    .schema("user_id BIGINT, ts_us BIGINT, event_id BIGINT, tier STRING")
+    .option("maxFilesPerTrigger", 1).parquet(dir)
+    .withColumn("ts", timestamp_micros($"ts_us"))
+    .as[StreamQueries.TierRowW]
+
+  test("st23: buffered SCD2 == batch history under swapped-chunk " +
+      "replay (incremental drains)") {
+    // Content chunks replayed 0,2,1,4,3 — bounded displacement, so a
+    // delay of max(max(c2)−min(c1), max(c4)−min(c3)) covers it and the
+    // watermark advances THROUGH the data: chunk 0 finalizes while 3
+    // and 4 are still in flight (incremental drains, not one final
+    // flush). st22's in-order contract rejects exactly this replay —
+    // asserted below, so the case provably needs the buffered op.
+    val (dir, want, delay) = stageSt23("st23a", Seq(0, 2, 1, 4, 3),
+      spans => math.max(spans(2)._2 - spans(1)._1,
+        spans(4)._2 - spans(3)._1))
+    withRocksDb {
+      val got = runToMemory(
+        StreamQueries.scd2TwsBuffered(st23Stream(dir), delay).toDF(),
+        "st23a_out", "update").filter($"user_id" >= 0)
+      assertSameRows(got, want, "st23a buffered scd2 vs batch history")
+      assert(got.filter($"version" >= 2).count() > 0,
+        "no tier ever changed — the change-detection path is vacuous")
+      // Non-vacuity of the reorder: the same replay must violate
+      // st22's event-time-order contract loudly.
+      val ex = intercept[org.apache.spark.sql.streaming
+          .StreamingQueryException] {
+        runToMemory(StreamQueries.scd2Tws(
+          st23Stream(dir).map(r => StreamQueries.TierRow(
+            r.user_id, r.ts_us, r.event_id, r.tier))).toDF(),
+          "st23a_reject", "update")
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(c =>
+          String.valueOf(c.getMessage).contains("st22: out-of-order")),
+        s"expected st22's out-of-order rejection, got: ${ex.getMessage}")
+    }
+  }
+
+  test("st23: buffered SCD2 == batch history under arbitrary " +
+      "event-id-sharded replay (full-span delay)") {
+    // Chunk = event_id % 5: arrival order carries NO event-time
+    // structure at all, so only a delay covering the full span is
+    // sound — the watermark sits below every row until the sentinel,
+    // then the no-data batch fires each key's timer and the entire
+    // history drains through the sorted transition in one flush. The
+    // degenerate-but-legal extreme of the bounded-lateness contract.
+    val dir = scratch("replay_st23b")
+    val tieredTs = Tables.load(spark, sf, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id",
+        when($"value" < 100, "low").when($"value" < 500, "mid")
+          .otherwise("high").as("tier"))
+    val tiered = tieredTs
+      .select($"user_id", expr("unix_micros(ts)").as("ts_us"),
+        $"event_id", $"tier").cache()
+    try {
+      val mm = tiered.agg(min($"ts_us"), max($"ts_us")).head()
+      val (minUs, maxUs) = (mm.getLong(0), mm.getLong(1))
+      val delayUs = maxUs - minUs + 1000000L
+      (0 to 4).foreach { i =>
+        val tmp = s"${dir}_tmp"
+        tiered.filter(pmod($"event_id", lit(5)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        EventStreams.promoteChunk(tmp, dir, i, ".parquet")
+      }
+      val tmp = s"${dir}_tmp"
+      Seq((-1L, maxUs + delayUs + 60000000L, 0L, "low"))
+        .toDF("user_id", "ts_us", "event_id", "tier")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      EventStreams.promoteChunk(tmp, dir, 5, ".parquet")
+      val want = graft.api.Warehouse.scd2(tieredTs
+          .select($"user_id", timestamp_micros($"ts_us").as("ts"),
+            $"event_id", $"tier"),
+          "user_id", "ts", "event_id", "tier")
+        .select($"user_id", $"version", $"tier", $"valid_from")
+      withRocksDb {
+        val got = runToMemory(StreamQueries.scd2TwsBuffered(
+            st23Stream(dir), s"${delayUs / 1000000 + 1} seconds").toDF(),
+          "st23b_out", "update").filter($"user_id" >= 0)
+        assertSameRows(got, want, "st23b buffered scd2 vs batch history")
+      }
+    } finally tiered.unpersist()
+  }
+
   test("st20: streaming sharded reservoir == batch sample_reservoir") {
     // The sampling family's streaming twin: per-shard k-min hash-rank
     // state maintained incrementally must union-merge to EXACTLY the
