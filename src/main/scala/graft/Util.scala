@@ -22,7 +22,14 @@ object Fixpoint {
     val spark = df.sparkSession
     val reliable = Seq("spark.graft.reliableCheckpoint",
         "spark.graft.dedup.reliableCheckpoint")
-      .exists(k => spark.conf.getOption(k).exists(_.toBoolean))
+      .exists(k => spark.conf.getOption(k).exists { v =>
+        // r12 ADVICE: name the config key instead of a bare
+        // IllegalArgumentException from String.toBoolean on '1'/'yes'.
+        if (v.equalsIgnoreCase("true")) true
+        else if (v.equalsIgnoreCase("false")) false
+        else throw new IllegalArgumentException(
+          s"$k must be 'true' or 'false', got '$v'")
+      })
     if (reliable && spark.sparkContext.getCheckpointDir.isEmpty)
       throw new IllegalStateException(
         "spark.graft.reliableCheckpoint=true requires " +

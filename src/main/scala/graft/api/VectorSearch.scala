@@ -104,7 +104,13 @@ object VectorSearch {
     * stays the expensive part. The greedy rounds are unrolled at the
     * FIXED pick count so a SQL oracle can replay them; lambdaPct is
     * an integer percent so both engines build identical double
-    * constants. Output: (q_id, pick, c_id, score). */
+    * constants. Output: (q_id, pick, c_id, score).
+    *
+    * CONTRACT (r12 ADVICE, was only a code comment): `sims` must FULLY
+    * cover the shortlist — one row with a NON-NULL `sim` for every
+    * ordered (candidate, selected) pair within a query. A missing pair
+    * OR a NULL `sim` value raises; "absent pair = dropped candidate"
+    * sparse inputs are rejected, not silently honored. */
   def mmrRerank(shortlist: DataFrame, sims: DataFrame, picks: Int,
       lambdaPct: Int = 70): DataFrame = {
     require(picks >= 1, s"picks must be >= 1, got $picks")
@@ -136,10 +142,12 @@ object VectorSearch {
         .join(maxsim.select(col("q_id").as("mq"), col("a"), col("ms")),
           col("q_id") === col("mq") && col("c_id") === col("a"), "left")
         .withColumn("ms", when(col("ms").isNull, raise_error(concat(
-            lit("mmrRerank: sims has no row for shortlist pair q_id="),
+            lit("mmrRerank: sims has no covering row (or only NULL " +
+              "sim values) for shortlist pair q_id="),
             col("q_id").cast("string"), lit(" c_id="),
             col("c_id").cast("string"),
-            lit(" — sims must cover all shortlist ordered pairs"))))
+            lit(" — sims must cover all shortlist ordered pairs " +
+              "with non-NULL sim"))))
           .otherwise(col("ms")))
         .withColumn("score", col("rel") * lam - col("ms") * om)
         .withColumn("rn", row_number().over(

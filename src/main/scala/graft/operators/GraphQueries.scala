@@ -233,39 +233,64 @@ object GraphQueries extends QueryPack {
     // hubs to hubs (r > 0) or hubs to leaves (r < 0)? The one-number
     // mixing diagnostic read before trusting degree-based sampling
     // or pruning decisions. Pearson correlation of (deg(src),
-    // deg(dst)) over the DOUBLED edge relation (both stub
-    // directions — the standard estimator; symmetric, so Σx = Σy is
-    // also a built-in self-check). agg_regression's determinism
-    // discipline on graph structure: five exact BIGINT power sums in
-    // one two-phase aggregate, then ONE fixed IEEE expression whose
-    // text is byte-identical in the oracle. Cost: two broadcast-sized
-    // degree joins + a 1-row reduce over the session-cached edges.
+    // deg(dst)) over the DOUBLED edge relation. r13 restructure
+    // (r12 verdict: the old two deg-joins of the edge relation flip
+    // to full edge shuffles once deg outgrows autoBroadcast — 41.9×
+    // per-decade at 100×): the symmetric relation makes n, Σx, Σx²
+    // (= Σy, Σy²) pure DEGREE moments — node u appears as src exactly
+    // d(u) times, so n = Σd, sx = Σd², sxx = Σd³ — computed from the
+    // node-sized deg table with NO edge join. Only Σxy needs the
+    // adjacency: one join of deg onto the dst-partitioned edges
+    // (edges don't move; deg shuffles), a map-side-combined groupBy
+    // src into node-sized neighbor-degree sums S(u), then a
+    // node×node join for sxy = Σ d(u)·S(u). One edge-sized op total,
+    // laid out to reuse edgeRel's build-time dst partitioning.
+    // Power sums stay in DECIMAL(38,0) with centsLong's loud bounded
+    // BIGINT cast (r11 ADVICE); a DECIMAL(38,0) sum that itself
+    // overflows yields NULL in non-ANSI Spark, so the post-join
+    // n>0 && NULL guard below raises loudly instead of silently
+    // forwarding NULL where the DuckDB oracle would error (r12
+    // ADVICE).
     "graph_assortativity" -> ((s, dir) => {
       import s.implicits._
       val ed = edgeRel(s, dir)
-      val deg = ed.groupBy($"src").agg(count(lit(1)).as("d"))
-      // Power sums in DECIMAL(38,0) with a loud bounded cast back to
-      // BIGINT (r11 ADVICE): a plain BIGINT sum WRAPS silently in
-      // Spark on a high-degree graph while DuckDB aggregates in
-      // HUGEINT and errors on its BIGINT cast — the guard makes both
-      // engines fail identically instead of hash-diverging. centsLong
-      // with factor 1 is exactly that bounded cast.
-      val xd = $"x".cast(org.apache.spark.sql.types.DecimalType(19, 0))
-      val yd = $"y".cast(org.apache.spark.sql.types.DecimalType(19, 0))
-      ed.join(deg.select($"src".as("a"), $"d".as("x")), $"src" === $"a")
-        .join(deg.select($"src".as("b"), $"d".as("y")), $"dst" === $"b")
-        .agg(count(lit(1)).as("n"),
-          graft.Det.centsLong(sum(xd), 1, "sx"),
-          graft.Det.centsLong(sum(yd), 1, "sy"),
-          graft.Det.centsLong(sum(xd * yd), 1, "sxy"),
-          graft.Det.centsLong(sum(xd * xd), 1, "sxx"),
-          graft.Det.centsLong(sum(yd * yd), 1, "syy"))
-        .selectExpr("n", "sx", "sy",
-          "round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)" +
+      val dd = org.apache.spark.sql.types.DecimalType(12, 0)
+      // deg is referenced three times (moments, edge join, final
+      // node×node join); session-cache the NODE-sized table so the
+      // edge-sized groupBy runs once, not per reference (at scale: a
+      // degree table materialized once, joined everywhere).
+      val deg = graft.SessionCache.cached(s, s"assort.deg:$dir") {
+        ed.groupBy($"src").agg(count(lit(1)).as("d"))
+      }
+      val xd = $"d".cast(dd)
+      val mom = deg.agg(
+        sum($"d").as("n"),
+        graft.Det.centsLong(sum(xd * xd), 1, "sx"),
+        graft.Det.centsLong(sum(xd * xd * xd), 1, "sxx"))
+      val nbr = ed
+        .join(deg.select($"src".as("b"), $"d".cast(dd).as("yd")),
+          $"dst" === $"b")
+        .groupBy($"src").agg(sum($"yd").as("snbr"))
+      val sxy = nbr
+        .join(deg.select($"src".as("a"), $"d".cast(dd).as("xd2")),
+          $"src" === $"a")
+        .agg(graft.Det.centsLong(sum($"snbr" * $"xd2"), 1, "sxy"))
+      def nn(c: org.apache.spark.sql.Column, nm: String) =
+        when($"n" > 0 && c.isNull, raise_error(lit(
+          s"graph_assortativity: $nm DECIMAL(38,0) power-sum overflow")))
+          .otherwise(c).as(nm)
+      // sy = sx and syy = sxx exactly (doubled relation), so the
+      // oracle's five-sum IEEE expression evaluates bit-identically
+      // on the three sums computed here.
+      mom.crossJoin(broadcast(sxy))
+        .select($"n", nn($"sx", "sx"), nn($"sxx", "sxx"),
+          nn($"sxy", "sxy"))
+        .selectExpr("n", "sx", "sx AS sy",
+          "round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)" +
             " / (sqrt(CAST(n AS DOUBLE) * sxx" +
             " - CAST(sx AS DOUBLE) * sx)" +
-            " * sqrt(CAST(n AS DOUBLE) * syy" +
-            " - CAST(sy AS DOUBLE) * sy)), 12) AS assort_r")
+            " * sqrt(CAST(n AS DOUBLE) * sxx" +
+            " - CAST(sx AS DOUBLE) * sx)), 12) AS assort_r")
     }),
 
     // k-core peel (r11d) over the customer↔part PURCHASE graph (the

@@ -156,6 +156,85 @@ object SourceSinkQueries extends QueryPack {
         .orderBy($"s_suppkey")
     }),
 
+    // Avro Object Container File source (r13; r11/r12 verdict item:
+    // adjudicate Avro — the genre's Kafka→HDFS landing format). The
+    // environment has no spark-avro DataSource module (absent from
+    // /opt/spark/jars and the offline coursier cache; zero egress),
+    // but Avro CORE (avro-1.12.1) ships on the Spark classpath, so
+    // the format gets a REAL distributed reader instead of a blocked
+    // row: binaryFile ingest — one row per container file, the
+    // natural shard unit a fleet of Kafka consumers lands — then a
+    // per-file DataFileReader decode in a flatMap. Read parallelism =
+    // #files, exactly how a landing zone scales (consumers roll files
+    // by size/time); a single multi-GB container file would instead
+    // go through the sync-marker-splitting avro-mapred InputFormat
+    // (also on the classpath) — not the landing-zone shape, so not
+    // the default path. Staging (test fixture only, once per JVM like
+    // source_orc): nation written distributed via DataFileWriter, one
+    // container file per partition. Types are lossless, so the oracle
+    // reads the parquet table directly.
+    "source_avro" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmp(dir, "nation_avro")
+      val schemaJson = """{"type":"record","name":"nation","fields":[
+        {"name":"n_nationkey","type":"int"},
+        {"name":"n_name","type":"string"},
+        {"name":"n_regionkey","type":"int"}]}"""
+      dppStaged.synchronized {
+        if (!dppStaged.contains(path)) {
+          val root = new java.io.File(path)
+          graft.Util.deleteRecursively(root)
+          root.mkdirs()
+          Tables.load(s, dir, "nation")
+            .select($"n_nationkey", $"n_name", $"n_regionkey")
+            .as[(Int, String, Int)]
+            .repartition(4)
+            .foreachPartition { (it: Iterator[(Int, String, Int)]) =>
+              if (it.hasNext) {
+                val sch =
+                  new org.apache.avro.Schema.Parser().parse(schemaJson)
+                val w = new org.apache.avro.file.DataFileWriter(
+                  new org.apache.avro.generic.GenericDatumWriter[
+                    org.apache.avro.generic.GenericRecord](sch))
+                val pid = org.apache.spark.TaskContext.getPartitionId()
+                w.create(sch,
+                  new java.io.File(path, f"part-$pid%05d.avro"))
+                try it.foreach { case (k, nm, rk) =>
+                  val r =
+                    new org.apache.avro.generic.GenericData.Record(sch)
+                  r.put("n_nationkey", k)
+                  r.put("n_name", nm)
+                  r.put("n_regionkey", rk)
+                  w.append(r)
+                } finally w.close()
+              }
+            }
+          dppStaged += path
+        }
+      }
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro").load(path)
+        .select($"content").as[Array[Byte]]
+        .flatMap { bytes =>
+          val rdr = new org.apache.avro.file.DataFileReader(
+            new org.apache.avro.file.SeekableByteArrayInput(bytes),
+            new org.apache.avro.generic.GenericDatumReader[
+              org.apache.avro.generic.GenericRecord]())
+          try {
+            val out = Seq.newBuilder[(Int, String, Int)]
+            while (rdr.hasNext) {
+              val r = rdr.next()
+              out += ((r.get("n_nationkey").asInstanceOf[Int],
+                r.get("n_name").toString,
+                r.get("n_regionkey").asInstanceOf[Int]))
+            }
+            out.result()
+          } finally rdr.close()
+        }
+        .toDF("n_nationkey", "n_name", "n_regionkey")
+        .orderBy($"n_nationkey")
+    }),
+
     // Corrupt-record ingest: every real JSON pipeline sees malformed
     // lines. Synthesizes a JSON-lines file from nation with every 5th
     // key replaced by an unparseable line (deterministic, so the
@@ -452,6 +531,10 @@ object SourceSinkQueries extends QueryPack {
       """SELECT s_suppkey, s_name, s_nationkey,
         |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "source_avro" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "source_json_corrupt" ->
       """SELECT count(*) AS n_rows,

@@ -470,12 +470,30 @@ object StreamQueries {
       OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
     @transient private var st: ValueState[Scd2St] = _
     @transient private var buf: ListState[TierRow] = _
+    @transient private var tmr: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       st = getHandle.getValueState[Scd2St]("scd2",
         org.apache.spark.sql.Encoders.product[Scd2St], TTLConfig.NONE)
       buf = getHandle.getListState[TierRow]("buf",
         org.apache.spark.sql.Encoders.product[TierRow], TTLConfig.NONE)
+      tmr = getHandle.getValueState[Long]("tmr",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** Keep exactly ONE armed timer per key, at the earliest pending
+      * event (r12 ADVICE: registerTimer per drain leaked one timer per
+      * distinct timestamp — each a no-op drain at fire time). Only
+      * touches timer state when the wanted expiry actually changes. */
+    private def armTimer(pending: Array[TierRow]): Unit = {
+      val want = if (pending.isEmpty) Long.MinValue
+        else pending.map(_.ts_us).min / 1000 + 1
+      val armed = if (tmr.exists()) tmr.get() else Long.MinValue
+      if (armed == want) return
+      if (armed != Long.MinValue) getHandle.deleteTimer(armed)
+      if (want != Long.MinValue) {
+        getHandle.registerTimer(want); tmr.update(want)
+      } else tmr.clear()
     }
 
     /** Finalize every buffered row with ts_us < the watermark (µs):
@@ -490,13 +508,15 @@ object StreamQueries {
       }
       if (all.isEmpty) return Iterator.empty
       val (ready, pending) = all.partition(_.ts_us < wmUs)
-      buf.clear()
-      if (pending.nonEmpty) {
-        buf.appendList(pending)
-        // fires once the watermark passes the earliest pending event;
-        // stale timers from earlier batches just re-run a no-op drain.
-        getHandle.registerTimer(pending.map(_.ts_us).min / 1000 + 1)
+      // Rewrite the buffer only when rows actually finalized (r12
+      // ADVICE: an unconditional clear+appendList is O(buffer) RocksDB
+      // write amplification per key per micro-batch across the whole
+      // lateness horizon when nothing drains).
+      if (ready.nonEmpty) {
+        buf.clear()
+        if (pending.nonEmpty) buf.appendList(pending)
       }
+      armTimer(pending)
       if (ready.isEmpty) return Iterator.empty
       var s = if (st.exists()) st.get()
         else Scd2St(0L, null, Long.MinValue, Long.MinValue)
@@ -526,8 +546,12 @@ object StreamQueries {
     }
 
     override def handleExpiredTimer(key: Long, timers: TimerValues,
-        info: ExpiredTimerInfo): Iterator[Scd2Out] =
+        info: ExpiredTimerInfo): Iterator[Scd2Out] = {
+      // The fired timer is already consumed — drop it from the armed-
+      // timer record so armTimer doesn't deleteTimer a gone entry.
+      if (tmr.exists() && tmr.get() == info.getExpiryTimeInMs()) tmr.clear()
       drain(timers.getCurrentWatermarkInMs() * 1000)
+    }
   }
 
   /** st23 entry: out-of-order tier stream + lateness bound ->

@@ -705,9 +705,7 @@ class StreamingEquivalenceSpec extends SparkTestBase {
         .toDF("user_id", "ts_us", "event_id", "tier")
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       EventStreams.promoteChunk(tmp, dir, 5, ".parquet")
-      val want = graft.api.Warehouse.scd2(tieredTs
-          .select($"user_id", timestamp_micros($"ts_us").as("ts"),
-            $"event_id", $"tier"),
+      val want = graft.api.Warehouse.scd2(tieredTs,
           "user_id", "ts", "event_id", "tier")
         .select($"user_id", $"version", $"tier", $"valid_from")
       withRocksDb {
