@@ -26,10 +26,35 @@ def main():
             p = f"{p}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # CHECK_DIGEST=k1,k2 (r13): mirror graft.Verify's SPARK_GRAFT_DIGEST
+    # — wrap the oracle SQL in the identical order-independent
+    # reduction (count + per-integer-column sum and sum-of-squares,
+    # mod 2^61-1) for keys whose full result is too large to compare
+    # row-wise. The full oracle query still executes; only the compare
+    # is compressed. Non-negative integer columns only.
+    digest_keys = set(filter(None,
+                             os.environ.get("CHECK_DIGEST", "").split(",")))
+    P = 2305843009213693951
+    INT_TYPES = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT")
+
+    def digest_sql(sql):
+        desc = con.execute(f"DESCRIBE {sql}").fetchdf()
+        parts = ["count(*) AS n"]
+        for name, typ in zip(desc["column_name"], desc["column_type"]):
+            if typ in INT_TYPES:
+                h = f'CAST("{name}" AS HUGEINT)'
+                parts.append(f'CAST(sum({h}) % {P} AS BIGINT) AS "s_{name}"')
+                parts.append(
+                    f'CAST(sum({h}*{h}) % {P} AS BIGINT) AS "q_{name}"')
+        assert len(parts) > 1, "digest needs >=1 integer column"
+        return "SELECT " + ", ".join(parts) + f" FROM ({sql})"
+
     n_pass = n_fail = 0
     for key, sql in sorted(oracle.items()):
         if only and key not in only:
             continue
+        if key in digest_keys:
+            sql = digest_sql(sql)
         try:
             exp = con.execute(sql).fetchdf()
         except Exception as e:

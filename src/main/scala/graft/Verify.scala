@@ -25,12 +25,45 @@ object Verify {
     // driver sets nothing, so its runs always dump everything).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // SPARK_GRAFT_DIGEST=k1,k2 (dev loop; r13): for keys whose full
+    // result is too large to dump+compare row-wise (dedup_hamming at
+    // the 100x staging emits ~10^9.5 candidate pairs — the saturated
+    // 16-bit space's own output), reduce to an order-independent
+    // digest: count(*) plus, per INTEGER column c, sum(c) and
+    // sum(c*c), each mod 2^61-1 in DECIMAL(38,0) (exact — no value
+    // here exceeds 10^25 < 10^38). dev/check.py wraps the DuckDB
+    // oracle in the IDENTICAL reduction, so the full workload still
+    // executes on both engines; only the comparison is compressed.
+    // Contract: non-negative integer columns only (mod of negatives
+    // diverges across engines).
+    val digestKeys = sys.env.get("SPARK_GRAFT_DIGEST")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    def digest(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      val p = lit(new java.math.BigDecimal("2305843009213693951"))
+      val intCols = df.schema.fields.collect {
+        case f if Seq(ByteType, ShortType, IntegerType, LongType)
+          .contains(f.dataType) => f.name
+      }
+      require(intCols.nonEmpty, "digest needs >=1 integer column")
+      val aggs = count(lit(1)).as("n") +: intCols.toSeq.flatMap { c =>
+        val d = col(c).cast(DecimalType(19, 0))
+        Seq((sum(d) % p).cast("long").as(s"s_$c"),
+          (sum(d * d) % p).cast("long").as(s"q_$c"))
+      }
+      df.agg(aggs.head, aggs.tail: _*)
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val res = fn(spark, sfDir)
+        (if (digestKeys.contains(name)) digest(res) else res)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -123,7 +123,17 @@ object Graph {
     var d = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0L))
     for (_ <- 1 to rounds) {
-      val relaxed = e.join(d, col("src") === col("node"))
+      // EXPLICIT broadcast of the node-sized distance vector (r13,
+      // the assortativity lesson measured at 100x: without it the
+      // relax join flips to SMJ past autoBroadcast and re-exchanges
+      // AND sorts the edge relation EVERY round — 168.8 s / 27.1x
+      // per-decade; with it the BHJ streams the cached dst-partitioned
+      // edges untouched and only node-sized data moves per round —
+      // pagerank's matvec discipline). Contract: the reached-node
+      // vector must fit a broadcast (≲10^8 nodes, cf.
+      // graph_assortativity's loud guard); larger graphs need the
+      // shuffle matvec (deg/dist pre-partitioned on the edge layout).
+      val relaxed = e.join(broadcast(d), col("src") === col("node"))
         .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
       // Per-round lineage truncation (the components-loop discipline):
       // d feeds both the keep and the relax side, so without it the
@@ -214,12 +224,15 @@ object Graph {
     * peripheries and one-off contributors peel away first).
     *
     * The op is a SHRINKING fixpoint — the dual of bfsDistances'
-    * growing one: each round is one count-aggregate on the src key +
-    * two semi-shaped equi-joins against the (small, shrinking)
-    * survivor set — O(E) per round, no global structure; per-round
+    * growing one — run DECREMENTALLY (r13): the full-degree aggregate
+    * runs once, then each round broadcasts the just-removed node set,
+    * counts edges incident to it in a single stream over the
+    * immutable edge relation, and subtracts from the node-sized
+    * (node, deg) state — total work O(E + Σ|edges(removed)|) ≤ O(2E)
+    * across ALL rounds, the sequential-peel bound; per-round
     * `localCheckpoint` truncates lineage exactly like the components
-    * loop (without it the plan tree re-derives round i-1 three times
-    * per round). A FIXED round count is what lets the DuckDB oracle
+    * loop (without it the plan tree re-derives round i-1 per round).
+    * A FIXED round count is what lets the DuckDB oracle
     * unroll the identical iterations (the pagerank/BFS discipline);
     * callers pick rounds ≥ the cascade depth they care about and the
     * keyed query law-asserts the fixpoint is reached at the fixture.
@@ -232,34 +245,48 @@ object Graph {
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    // Loop state is the SURVIVOR NODE SET, not the filtered edge
-    // relation: peeling is monotone (survivors only shrink), so the
-    // round-r edge set is always the ORIGINAL edges restricted to
-    // round-r survivors — the per-round work is two equi-joins of the
-    // (cached, immutable) edge relation against a node-sized frame
-    // plus one count aggregate, and only the node set is
-    // checkpointed. The r11d first cut checkpointed the full edge
-    // relation every round; at sf0.1 that was 4 eager 110k-row
-    // materializations ≈ the whole key's cost.
+    // DECREMENTAL peel (r13 rewrite; the r12 verdict's 100x
+    // campaign): the r11d loop recomputed the survivor-restricted
+    // degree every round — two edge-sized joins + one edge-sized
+    // aggregate per round, measured 626 s / 43.5x per-decade at 100x
+    // (the 120M-edge relation streamed and shuffled 3x per round).
+    // Synchronous peeling is exactly degree DECREMENT: with S_t the
+    // survivors after t rounds, deg_t(u) = |N(u) ∩ S_t| =
+    // deg_{t-1}(u) − |N(u) ∩ removed_t| (each edge to a removed node
+    // subtracts exactly once), so the loop state is the NODE-SIZED
+    // (node, deg) table, the full-degree aggregate runs ONCE, and a
+    // round only counts edges INCIDENT TO THE JUST-REMOVED set: one
+    // broadcast of the shrinking removed frame probed by a single
+    // stream over the immutable edge relation (output ∝ touched
+    // edges), then a node-sized left join updates the state. Total
+    // work across all rounds is O(E + Σ_t |edges(removed_t)|) ≤ O(2E)
+    // — the sequential-peel bound — vs O(rounds·E) before. Same
+    // ≲10^8-node broadcast contract as bfsDistances; only node-sized
+    // frames are checkpointed.
     // graft.Fixpoint honors spark.graft.reliableCheckpoint — the same
     // durability knob as DedupCluster.components (r11 ADVICE).
     val e = graft.Fixpoint.truncate(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
-    var surv = graft.Fixpoint.truncate(
-      e.select(col("src").as("node")).distinct())
+    var alive = graft.Fixpoint.truncate(
+      e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"), col("deg")))
     for (_ <- 1 to rounds) {
-      surv = graft.Fixpoint.truncate(e
-        .join(surv.select(col("node").as("__ka")),
-          col("src") === col("__ka"))
-        .join(surv.select(col("node").as("__kb")),
-          col("dst") === col("__kb"))
-        .groupBy(col("src")).agg(count(lit(1)).as("__d"))
-        .filter(col("__d") >= k)
-        .select(col("src").as("node")))
+      val removed = alive.filter(col("deg") < k)
+        .select(col("node").as("__r"))
+      val dec = e.join(broadcast(removed), col("dst") === col("__r"))
+        .groupBy(col("src")).agg(count(lit(1)).as("__c"))
+      alive = graft.Fixpoint.truncate(
+        alive.filter(col("deg") >= k)
+          .join(dec, col("node") === col("src"), "left")
+          .select(col("node"),
+            (col("deg") - coalesce(col("__c"), lit(0L))).as("deg")))
     }
-    e.join(surv.select(col("node").as("__ka")), col("src") === col("__ka"))
-      .join(surv.select(col("node").as("__kb")), col("dst") === col("__kb"))
-      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .select(col("src").as("node"), col("deg"))
+    // deg = 0 ⇔ the node has no in-core edge left: the r11d loop's
+    // final edges-among-survivors aggregate omitted such nodes (they
+    // appear in no surviving edge), so mirror that here. At the
+    // fixpoint every survivor has deg ≥ k anyway — this only differs
+    // when `rounds` stops short of the cascade depth.
+    alive.filter(col("deg") > 0)
+      .select(col("node"), col("deg"))
   }
 }

@@ -280,7 +280,17 @@ object TextDedup {
     * exact popcount distance and resolve to min-label components.
     * Output: one row per input id — (idCol, comp, keep), `keep` true
     * for each component's canonical minimum id and every singleton.
-    * Ids must be numeric (DedupCluster.components' contract). */
+    * Ids must be numeric (DedupCluster.components' contract).
+    *
+    * Block-occupancy bound (r13 adjudication): expected docs per
+    * block bucket is N / 2^(bits/blocks), so candidate volume stays
+    * near-linear while N ≲ 2^(bits/blocks) · O(1) — with 64/4 = 16-bit
+    * blocks that is a few million docs per partition-disjoint corpus
+    * shard. Past that, production Manku (WWW'07 §3) widens the
+    * effective key: sort each permuted table and probe a PREFIX RANGE
+    * (block + next bits) instead of a pure equi-key, keeping bucket
+    * occupancy O(1) as N grows. The equi-join form here is the
+    * shuffle-friendly first rung of that ladder. */
   def hammingDedup(sigs: DataFrame, idCol: String = "doc_id",
       hashCol: String = "hash", bits: Int = 64, blocks: Int = 4,
       maxDist: Int = 3): DataFrame = {

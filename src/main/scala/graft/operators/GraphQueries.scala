@@ -240,11 +240,18 @@ object GraphQueries extends QueryPack {
     // (= Σy, Σy²) pure DEGREE moments — node u appears as src exactly
     // d(u) times, so n = Σd, sx = Σd², sxx = Σd³ — computed from the
     // node-sized deg table with NO edge join. Only Σxy needs the
-    // adjacency: one join of deg onto the dst-partitioned edges
-    // (edges don't move; deg shuffles), a map-side-combined groupBy
-    // src into node-sized neighbor-degree sums S(u), then a
-    // node×node join for sxy = Σ d(u)·S(u). One edge-sized op total,
-    // laid out to reuse edgeRel's build-time dst partitioning.
+    // adjacency, and it is the pagerank matvec: EXPLICIT broadcast of
+    // the node-sized degree vector (a shuffle join of the cached edge
+    // relation re-exchanges AND sorts it — measured 53.8 s / 37×
+    // per-decade at 100× before this; the BHJ streams the cached
+    // dst-partitioned edges with no edge exchange and no sort), a
+    // map-side-combined groupBy dst into neighbor-degree sums
+    // T(v) = Σ_{u∈N(v)} d(u), then sxy = Σ_v d(v)·T(v) via a second
+    // broadcast of deg onto the node-sized T. The loud size assert
+    // below (r12 verdict item 3) bounds the broadcast: past ~10^8
+    // nodes the degree vector outgrows a sane broadcast and the op
+    // must move to a shuffle matvec — fail with that instruction, not
+    // an executor OOM.
     // Power sums stay in DECIMAL(38,0) with centsLong's loud bounded
     // BIGINT cast (r11 ADVICE); a DECIMAL(38,0) sum that itself
     // overflows yields NULL in non-ANSI Spark, so the post-join
@@ -262,19 +269,27 @@ object GraphQueries extends QueryPack {
       val deg = graft.SessionCache.cached(s, s"assort.deg:$dir") {
         ed.groupBy($"src").agg(count(lit(1)).as("d"))
       }
+      // Broadcast-size assert: one count over the CACHED node table
+      // (the moments aggregate scans it anyway). 10^8 nodes ≈ 1.6 GB
+      // of (id, deg) — the honest ceiling for a broadcast vector.
+      val nNodes = deg.count()
+      require(nNodes <= 100000000L,
+        s"graph_assortativity: $nNodes nodes — the degree vector no " +
+          "longer broadcasts; rework sxy to a shuffle matvec " +
+          "(partition deg by the edge layout's dst key)")
       val xd = $"d".cast(dd)
       val mom = deg.agg(
         sum($"d").as("n"),
         graft.Det.centsLong(sum(xd * xd), 1, "sx"),
         graft.Det.centsLong(sum(xd * xd * xd), 1, "sxx"))
       val nbr = ed
-        .join(deg.select($"src".as("b"), $"d".cast(dd).as("yd")),
-          $"dst" === $"b")
-        .groupBy($"src").agg(sum($"yd").as("snbr"))
-      val sxy = nbr
-        .join(deg.select($"src".as("a"), $"d".cast(dd).as("xd2")),
+        .join(broadcast(deg.select($"src".as("a"), $"d".cast(dd).as("xd2"))),
           $"src" === $"a")
-        .agg(graft.Det.centsLong(sum($"snbr" * $"xd2"), 1, "sxy"))
+        .groupBy($"dst").agg(sum($"xd2").as("snbr"))
+      val sxy = nbr
+        .join(broadcast(deg.select($"src".as("b"), $"d".cast(dd).as("yd"))),
+          $"dst" === $"b")
+        .agg(graft.Det.centsLong(sum($"snbr" * $"yd"), 1, "sxy"))
       def nn(c: org.apache.spark.sql.Column, nm: String) =
         when($"n" > 0 && c.isNull, raise_error(lit(
           s"graph_assortativity: $nm DECIMAL(38,0) power-sum overflow")))

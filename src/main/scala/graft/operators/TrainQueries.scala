@@ -326,6 +326,12 @@ object TrainQueries extends QueryPack {
     // then exact bit_count(xor) ≤ 3 within blocks. The self-join key
     // is the 8-bit block, never all-pairs.
     // Thin adapter over graft.api.TextDedup.hammingCandidates (r8).
+    // Scale note (r13, 100x adjudication): a 16-BIT signature space
+    // saturates past ~2^16 docs (pigeonhole), so pair output grows
+    // ~N²/512 there by the workload's own math — measured per-decade
+    // ratio 14.4 at 100x is that output tail, not a plan defect. The
+    // corpus-scale variant is dedup_hamming64 below (64-bit sigs,
+    // Manku 4x16 blocks, N/65536 bucket occupancy).
     "dedup_hamming" -> ((s, dir) => {
       import s.implicits._
       graft.api.TextDedup.hammingCandidates(simhashSigs(s, dir))
