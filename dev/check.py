@@ -14,10 +14,83 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+def split_ctes(sql):
+    """Split `WITH a AS (...), b AS (...) SELECT ...` into
+    ([(name, body), ...], final_select). Purely lexical: scans
+    balanced parens while skipping single-quoted literals, so the CTE
+    bodies are the oracle's own text verbatim. Raises on RECURSIVE
+    (not stageable) or any shape surprise — the caller falls back to
+    the plain one-statement execution."""
+    s = sql.lstrip()
+    if not s.upper().startswith("WITH "):
+        raise ValueError("no WITH prefix")
+    if "RECURSIVE" in s[:16].upper():
+        raise ValueError("recursive CTE")
+    i, ctes = 5, []
+    while True:
+        while s[i].isspace():
+            i += 1
+        j = i
+        while s[j].isalnum() or s[j] == "_":
+            j += 1
+        name = s[i:j]
+        k = j
+        while s[k].isspace():
+            k += 1
+        if s[k:k + 2].upper() != "AS":
+            raise ValueError(f"expected AS after {name!r}")
+        k += 2
+        while s[k].isspace():
+            k += 1
+        if s[k:k + 12].upper() == "MATERIALIZED":
+            k += 12
+            while s[k].isspace():
+                k += 1
+        if s[k] != "(":
+            raise ValueError(f"expected ( after {name!r} AS")
+        depth, p, in_str = 0, k, False
+        while True:
+            c = s[p]
+            if in_str:
+                if c == "'":
+                    in_str = False
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            p += 1
+        ctes.append((name, s[k + 1:p]))
+        i = p + 1
+        while s[i].isspace():
+            i += 1
+        if s[i] == ",":
+            i += 1
+            continue
+        return ctes, s[i:]
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
-    con = duckdb.connect()
+    # CHECK_DB (r13): a file path makes the connection disk-backed so
+    # staged tables (below) live in the database file, not RAM.
+    con = duckdb.connect(os.environ.get("CHECK_DB", ":memory:"))
+    # Large-staging discipline (r13): cap DuckDB's memory and give it a
+    # spill directory, or the 100x oracle queries (6-round unrolled
+    # graph CTEs over a 120M-row edge relation) exhaust the host when a
+    # Spark JVM shares it. Overridable via CHECK_MEM.
+    mem = os.environ.get("CHECK_MEM", "48GB")
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # CHECK_THREADS (r13): big unnest/list intermediates are held
+    # per-thread and are not spillable; halving threads roughly halves
+    # the non-spillable peak for the exploded-trigram oracles.
+    if os.environ.get("CHECK_THREADS"):
+        con.execute(f"SET threads={int(os.environ['CHECK_THREADS'])}")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         # Driver fixtures are single files; ScaleBench stagings are
@@ -49,6 +122,32 @@ def main():
         assert len(parts) > 1, "digest needs >=1 integer column"
         return "SELECT " + ", ".join(parts) + f" FROM ({sql})"
 
+    # CHECK_STAGE_KEYS=k1,k2 (r13): execute those keys' oracle SQL as
+    # sequential `CREATE TABLE <cte> AS <cte body>` statements (one
+    # per CTE, same text, same relations) followed by the final
+    # SELECT, instead of one statement. DuckDB 1.0 then holds ONE
+    # stage's working set at a time (tables land in the CHECK_DB file
+    # when set), where the one-statement plan's concurrent pipelines
+    # exhaust the host on the 100x staging (exploded-trigram sh +
+    # cand join hash tables; the 50M-pair jaccard window). Semantics
+    # are unchanged by construction — the split is lexical — and the
+    # sf0.01 hash equivalence of staged vs plain execution is pinned
+    # by running this mode in the dev loop before trusting it at 100x.
+    stage_keys = set(filter(None,
+                            os.environ.get("CHECK_STAGE_KEYS", "").split(",")))
+
+    def run_staged(sql):
+        ctes, final = split_ctes(sql)
+        made = []
+        try:
+            for name, body in ctes:
+                con.execute(f'CREATE OR REPLACE TABLE "{name}" AS {body}')
+                made.append(name)
+            return con.execute(final).fetchdf()
+        finally:
+            for name in reversed(made):
+                con.execute(f'DROP TABLE IF EXISTS "{name}"')
+
     n_pass = n_fail = 0
     for key, sql in sorted(oracle.items()):
         if only and key not in only:
@@ -56,7 +155,8 @@ def main():
         if key in digest_keys:
             sql = digest_sql(sql)
         try:
-            exp = con.execute(sql).fetchdf()
+            exp = (run_staged(sql) if key in stage_keys
+                   else con.execute(sql).fetchdf())
         except Exception as e:
             print(f"FAIL {key}: duckdb error: {e}")
             n_fail += 1

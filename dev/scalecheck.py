@@ -16,13 +16,26 @@ import json, os, re, subprocess, sys, pathlib
 def main():
     staged, out_dir = sys.argv[1], sys.argv[2]
     keys = sys.argv[3:]
-    proc = subprocess.run(
-        [sys.executable, str(pathlib.Path(__file__).parent / "check.py"),
-         staged, out_dir, *keys],
-        capture_output=True, text=True)
+    # SCALECHECK_ISOLATE=1 (r13): one check.py SUBPROCESS per key, so a
+    # key whose oracle exhausts DuckDB's budget fails ALONE instead of
+    # poisoning every later key's allocation in the shared connection
+    # (observed at the 100x staging: one OOM -> 21 cascading
+    # bad-allocation failures).
+    check = str(pathlib.Path(__file__).parent / "check.py")
+    if os.environ.get("SCALECHECK_ISOLATE") == "1" and keys:
+        stdout_lines = []
+        for k in keys:
+            p = subprocess.run([sys.executable, check, staged, out_dir, k],
+                               capture_output=True, text=True)
+            stdout_lines.extend(p.stdout.splitlines())
+        proc_stdout = "\n".join(stdout_lines)
+    else:
+        proc_stdout = subprocess.run(
+            [sys.executable, check, staged, out_dir, *keys],
+            capture_output=True, text=True).stdout
     results, n_pass, n_fail = {}, 0, 0
-    for line in proc.stdout.splitlines():
-        m = re.match(r"(PASS|FAIL) (\S+):? ?(.*)", line)
+    for line in proc_stdout.splitlines():
+        m = re.match(r"(PASS|FAIL) ([^:\s]+):? ?(.*)", line)
         if not m:
             continue
         status, key, detail = m.groups()

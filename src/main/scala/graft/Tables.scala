@@ -102,7 +102,14 @@ object Tables {
     */
   val sessionConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.sql.session.timeZone" -> "UTC")
+    "spark.sql.session.timeZone" -> "UTC",
+    // Credit a bucketed table's persisted sortBy order to the scan so
+    // a bucket-aligned SMJ elides its sorts (graph_jaccard_bucketed).
+    // Spark reports the order ONLY when every bucket is exactly one
+    // file — guaranteed there via repartition(buckets, key) before the
+    // write — so the claim is sound wherever it fires (a multi-file
+    // bucket, e.g. sink_bucketed's, is never credited).
+    "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true")
 
   /** The physical encoding of events.ts differs across fixture
     * generations (a fact table regenerated over years does this at

@@ -44,6 +44,11 @@ object GraphQueries extends QueryPack {
     * part degree is 10, so the cap is a no-op there by construction). */
   val jaccHubCap = 35
 
+  /** graph_jaccard_bucketed bucket count. Locally 32 (= cores, one
+    * read task per bucket); on a 1000-executor cluster this is sized
+    * to total cores (thousands) at the one-time membership write. */
+  val jaccBuckets = 32
+
   /** graph_distance BFS rounds — fixed so the unrolled oracle and the
     * Spark loop are provably the same computation; 6 covers the
     * bipartite graph's diameter from the 10% seed set at every SF. */
@@ -199,6 +204,43 @@ object GraphQueries extends QueryPack {
         e.join(nonHub, "p")
       }
       graft.api.Graph.jaccardTopKOnCapped(ce, 5)
+        .select($"node".as("s1"), $"rk", $"other".as("s2"),
+          $"common", $"jacc_ppm")
+        .orderBy($"s1", $"rk")
+    }),
+
+    // Bucketed-membership jaccard (r13): the 1000-executor LAYOUT the
+    // cached variant's comment promises, shipped and measured — the
+    // capped membership is WRITTEN once as a p-bucketed, per-bucket
+    // p-sorted table (the sink_bucketed pattern; repartition(buckets,
+    // p) first so each bucket is exactly one file and the persisted
+    // sort order is credited), so BOTH sides of the pair self-join
+    // read pre-partitioned, pre-sorted bucket files: the join subtree
+    // is scan → SMJ with ZERO exchange and ZERO sort (law-asserted in
+    // R13OpsSpec). At 100 TB the co-occurrence relation is a written,
+    // reused table anyway; bucketing it by the join key at write time
+    // deletes the biggest shuffle of every downstream consumer. A
+    // LAYOUT variant, not a semantics variant: same output, same
+    // oracle SQL as graph_jaccard (equality law-asserted).
+    "graph_jaccard_bucketed" -> ((s, dir) => {
+      import s.implicits._
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      graft.SessionCache.cached(s, s"jacc.bucketed:$dir", persist = false) {
+        s.sql(s"DROP TABLE IF EXISTS jacc_mem_$tag")
+        val e = Tables.load(s, dir, "lineitem")
+          .select($"l_partkey".as("p"), $"l_suppkey".as("sup")).distinct()
+        val nonHub = e.groupBy($"p").agg(count(lit(1)).as("pd"))
+          .filter($"pd" <= jaccHubCap).select($"p")
+        e.join(nonHub, "p")
+          .repartition(jaccBuckets, $"p")
+          .write.mode("overwrite")
+          .option("path", s"target/roundtrip/${tag}_jacc_mem")
+          .bucketBy(jaccBuckets, "p").sortBy("p", "sup")
+          .saveAsTable(s"jacc_mem_$tag")
+        s.range(1).toDF() // memo token: the artifact is the table
+      }
+      graft.api.Graph.jaccardTopKOnCapped(
+          s.table(s"jacc_mem_$tag").hint("merge"), 5)
         .select($"node".as("s1"), $"rk", $"other".as("s2"),
           $"common", $"jacc_ppm")
         .orderBy($"s1", $"rk")
@@ -381,6 +423,32 @@ object GraphQueries extends QueryPack {
        |  JOIN k$i b ON e.dst = b.src)""".stripMargin
   }.mkString(",\n")
 
+  /** ce/pr are AS MATERIALIZED: DuckDB 1.0 inlines CTEs at every
+    * reference (ce 3x, pr 2x), and at the 100x staging the doubled
+    * pair self-join spilled past the host's free disk. Execution
+    * hint only — same relation, sf0.01 oracle hash unchanged. */
+  private val jaccardOracleSql: String =
+    s"""WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sup
+       |  FROM lineitem),
+       |nh AS (SELECT p FROM e GROUP BY p HAVING count(*) <= $jaccHubCap),
+       |ce AS MATERIALIZED (SELECT e.p, e.sup FROM e JOIN nh USING (p)),
+       |deg AS (SELECT sup, count(*) AS deg FROM ce GROUP BY sup),
+       |pr AS MATERIALIZED (
+       |  SELECT a.sup AS s1, b.sup AS s2, count(*) AS common
+       |  FROM ce a JOIN ce b ON a.p = b.p AND a.sup < b.sup
+       |  GROUP BY 1, 2),
+       |sym AS (SELECT s1, s2, common FROM pr
+       |  UNION ALL SELECT s2, s1, common FROM pr),
+       |j AS (SELECT s1, s2, common,
+       |    common * 1000000 // (d1.deg + d2.deg - common) AS jacc_ppm
+       |  FROM sym
+       |  JOIN deg d1 ON d1.sup = sym.s1
+       |  JOIN deg d2 ON d2.sup = sym.s2),
+       |r AS (SELECT s1, s2, common, jacc_ppm, row_number() OVER (
+       |    PARTITION BY s1 ORDER BY jacc_ppm DESC, s2) AS rk FROM j)
+       |SELECT s1, rk, s2, common, jacc_ppm FROM r WHERE rk <= 5
+       |ORDER BY s1, rk""".stripMargin
+
   def oracle: Seq[(String, String)] = Seq(
     "graph_assortativity" ->
       """WITH e AS (SELECT DISTINCT l_partkey AS p,
@@ -433,26 +501,11 @@ object GraphQueries extends QueryPack {
          |  dist
          |FROM b$bfsRounds ORDER BY node""".stripMargin,
 
-    "graph_jaccard" ->
-      s"""WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sup
-         |  FROM lineitem),
-         |nh AS (SELECT p FROM e GROUP BY p HAVING count(*) <= $jaccHubCap),
-         |ce AS (SELECT e.p, e.sup FROM e JOIN nh USING (p)),
-         |deg AS (SELECT sup, count(*) AS deg FROM ce GROUP BY sup),
-         |pr AS (SELECT a.sup AS s1, b.sup AS s2, count(*) AS common
-         |  FROM ce a JOIN ce b ON a.p = b.p AND a.sup < b.sup
-         |  GROUP BY 1, 2),
-         |sym AS (SELECT s1, s2, common FROM pr
-         |  UNION ALL SELECT s2, s1, common FROM pr),
-         |j AS (SELECT s1, s2, common,
-         |    common * 1000000 // (d1.deg + d2.deg - common) AS jacc_ppm
-         |  FROM sym
-         |  JOIN deg d1 ON d1.sup = sym.s1
-         |  JOIN deg d2 ON d2.sup = sym.s2),
-         |r AS (SELECT s1, s2, common, jacc_ppm, row_number() OVER (
-         |    PARTITION BY s1 ORDER BY jacc_ppm DESC, s2) AS rk FROM j)
-         |SELECT s1, rk, s2, common, jacc_ppm FROM r WHERE rk <= 5
-         |ORDER BY s1, rk""".stripMargin,
+    "graph_jaccard" -> jaccardOracleSql,
+    // Identical SQL by construction: the bucketed key is a physical
+    // LAYOUT variant of graph_jaccard, so the oracle proves both
+    // produce the same relation.
+    "graph_jaccard_bucketed" -> jaccardOracleSql,
 
     "graph_triangles" ->
       """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS v

@@ -1170,11 +1170,18 @@ object TrainQueries extends QueryPack {
         |      (x, y) -> x + y) / sqrt(a.ss * b.ss) >= 0.3
         |ORDER BY da, db""".stripMargin,
 
+    // cand/sh are AS MATERIALIZED (DuckDB executes each once, can
+    // temp-spill the result) because DuckDB 1.0 otherwise INLINES
+    // them at every reference — cand 2x, sh 3x — and the concurrent
+    // peak of two 65M-row trigram explosions plus their join hash
+    // tables OOMs the 100x scalecheck even at a 100 GB budget.
+    // Pure execution hint: same relation, same rows, and the sf0.01
+    // oracle hash is unchanged.
     "dedup_ngram" ->
       s"""WITH ${TextBlocking.maskCteSql},
-        |cand AS (SELECT a.doc_id AS da, b.doc_id AS db
+        |cand AS MATERIALIZED (SELECT a.doc_id AS da, b.doc_id AS db
         |  FROM m a JOIN m b ON a.mask = b.mask AND a.doc_id < b.doc_id),
-        |sh AS (SELECT DISTINCT doc_id,
+        |sh AS MATERIALIZED (SELECT DISTINCT doc_id,
         |    unnest(list_transform(generate_series(1, len(text) - 2),
         |      i -> substring(text, i, 3))) AS sh
         |  FROM documents),
