@@ -115,10 +115,14 @@ def main():
         parts = ["count(*) AS n"]
         for name, typ in zip(desc["column_name"], desc["column_type"]):
             if typ in INT_TYPES:
-                h = f'CAST("{name}" AS HUGEINT)'
+                # Per-element mod BEFORE the sum (r13 ADVICE): keeps
+                # every partial below P^2 so neither engine can
+                # overflow its accumulator; must stay in lockstep with
+                # graft.Verify.digest, which uses the same reduction.
+                h = f'(CAST("{name}" AS HUGEINT) % {P})'
                 parts.append(f'CAST(sum({h}) % {P} AS BIGINT) AS "s_{name}"')
                 parts.append(
-                    f'CAST(sum({h}*{h}) % {P} AS BIGINT) AS "q_{name}"')
+                    f'CAST(sum(({h}*{h}) % {P}) % {P} AS BIGINT) AS "q_{name}"')
         assert len(parts) > 1, "digest needs >=1 integer column"
         return "SELECT " + ", ".join(parts) + f" FROM ({sql})"
 
@@ -136,13 +140,27 @@ def main():
     stage_keys = set(filter(None,
                             os.environ.get("CHECK_STAGE_KEYS", "").split(",")))
 
-    def run_staged(sql):
-        ctes, final = split_ctes(sql)
+    def run_oracle(key, sql):
+        """Staging and digest COMPOSE (r13 ADVICE): stage the CTEs
+        first (so digest_sql's DESCRIBE on the final SELECT resolves
+        the staged tables), THEN digest-wrap only the final SELECT.
+        A shape surprise in split_ctes falls back to plain
+        one-statement execution instead of a spurious per-key FAIL,
+        and any digest/DESCRIBE error is caught by the caller as that
+        key's FAIL rather than aborting the run."""
+        ctes, final = [], sql
+        if key in stage_keys:
+            try:
+                ctes, final = split_ctes(sql)
+            except ValueError:
+                pass  # fallback: plain one-statement execution
         made = []
         try:
             for name, body in ctes:
                 con.execute(f'CREATE OR REPLACE TABLE "{name}" AS {body}')
                 made.append(name)
+            if key in digest_keys:
+                final = digest_sql(final)
             return con.execute(final).fetchdf()
         finally:
             for name in reversed(made):
@@ -152,11 +170,8 @@ def main():
     for key, sql in sorted(oracle.items()):
         if only and key not in only:
             continue
-        if key in digest_keys:
-            sql = digest_sql(sql)
         try:
-            exp = (run_staged(sql) if key in stage_keys
-                   else con.execute(sql).fetchdf())
+            exp = run_oracle(key, sql)
         except Exception as e:
             print(f"FAIL {key}: duckdb error: {e}")
             n_fail += 1

@@ -132,6 +132,18 @@ object Bench {
       java.nio.file.Paths.get(out).toAbsolutePath.getParent)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     println(json)
+    // Tail-parseable summary (r13 verdict item 4): the driver keeps
+    // only the LAST ~2000 chars of stdout, and the full 221-key line
+    // above is ~8 KB — its head is cut off, so BENCH_rN.json landed
+    // with "parsed": null three rounds running. Print a second,
+    // COMPACT line last (sbt's trailing "[success]" line is ~80
+    // chars, so this stays inside the tail): headline totals plus
+    // only the 15 slowest keys, with an explicit truncation marker
+    // and a pointer to the full per-key record on disk.
+    val slow = results.filter(_._5).sortBy(-_._2).take(15)
+      .map(r => "\"" + r._1 + "\":" + fmt(r._2)).mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"n_keys":${results.length},"n_failed":${failedKeys.size},"runs":$runs,"queries":$slow,"queries_truncated":true,"full":"$out","sf":"$sfDir"}""")
     SessionCache.clear(spark) // release session-scoped index caches
     spark.stop()
   }

@@ -49,9 +49,15 @@ object Verify {
       }
       require(intCols.nonEmpty, "digest needs >=1 integer column")
       val aggs = count(lit(1)).as("n") +: intCols.toSeq.flatMap { c =>
-        val d = col(c).cast(DecimalType(19, 0))
+        // Per-element mod BEFORE the sum (r13 ADVICE): the old
+        // sum-then-mod could overflow DECIMAL(38,0) on a huge dump and
+        // Spark (non-ANSI) would write a silent NULL. With d < p each
+        // term is < p^2 ~ 5.3e36 and a sum of up to ~1e19 such rows
+        // stays inside 38 digits — no overflow is reachable. Must stay
+        // in lockstep with dev/check.py digest_sql (same reduction).
+        val d = col(c).cast(DecimalType(19, 0)) % p
         Seq((sum(d) % p).cast("long").as(s"s_$c"),
-          (sum(d * d) % p).cast("long").as(s"q_$c"))
+          (sum((d * d) % p) % p).cast("long").as(s"q_$c"))
       }
       df.agg(aggs.head, aggs.tail: _*)
     }

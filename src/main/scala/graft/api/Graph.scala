@@ -239,6 +239,16 @@ object Graph {
     * Degrees count the doubled relation's out-edges, so dropping a
     * node removes both directions symmetrically.
     *
+    * CONTRACT — symmetric (undirected, doubled) edge input REQUIRED:
+    * every dst must also appear as a src. A dst-only node gets no
+    * degree row, is never peeled, and its edges never decrement, so
+    * an asymmetric (directed) input silently diverges from the
+    * pre-r13 recompute loop (which excluded edges to non-src nodes
+    * from round-1 degrees). Callers feeding directed edges must
+    * double them first (`e.unionByName(e.select(dst, src))`); the
+    * keyed-query law suite asserts dst ⊆ src on its fixture
+    * (R11dOpsSpec "graph_kcore" symmetry law).
+    *
     * Output: (node, deg) — nodes surviving `rounds` peels with their
     * degree INSIDE the surviving subgraph (≥ k at the fixpoint). */
   def kcore(edges: DataFrame, k: Int, rounds: Int,

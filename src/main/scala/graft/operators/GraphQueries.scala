@@ -224,7 +224,15 @@ object GraphQueries extends QueryPack {
     // oracle SQL as graph_jaccard (equality law-asserted).
     "graph_jaccard_bucketed" -> ((s, dir) => {
       import s.implicits._
-      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      // Tag = sanitized basename + full-path hash (r13 ADVICE): two
+      // dirs whose basenames sanitize identically ('sf0.01' vs
+      // 'sf0_01') must not collide on the metastore table name — the
+      // second staging would silently rewrite the table the first
+      // dir's still-cached query reads. Mirrors the SessionCache key,
+      // which already uses the full dir.
+      val tag = new java.io.File(dir).getName
+        .replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + f"${dir.hashCode & 0xffffffffL}%08x"
       graft.SessionCache.cached(s, s"jacc.bucketed:$dir", persist = false) {
         s.sql(s"DROP TABLE IF EXISTS jacc_mem_$tag")
         val e = Tables.load(s, dir, "lineitem")

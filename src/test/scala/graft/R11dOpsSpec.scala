@@ -594,6 +594,15 @@ class R11dOpsSpec extends SparkTestBase {
         .distinct()
       val ed = b.select($"c".as("src"), $"p".as("dst"))
         .unionByName(b.select($"p".as("src"), $"c".as("dst")))
+      // Symmetric-input contract (r13 ADVICE): the decremental peel
+      // assumes every dst also appears as a src (undirected doubled
+      // relation); a dst-only node would get no degree row and its
+      // edges would never decrement, silently diverging from the
+      // pre-r13 loop. Law: dst ⊆ src on the keyed query's input.
+      assert(ed.select($"dst".as("node")).distinct()
+        .join(ed.select($"src".as("node")).distinct(),
+          Seq("node"), "left_anti").count() == 0,
+        "kcore input not symmetric: some dst never appears as src")
       val total = ed.select($"src").distinct().count()
       val n = got.count()
       assert(n > 0, "empty core — degenerate fixture")
