@@ -216,6 +216,62 @@ object Graph {
         col("common"), col("jacc_ppm"))
   }
 
+  /** Synchronous label propagation (Raghavan 2007's LPA, the
+    * deterministic synchronous variant): community detection over a
+    * SYMMETRIC (doubled) edge frame — the cheap community signal a
+    * curation pipeline reads before sampling per-community (domain
+    * clusters in a crawl graph, co-supply cliques, topical groups).
+    *
+    * Semantics (declared, fully deterministic): labels start as the
+    * node's own id; each round, EVERY node simultaneously adopts the
+    * most frequent label among its neighbors, ties broken by MINIMUM
+    * label — a total order, so the result is bit-identical across
+    * partitionings and engines (the pagerank determinism argument:
+    * exact integer counts + a total tie-break). A FIXED round count is
+    * what lets the DuckDB oracle unroll the identical iterations.
+    * Synchronous LPA on bipartite structure can oscillate rather than
+    * converge — callers pick `rounds` as the label-mixing horizon they
+    * want, not a fixpoint guarantee (the label SET still shrinks
+    * monotonically: every adopted label was some node's current
+    * label).
+    *
+    * Scale shape (the bfsDistances matvec discipline): the label
+    * vector is NODE-sized and explicitly broadcast into the edge join,
+    * so the cached dst-partitioned edge relation streams untouched;
+    * both per-round aggregates — neighbor-label counts on (dst, lbl)
+    * and the argmax on dst — are satisfied by the edges'
+    * HashPartitioning(dst) (dst is a prefix of both grouping keys), so
+    * a round does ZERO shuffle exchange: O(E) map-side work + a
+    * node-sized broadcast, nothing else moves. Same ≲10^8-node
+    * broadcast contract as bfsDistances; per-round lineage truncation
+    * keeps the plan tree round-count-free. Argmax is
+    * max(struct(count, -label)) — one partial-aggregable pass, no
+    * window sort.
+    *
+    * Symmetric-input contract (the kcore rule): every dst must also
+    * appear as a src, or dst-only nodes keep stale labels that the
+    * label-set-shrinks law no longer covers.
+    *
+    * Output: (node, lbl) — every node with its community label after
+    * `rounds` rounds. */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    var lab = graft.Fixpoint.truncate(
+      e.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node")))
+    for (_ <- 1 to rounds) {
+      val nxt = e.join(broadcast(lab), col("src") === col("node"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("lbl"))
+      lab = graft.Fixpoint.truncate(nxt)
+    }
+    lab
+  }
+
   /** k-core peel: `rounds` synchronous rounds of "drop every node
     * with degree < k, then recount" over a SYMMETRIC (doubled) edge
     * frame — the degeneracy/periphery pruning every graph-quality

@@ -39,6 +39,13 @@ object GraphQueries extends QueryPack {
     * ranks keep ~6 significant digits after the integer divisions). */
   val prMass = 1000000000000L
 
+  /** graph_lpa rounds — fixed so the unrolled oracle and the Spark
+    * loop are provably the same computation (the pagerank/BFS
+    * discipline). 4 = enough mixing for labels to coarsen across the
+    * bipartite 2-hop neighborhoods at every SF without betting on a
+    * fixpoint synchronous LPA does not guarantee. */
+  val lpaRounds = 4
+
   /** graph_jaccard hub cap: parts with more suppliers than this are
     * excluded before pair generation (binds at sf0.01+; sf0.001's max
     * part degree is 10, so the cap is a no-op there by construction). */
@@ -358,6 +365,28 @@ object GraphQueries extends QueryPack {
             " - CAST(sx AS DOUBLE) * sx)), 12) AS assort_r")
     }),
 
+    // Synchronous label propagation (r14): community labels over the
+    // same session-cached part↔supplier graph — the cheap community
+    // signal read before per-community sampling/mixing decisions
+    // (domain clusters in a crawl graph). Thin adapter over
+    // graft.api.Graph.labelPropagation: 4 fixed synchronous rounds,
+    // each ONE node-sized broadcast + two aggregates both satisfied by
+    // the cached edges' dst partitioning (dst prefixes both grouping
+    // keys) — zero shuffle exchange per round (law-asserted in
+    // R14OpsSpec); most-frequent-neighbor-label with min tie-break is
+    // a total order, so the result is bit-identical across engines
+    // and the FIXED round count lets DuckDB unroll the identical
+    // iterations.
+    "graph_lpa" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.Graph.labelPropagation(edgeRel(s, dir), lpaRounds)
+        .select($"node",
+          when($"node" >= 1000000000L, "supplier").otherwise("part")
+            .as("node_type"),
+          $"lbl".as("comm"))
+        .orderBy($"node")
+    }),
+
     // k-core peel (r11d) over the customer↔part PURCHASE graph (the
     // second bipartite graph the fact tables hold — who-buys-what,
     // with real degree variance from order counts; the part↔supplier
@@ -417,6 +446,19 @@ object GraphQueries extends QueryPack {
        |    SELECT ed.dst AS node, p.dist + 1 AS dist
        |    FROM ed JOIN b${i - 1} p ON p.node = ed.src)
        |  GROUP BY node)""".stripMargin
+  }.mkString(",\n")
+
+  /** The unrolled LPA rounds, generated from the same constant as the
+    * Spark loop (the bfsChain discipline). The window argmax (count
+    * DESC, label ASC, rk = 1) is the oracle-side spelling of Spark's
+    * max(struct(c, -lbl)) — both are the same total order. */
+  private val lpaChain: String = (1 to lpaRounds).map { i =>
+    s"""l$i AS MATERIALIZED (SELECT node, lbl FROM (
+       |    SELECT ed.dst AS node, p.lbl, count(*) AS c,
+       |      row_number() OVER (PARTITION BY ed.dst
+       |        ORDER BY count(*) DESC, p.lbl) AS rk
+       |    FROM ed JOIN l${i - 1} p ON p.node = ed.src
+       |    GROUP BY ed.dst, p.lbl) WHERE rk = 1)""".stripMargin
   }.mkString(",\n")
 
   /** The unrolled peel rounds, generated from the same constants as
@@ -508,6 +550,19 @@ object GraphQueries extends QueryPack {
          |       ELSE 'part' END AS node_type,
          |  dist
          |FROM b$bfsRounds ORDER BY node""".stripMargin,
+
+    "graph_lpa" ->
+      s"""WITH e AS (SELECT DISTINCT l_partkey AS p,
+         |    1000000000 + l_suppkey AS sn FROM lineitem),
+         |ed AS MATERIALIZED (SELECT p AS src, sn AS dst FROM e
+         |       UNION ALL SELECT sn, p FROM e),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM ed),
+         |$lpaChain
+         |SELECT node,
+         |  CASE WHEN node >= 1000000000 THEN 'supplier'
+         |       ELSE 'part' END AS node_type,
+         |  lbl AS comm
+         |FROM l$lpaRounds ORDER BY node""".stripMargin,
 
     "graph_jaccard" -> jaccardOracleSql,
     // Identical SQL by construction: the bucketed key is a physical
