@@ -94,6 +94,64 @@ object GraphQueries extends QueryPack {
     }
   }
 
+  /** Supplier co-supply projection (r8, extracted r14): suppliers
+    * linked when they co-supply a part, hub parts (> 8 suppliers)
+    * excluded BEFORE projection so edge emission stays linear in the
+    * fact table. An index artifact (build-once-probe-many),
+    * session-cached exactly like pagerank's edgeRel and the Hamming
+    * signature indexes; the bench's cold column carries the build
+    * cost. */
+  private def projEdges(s: org.apache.spark.sql.SparkSession,
+                        dir: String) = {
+    import s.implicits._
+    graft.SessionCache.cached(s, s"tri.edges:$dir") {
+      val ps = Tables.load(s, dir, "lineitem")
+        .select($"l_partkey".as("p"), $"l_suppkey".as("v")).distinct()
+      val okParts = ps.groupBy($"p").agg(count(lit(1)).as("d"))
+        .filter($"d" <= 8).select($"p")
+      val pp = ps.join(okParts, "p")
+      pp.as("x").join(pp.as("y"), "p")
+        .filter($"x.v" < $"y.v")
+        .select($"x.v".as("u"), $"y.v".as("v")).distinct()
+    }
+  }
+
+  /** LPA's edge relation (r14): the MINHASH CANDIDATE-PAIR graph over
+    * documents (TrainQueries' session-cached LSH pair relation),
+    * DOUBLED and dst-partitioned. Graph choice matters twice over:
+    * (1) LPA must run on a UNIPARTITE graph — synchronous label
+    * propagation two-colors a bipartite one (measured on the
+    * part↔supplier relation: within-community edges = 0, modularity
+    * exactly −0.5, the textbook degeneracy); (2) it needs REAL
+    * community structure — the TPC-H projections are uniform-random,
+    * so they are either one dense blob (Q = 0) or empty under a hub
+    * cap, while the near-dup candidate graph has exactly the cluster
+    * structure community detection is FOR (dup clusters = communities;
+    * LPA's count-voting is the soft counterpart of
+    * dedup_minhash_cluster's connectivity components — a bridge doc
+    * joins its majority side instead of merging both). */
+  private def lpaEdges(s: org.apache.spark.sql.SparkSession,
+                       dir: String) = {
+    import s.implicits._
+    graft.SessionCache.cached(s, s"lpa.edges:$dir") {
+      val pr = TrainQueries.minhashPairRel(s, dir).select($"da", $"db")
+      pr.select($"da".as("src"), $"db".as("dst"))
+        .unionByName(pr.select($"db".as("src"), $"da".as("dst")))
+        .repartition($"dst")
+    }
+  }
+
+  /** LPA community labels as a session-cached index artifact (r14):
+    * built once per (session, dir), consumed by graph_lpa AND
+    * graph_modularity — at scale the label assignment is a written
+    * table probed by every per-community consumer, the same
+    * accounting as pagerank's rank vector. */
+  private def lpaLabels(s: org.apache.spark.sql.SparkSession,
+                        dir: String) =
+    graft.SessionCache.cached(s, s"lpa.labels:$dir") {
+      graft.api.Graph.labelPropagation(lpaEdges(s, dir), lpaRounds)
+    }
+
   def queries: Seq[(String, Q)] = Seq(
     // Thin adapter over graft.api.Graph.pagerank (r8): the symmetric
     // edge relation comes from the session-cached edgeRel, and the
@@ -151,22 +209,9 @@ object GraphQueries extends QueryPack {
     // aggregates combine by broadcast cross join.
     "graph_triangles" -> ((s, dir) => {
       import s.implicits._
-      // The projected edge relation is an index artifact
-      // (build-once-probe-many), session-cached exactly like
-      // pagerank's edgeRel and the Hamming signature indexes; the
-      // bench's cold column carries the build cost.
-      val ed = graft.SessionCache.cached(s, s"tri.edges:$dir") {
-        val ps = Tables.load(s, dir, "lineitem")
-          .select($"l_partkey".as("p"), $"l_suppkey".as("v")).distinct()
-        val okParts = ps.groupBy($"p").agg(count(lit(1)).as("d"))
-          .filter($"d" <= 8).select($"p")
-        val pp = ps.join(okParts, "p")
-        pp.as("x").join(pp.as("y"), "p")
-          .filter($"x.v" < $"y.v")
-          .select($"x.v".as("u"), $"y.v".as("v")).distinct()
-      }
-      // Thin adapter over graft.api.Graph.triangles (r8).
-      graft.api.Graph.triangles(ed)
+      // Thin adapter over graft.api.Graph.triangles (r8) over the
+      // shared session-cached projection (r14: also LPA's graph).
+      graft.api.Graph.triangles(projEdges(s, dir))
     }),
 
     // Neighborhood Jaccard similarity (r11c): top-5 most-similar
@@ -366,9 +411,11 @@ object GraphQueries extends QueryPack {
     }),
 
     // Synchronous label propagation (r14): community labels over the
-    // same session-cached part↔supplier graph — the cheap community
-    // signal read before per-community sampling/mixing decisions
-    // (domain clusters in a crawl graph). Thin adapter over
+    // session-cached supplier co-supply projection — the cheap
+    // community signal read before per-community sampling/mixing
+    // decisions (domain clusters in a crawl graph). The UNIPARTITE
+    // projection, not the bipartite relation: synchronous LPA
+    // two-colors a bipartite graph (see lpaEdges). Thin adapter over
     // graft.api.Graph.labelPropagation: 4 fixed synchronous rounds,
     // each ONE node-sized broadcast + two aggregates both satisfied by
     // the cached edges' dst partitioning (dst prefixes both grouping
@@ -379,12 +426,50 @@ object GraphQueries extends QueryPack {
     // iterations.
     "graph_lpa" -> ((s, dir) => {
       import s.implicits._
-      graft.api.Graph.labelPropagation(edgeRel(s, dir), lpaRounds)
-        .select($"node",
-          when($"node" >= 1000000000L, "supplier").otherwise("part")
-            .as("node_type"),
-          $"lbl".as("comm"))
+      lpaLabels(s, dir)
+        .select($"node", $"lbl".as("comm"))
         .orderBy($"node")
+    }),
+
+    // Newman modularity (r14) of the LPA community assignment — the
+    // one-number answer to "did communities actually form?", read
+    // before acting on graph_lpa's labels (per-community sampling,
+    // mixing weights). Q = within/(2m) − Σ_c D_c²/(2m)² over the
+    // DOUBLED edge relation (2m = |ed| rows, D_c = Σ degrees in c).
+    // All three inputs are exact integers: `within` counts edges
+    // whose endpoints share a label (two broadcasts of the node-sized
+    // label vector onto the cached dst-partitioned edges — the matvec
+    // discipline, zero edge exchange), D_c sums are node-sized
+    // aggregates, and Q is ONE fixed IEEE expression over the exact
+    // sums, byte-identical in the oracle (the assortativity
+    // discipline). Squared degree-mass stays bounded: Σ D_c² ≤ (2m)²
+    // = 5.8e16 at 100x, inside BIGINT with centsLong's loud guard.
+    "graph_modularity" -> ((s, dir) => {
+      import s.implicits._
+      val ed = lpaEdges(s, dir)
+      val lab = lpaLabels(s, dir)
+      val dd = org.apache.spark.sql.types.DecimalType(19, 0)
+      val m2 = ed.agg(count(lit(1)).as("m2"))
+      val within = ed
+        .join(broadcast(lab.select($"node".as("sa"), $"lbl".as("la"))),
+          $"src" === $"sa")
+        .join(broadcast(lab.select($"node".as("sb"), $"lbl".as("lb"))),
+          $"dst" === $"sb")
+        .filter($"la" === $"lb")
+        .agg(count(lit(1)).as("within"))
+      val deg = ed.groupBy($"src").agg(count(lit(1)).as("d"))
+      val dc = deg
+        .join(broadcast(lab.select($"node".as("sc"), $"lbl")),
+          $"src" === $"sc")
+        .groupBy($"lbl").agg(sum($"d").as("dsum"))
+      val dsq = dc.agg(graft.Det.centsLong(
+        sum($"dsum".cast(dd) * $"dsum".cast(dd)), 1, "dsq"))
+      m2.crossJoin(broadcast(within)).crossJoin(broadcast(dsq))
+        .selectExpr("m2", "within", "dsq",
+          "round((CAST(within AS DOUBLE) * CAST(m2 AS DOUBLE)" +
+            " - CAST(dsq AS DOUBLE))" +
+            " / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)), 12)" +
+            " AS modularity_q")
     }),
 
     // k-core peel (r11d) over the customer↔part PURCHASE graph (the
@@ -447,6 +532,16 @@ object GraphQueries extends QueryPack {
        |    FROM ed JOIN b${i - 1} p ON p.node = ed.src)
        |  GROUP BY node)""".stripMargin
   }.mkString(",\n")
+
+  /** LPA's graph, oracle-side: the agreement-gated minhash pair list
+    * (TrainQueries.minhashGatedCtes — the EXACT prefix the
+    * dedup_minhash_cluster oracle composes, so the pair semantics
+    * cannot drift), doubled — shared by the graph_lpa and
+    * graph_modularity oracles. */
+  private val lpaEdgesSql: String =
+    s"""${TrainQueries.minhashGatedCtes},
+       |ed AS MATERIALIZED (SELECT da AS src, db AS dst FROM gated
+       |       UNION ALL SELECT db, da FROM gated)""".stripMargin
 
   /** The unrolled LPA rounds, generated from the same constant as the
     * Spark loop (the bfsChain discipline). The window argmax (count
@@ -552,17 +647,31 @@ object GraphQueries extends QueryPack {
          |FROM b$bfsRounds ORDER BY node""".stripMargin,
 
     "graph_lpa" ->
-      s"""WITH e AS (SELECT DISTINCT l_partkey AS p,
-         |    1000000000 + l_suppkey AS sn FROM lineitem),
-         |ed AS MATERIALIZED (SELECT p AS src, sn AS dst FROM e
-         |       UNION ALL SELECT sn, p FROM e),
+      s"""WITH $lpaEdgesSql,
          |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM ed),
          |$lpaChain
-         |SELECT node,
-         |  CASE WHEN node >= 1000000000 THEN 'supplier'
-         |       ELSE 'part' END AS node_type,
-         |  lbl AS comm
+         |SELECT node, lbl AS comm
          |FROM l$lpaRounds ORDER BY node""".stripMargin,
+
+    "graph_modularity" ->
+      s"""WITH $lpaEdgesSql,
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM ed),
+         |$lpaChain,
+         |lab AS MATERIALIZED (SELECT node, lbl FROM l$lpaRounds),
+         |m2 AS (SELECT count(*) AS m2 FROM ed),
+         |w AS (SELECT count(*) AS within FROM ed
+         |  JOIN lab a ON ed.src = a.node
+         |  JOIN lab b ON ed.dst = b.node AND a.lbl = b.lbl),
+         |deg AS (SELECT src, count(*) AS d FROM ed GROUP BY src),
+         |dc AS (SELECT a.lbl, sum(deg.d) AS dsum FROM deg
+         |  JOIN lab a ON deg.src = a.node GROUP BY a.lbl),
+         |s AS (SELECT CAST(sum(dsum * dsum) AS BIGINT) AS dsq FROM dc)
+         |SELECT m2, within, dsq,
+         |  round((CAST(within AS DOUBLE) * CAST(m2 AS DOUBLE)
+         |    - CAST(dsq AS DOUBLE))
+         |    / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)), 12)
+         |    AS modularity_q
+         |FROM m2, w, s""".stripMargin,
 
     "graph_jaccard" -> jaccardOracleSql,
     // Identical SQL by construction: the bucketed key is a physical

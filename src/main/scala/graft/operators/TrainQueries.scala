@@ -125,7 +125,8 @@ object TrainQueries extends QueryPack {
     * and dedup_minhash_cluster (the pair list is the second index
     * artifact of the near-dup pipeline, consumed by both the
     * reporting key and the clustering key). */
-  private def minhashPairRel(s: org.apache.spark.sql.SparkSession,
+  private[operators] def minhashPairRel(
+      s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     graft.SessionCache.cached(s, s"dedup.minhashpairs:$dir") {
       graft.api.TextDedup.minhashPairs(minhashSigs(s, dir))
@@ -879,7 +880,11 @@ object TrainQueries extends QueryPack {
     * `closureFinalCte()` = (n, l)). The `bi` CTE NAME coexists with
     * the `bi` band-index COLUMN of `bands` — every reference below is
     * qualified, so resolution is unambiguous. */
-  private val minhashClosureCtes: String =
+  /** The LSH pipeline's oracle CTE prefix up to the agreement-gated
+    * pair list (`gated`), extracted r14 so GraphQueries' graph_lpa /
+    * graph_modularity oracles (community structure OVER the candidate
+    * graph) compose the exact same pair semantics without drift. */
+  private[operators] val minhashGatedCtes: String =
     s"""tok AS (SELECT DISTINCT doc_id,
       |    unnest(string_split(lower(text), ' ')) AS term FROM documents),
       |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
@@ -925,7 +930,10 @@ object TrainQueries extends QueryPack {
       |    (CASE WHEN x.m5 = y.m5 THEN 1 ELSE 0 END) +
       |    (CASE WHEN x.m6 = y.m6 THEN 1 ELSE 0 END) +
       |    (CASE WHEN x.m7 = y.m7 THEN 1 ELSE 0 END) +
-      |    (CASE WHEN x.m8 = y.m8 THEN 1 ELSE 0 END) >= 4),
+      |    (CASE WHEN x.m8 = y.m8 THEN 1 ELSE 0 END) >= 4)""".stripMargin
+
+  private val minhashClosureCtes: String =
+    s"""$minhashGatedCtes,
       |bi AS MATERIALIZED (SELECT da AS a, db AS b FROM gated
       |       UNION SELECT db, da FROM gated),
       |${DedupCluster.closureSql()}""".stripMargin

@@ -23,18 +23,22 @@ import org.apache.spark.sql.functions._
 class R14OpsSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def keyed(name: String) =
-    SparkEntry.queries(name)(spark, sf)
+  /** sf0.01, not the usual sf0.001: non-vacuity needs a candidate
+    * graph with enough distinct dup clusters for communities to be
+    * informative (the 500-doc fixture's pair list is tiny). */
+  private val dir = "/root/testdata/sf0.01"
 
-  /** The same part↔supplier doubled relation the keyed query mines,
-    * rebuilt independently (the oracle discipline: laws must not
-    * trust the code under test for their fixture). */
+  private def keyed(name: String) =
+    SparkEntry.queries(name)(spark, dir)
+
+  /** The same doubled minhash-pair graph the keyed query mines,
+    * taken from the independently-oracled dedup_minhash_pairs key
+    * (PASS vs DuckDB at every gate SF), not from the LPA code under
+    * test. */
   private lazy val ed = {
-    val e0 = Tables.load(spark, sf, "lineitem")
-      .select($"l_partkey".as("p"), ($"l_suppkey" + 1000000000L).as("sn"))
-      .distinct()
-    val d = e0.select($"p".as("src"), $"sn".as("dst"))
-      .unionByName(e0.select($"sn".as("src"), $"p".as("dst")))
+    val pr = keyed("dedup_minhash_pairs").select($"da", $"db")
+    val d = pr.select($"da".as("src"), $"db".as("dst"))
+      .unionByName(pr.select($"db".as("src"), $"da".as("dst")))
       .repartition($"dst").cache()
     d.count()
     d
@@ -63,6 +67,25 @@ class R14OpsSpec extends SparkTestBase {
       s"$n4 after 4 — adopted labels must be a subset of current ones")
     assert(n4 < nNodes,
       s"degenerate fixture: $n4 labels over $nNodes nodes — no mixing")
+  }
+
+  test("graph_modularity: exact bounds and internal consistency") {
+    val row = keyed("graph_modularity").collect()(0)
+    val m2 = row.getAs[Long]("m2")
+    val within = row.getAs[Long]("within")
+    val dsq = row.getAs[Long]("dsq")
+    val q = row.getAs[Double]("modularity_q")
+    assert(m2 > 0 && within >= 0 && within <= m2,
+      s"within-community edge count $within outside [0, $m2]")
+    assert(dsq >= m2, // Σ D_c² ≥ Σ D_c = 2m when every D_c ≥ 1
+      s"degree-mass square sum $dsq below edge count $m2")
+    assert(q >= -0.5 && q <= 1.0, s"modularity $q outside [-0.5, 1]")
+    // Q must beat the one-community partition (Q=0) only if labels
+    // actually concentrate edges; at this fixture LPA does — pin
+    // non-vacuity so a label-propagation regression can't hide
+    // behind a structurally-valid but meaningless Q.
+    assert(q > 0.0, s"LPA labels earn non-positive modularity $q — " +
+      "communities did not form on the fixture")
   }
 
   test("graph_lpa rounds are shuffle-free (stage-metrics law)") {
