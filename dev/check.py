@@ -97,7 +97,11 @@ def main():
         # Spark-written part-file directories — glob those.
         if os.path.isdir(p):
             p = f"{p}/*.parquet"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        # OR REPLACE (r14): a disk-backed CHECK_DB persists views
+        # across the per-key SCALECHECK_ISOLATE subprocesses — the
+        # second process would otherwise die on the name collision.
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     # CHECK_DIGEST=k1,k2 (r13): mirror graft.Verify's SPARK_GRAFT_DIGEST
     # — wrap the oracle SQL in the identical order-independent

@@ -22,12 +22,23 @@ def main():
     # (observed at the 100x staging: one OOM -> 21 cascading
     # bad-allocation failures).
     check = str(pathlib.Path(__file__).parent / "check.py")
+    crashed = {}
     if os.environ.get("SCALECHECK_ISOLATE") == "1" and keys:
         stdout_lines = []
         for k in keys:
             p = subprocess.run([sys.executable, check, staged, out_dir, k],
                                capture_output=True, text=True)
             stdout_lines.extend(p.stdout.splitlines())
+            # A subprocess that dies before printing PASS/FAIL (OOM
+            # kill, unhandled exception) must surface as a FAIL row,
+            # not silently vanish from the record (r14: 32 keys
+            # disappeared this way behind a CREATE VIEW collision).
+            if not any(l.startswith(("PASS " + k, "FAIL " + k))
+                       for l in p.stdout.splitlines()):
+                crashed[k] = (f"no verdict (exit {p.returncode}); "
+                              + p.stderr.strip().splitlines()[-1][:200]
+                              if p.stderr.strip() else
+                              f"no verdict (exit {p.returncode})")
         proc_stdout = "\n".join(stdout_lines)
     else:
         proc_stdout = subprocess.run(
@@ -47,6 +58,10 @@ def main():
         else:
             n_fail += 1
             results[key] = {"match": False, "detail": detail[:300]}
+    for k, why in crashed.items():
+        if k not in results:
+            n_fail += 1
+            results[k] = {"match": False, "detail": why}
     doc = {"metric": "scalecheck", "staged": staged, "n_pass": n_pass,
            "n_fail": n_fail, "keys": results}
     pathlib.Path("target").mkdir(exist_ok=True)

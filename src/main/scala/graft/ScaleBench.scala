@@ -180,6 +180,15 @@ object ScaleBench {
     Tables.sessionConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_SESSION_CONFS="k=v,k=v" (r14): session-conf knobs
+    // for scale experiments (e.g. spark.graft.jaccard.buckets=320 —
+    // the cluster-sized bucket layout at the 100x staging).
+    sys.env.get("SPARK_GRAFT_SESSION_CONFS").foreach {
+      _.split(",").filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      }
+    }
     if (!skipStage) stage(spark, base, out, mult)
     val counts = Seq("documents", "embeddings", "lineitem", "events")
       .map(t => t -> Tables.load(spark, out, t).count()).toMap
@@ -215,12 +224,19 @@ object ScaleBench {
       try body finally
         spark.conf.set("spark.sql.shuffle.partitions", cpus)
     }
+    // Ambient-load record (r14: a co-tenant burst to loadavg 19 went
+    // unnoticed because ScaleBench, unlike Bench, recorded nothing —
+    // per-key loadavg makes contaminated legs adjudicable afterward).
+    def loadavg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loads = collection.mutable.LinkedHashMap[String, Double]()
     val results = keys.map { name =>
+      loads(name) = loadavg
       val b = atParts(baseParts)(warm(name, timingBase))
       val s10 = atParts(scaledParts)(warm(name, out))
       val ratio = if (b > 0 && s10 >= 0) s10 / b else -1.0
       println(f"  $name%-24s base ${b}%8.2f s   ${mult}x ${s10}%8.2f s" +
-        f"   ratio ${ratio}%6.2f")
+        f"   ratio ${ratio}%6.2f   (loadavg at start ${loads(name)}%.1f)")
       (name, b, s10, ratio)
     }
     def fmt(v: Double): String =
@@ -237,6 +253,8 @@ object ScaleBench {
       s""""docs":${counts("documents")},"vecs":${counts("embeddings")},""" +
       s""""lineitem":${counts("lineitem")},"events":${counts("events")},""" +
       s""""queries":${m(_._3)},"base_s":${m(_._2)},"ratio":${m(_._4)},""" +
+      loads.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("\"loadavg\":{", ",", "},") +
       s""""base":"$timingBase","staged":"$out"}"""
     Files.createDirectories(Paths.get("target"))
     val outJson = if (mult == 10) "target/scalebench.json"

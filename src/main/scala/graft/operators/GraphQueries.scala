@@ -276,26 +276,39 @@ object GraphQueries extends QueryPack {
     // oracle SQL as graph_jaccard (equality law-asserted).
     "graph_jaccard_bucketed" -> ((s, dir) => {
       import s.implicits._
+      // Bucket count is a session knob (r14): locally it defaults to
+      // jaccBuckets = 32 (= cores, one read task per bucket), but the
+      // SMJ's parallelism over a bucketed table IS the bucket count —
+      // at 100x data, 32 single-file buckets cap the join at 32-way
+      // however wide the cluster. On a real cluster the one-time
+      // membership write buckets by TOTAL CORES; the knob lets the
+      // scale harness measure exactly that (spark.graft.jaccard
+      // .buckets=320 at the 100x staging = the cluster-sized layout).
+      val buckets = s.conf.getOption("spark.graft.jaccard.buckets")
+        .map(_.toInt).getOrElse(jaccBuckets)
       // Tag = sanitized basename + full-path hash (r13 ADVICE): two
       // dirs whose basenames sanitize identically ('sf0.01' vs
       // 'sf0_01') must not collide on the metastore table name — the
       // second staging would silently rewrite the table the first
       // dir's still-cached query reads. Mirrors the SessionCache key,
-      // which already uses the full dir.
+      // which already uses the full dir. Bucket count joins the tag
+      // and the memo key for the same reason.
       val tag = new java.io.File(dir).getName
         .replaceAll("[^A-Za-z0-9]", "_") +
-        "_" + f"${dir.hashCode & 0xffffffffL}%08x"
-      graft.SessionCache.cached(s, s"jacc.bucketed:$dir", persist = false) {
+        "_" + f"${dir.hashCode & 0xffffffffL}%08x" +
+        (if (buckets == jaccBuckets) "" else s"_b$buckets")
+      graft.SessionCache.cached(s, s"jacc.bucketed:$dir:$buckets",
+          persist = false) {
         s.sql(s"DROP TABLE IF EXISTS jacc_mem_$tag")
         val e = Tables.load(s, dir, "lineitem")
           .select($"l_partkey".as("p"), $"l_suppkey".as("sup")).distinct()
         val nonHub = e.groupBy($"p").agg(count(lit(1)).as("pd"))
           .filter($"pd" <= jaccHubCap).select($"p")
         e.join(nonHub, "p")
-          .repartition(jaccBuckets, $"p")
+          .repartition(buckets, $"p")
           .write.mode("overwrite")
           .option("path", s"target/roundtrip/${tag}_jacc_mem")
-          .bucketBy(jaccBuckets, "p").sortBy("p", "sup")
+          .bucketBy(buckets, "p").sortBy("p", "sup")
           .saveAsTable(s"jacc_mem_$tag")
         s.range(1).toDF() // memo token: the artifact is the table
       }
