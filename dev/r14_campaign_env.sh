@@ -12,3 +12,8 @@ DIGEST5="dedup_hamming,dedup_ngram,graph_jaccard,graph_jaccard_bucketed,dedup_ha
 STAGE_KEYS="sketch_bloom,sketch_kmv,text_langid,ts_downsample,ts_outlier_mad,win_topk_pergroup,text_bpe_merges,text_dupspans,text_tfidf,text_vocab_growth,vec_centroid,vec_ivfpq,vec_rerank_mmr,pipeline_sensor,graph_assortativity,curate_dsir,dedup_containment,dedup_ngram,fn_date,dedup_hamming,graph_distance,graph_kcore,graph_jaccard,graph_jaccard_bucketed,dedup_hamming64"
 # r14 addition measured/verified separately (code lands mid-campaign):
 KEY_LPA="graph_lpa"
+# Full r14 campaign set (r15+: use this; 34 keys incl. the r14 adds).
+KEYS34="$KEYS32,graph_lpa,graph_modularity"
+# NOTE r14: do NOT put vec_ivfpq in STAGE_KEYS — materializing its ADC
+# CTEs as disk tables is what killed the oracle (spill disk-full, then
+# OOM); unstaged it passes row-wise in minutes at CHECK_MEM=60GB.
