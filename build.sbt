@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench parseability (r14 verdict item 6): the driver keeps only the
+// last ~2000 chars of `sbt runMain` stdout and json-parses the tail.
+// Two sbt behaviors broke that three rounds running: (a) forked-run
+// stdout is re-logged with an "[info] " prefix, (b) sbt appends a
+// "[success] Total time: ..." line AFTER the program's output. Plumb
+// the fork's stdout straight through and drop the success banner so
+// the LAST stdout line is whatever the main prints last (Bench's
+// compact summary JSON).
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — the
+// unused-key lint can't see that.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

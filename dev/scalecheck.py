@@ -33,7 +33,12 @@ def main():
             # kill, unhandled exception) must surface as a FAIL row,
             # not silently vanish from the record (r14: 32 keys
             # disappeared this way behind a CREATE VIEW collision).
-            if not any(l.startswith(("PASS " + k, "FAIL " + k))
+            # Exact key token (r14 ADVICE): a bare prefix match would
+            # false-match keys that prefix others (graph_jaccard vs
+            # graph_jaccard_bucketed) if a subprocess ever emitted
+            # verdicts for more than the single requested key.
+            if not any(l.startswith(("PASS " + k + " ",
+                                     "FAIL " + k + ":"))
                        for l in p.stdout.splitlines()):
                 crashed[k] = (f"no verdict (exit {p.returncode}); "
                               + p.stderr.strip().splitlines()[-1][:200]

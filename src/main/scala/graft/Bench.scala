@@ -142,8 +142,14 @@ object Bench {
     // and a pointer to the full per-key record on disk.
     val slow = results.filter(_._5).sortBy(-_._2).take(15)
       .map(r => "\"" + r._1 + "\":" + fmt(r._2)).mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"n_keys":${results.length},"n_failed":${failedKeys.size},"runs":$runs,"queries":$slow,"queries_truncated":true,"full":"$out","sf":"$sfDir"}""")
+    val summary =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"n_keys":${results.length},"n_failed":${failedKeys.size},"runs":$runs,"queries":$slow,"queries_truncated":true,"full":"$out","sf":"$sfDir"}"""
+    // Belt-and-braces (r14 verdict item 6): ALSO persist the compact
+    // summary as its own tiny file, so the parsed block exists on
+    // disk even if a future harness re-wraps stdout.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_summary.json"), summary)
+    println(summary)
     SessionCache.clear(spark) // release session-scoped index caches
     spark.stop()
   }

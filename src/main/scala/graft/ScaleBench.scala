@@ -185,6 +185,10 @@ object ScaleBench {
     // the cluster-sized bucket layout at the 100x staging).
     sys.env.get("SPARK_GRAFT_SESSION_CONFS").foreach {
       _.split(",").filter(_.nonEmpty).foreach { kv =>
+        // Loud validation (r14 ADVICE): a '='-less fragment used to
+        // die as an opaque MatchError without naming the bad entry.
+        require(kv.contains("="),
+          s"bad SPARK_GRAFT_SESSION_CONFS entry (no '='): '$kv'")
         val Array(k, v) = kv.split("=", 2)
         spark.conf.set(k, v)
       }

@@ -49,4 +49,15 @@ object Util {
     }
     f.delete()
   }
+
+  /** Metastore-safe table tag for a data dir (r13 ADVICE discipline,
+    * promoted r15 from graph_jaccard_bucketed to all written-index
+    * keys): sanitized basename PLUS a full-path hash, so two dirs
+    * whose basenames sanitize identically ('sf0.01' vs 'sf0_01')
+    * cannot collide on the table name — the second staging would
+    * silently rewrite the table the first dir's still-cached query
+    * reads. */
+  def dirTag(dir: String): String =
+    new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + f"${dir.hashCode & 0xffffffffL}%08x"
 }

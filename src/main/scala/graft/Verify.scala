@@ -49,13 +49,17 @@ object Verify {
       }
       require(intCols.nonEmpty, "digest needs >=1 integer column")
       val aggs = count(lit(1)).as("n") +: intCols.toSeq.flatMap { c =>
-        // Per-element mod BEFORE the sum (r13 ADVICE): the old
-        // sum-then-mod could overflow DECIMAL(38,0) on a huge dump and
-        // Spark (non-ANSI) would write a silent NULL. With d < p each
-        // term is < p^2 ~ 5.3e36 and a sum of up to ~1e19 such rows
-        // stays inside 38 digits — no overflow is reachable. Must stay
-        // in lockstep with dev/check.py digest_sql (same reduction).
-        val d = col(c).cast(DecimalType(19, 0)) % p
+        // Per-element mod BEFORE the sum (r13 ADVICE), then an
+        // EXPLICIT widen to DECIMAL(38,0) (r14 ADVICE): Spark sums a
+        // Decimal(s, 0) input in Decimal(s+10, 0), so without the cast
+        // the accumulator is only Decimal(29,0) and a running sum of
+        // near-p terms (~2.3e18 each) silently NULLs (non-ANSI) past
+        // ~4.3e10 rows. With the cast the accumulator really has 38
+        // digits: d < p ≈ 2.3e18 and d*d%p < p, so ~4.3e19 rows of
+        // worst-case terms fit — far beyond any staging. Must stay in
+        // lockstep with dev/check.py digest_sql (same reduction).
+        val d = (col(c).cast(DecimalType(19, 0)) % p)
+          .cast(DecimalType(38, 0))
         Seq((sum(d) % p).cast("long").as(s"s_$c"),
           (sum((d * d) % p) % p).cast("long").as(s"q_$c"))
       }

@@ -167,10 +167,21 @@ object TextDedup {
     * reuses.
     * Output: (da, db, n_agree) with da < db. */
   def minhashPairs(sigs: DataFrame, k: Int = 8, bands: Int = 4,
-      minAgree: Int = 4, bucketCap: Int = 256): DataFrame = {
-    require(k >= 1 && bands >= 1 && minAgree >= 0 && bucketCap >= 1,
-      s"bad minhashPairs params: k=$k bands=$bands minAgree=$minAgree " +
-        s"bucketCap=$bucketCap")
+      minAgree: Int = 4, bucketCap: Int = 256): DataFrame =
+    minhashPairsOnBanded(minhashBanded(sigs, k, bands), k,
+      minAgree, bucketCap)
+
+  /** The banded LSH index relation — the artifact stage of
+    * `minhashPairs`, split out (r15) so callers can PERSIST it (a
+    * written (bi, bv)-bucketed table makes the pair self-join
+    * exchange-free; see dedup_minhash_pairs_bucketed). One row per
+    * (doc, band): (bi, bv, doc_id, m1..mk, bucket_n, canon) — the
+    * banded signature plus its bucket's occupancy and canonical
+    * (lexicographic-min) member, from one hash aggregate whose
+    * (bi, bv) shuffle the downstream join reuses. */
+  def minhashBanded(sigs: DataFrame, k: Int = 8,
+      bands: Int = 4): DataFrame = {
+    require(k >= 1 && bands >= 1, s"bad minhashBanded: k=$k bands=$bands")
     val names = ("doc_id" +: (1 to k).map(i => s"m$i")) ++ Seq("bi", "bv")
     val b = sigs.select(col("doc_id") +: (1 to k).map(i => col(s"m$i")) :+
         posexplode(array((1 to bands).map(i => col(s"band$i")): _*)): _*)
@@ -179,7 +190,20 @@ object TextDedup {
       count(lit(1)).as("bucket_n"),
       min(struct(col("doc_id") +: (1 to k).map(i => col(s"m$i")): _*))
         .as("canon"))
-    val bo = b.join(occ, Seq("bi", "bv"))
+    b.join(occ, Seq("bi", "bv"))
+  }
+
+  /** Pair enumeration + agreement gate over a `minhashBanded`
+    * relation (see `minhashPairs` for the full semantics). Both
+    * self-join sides come from the SAME input relation, so when
+    * `banded` is a (bi, bv)-bucketed written table the join subtree
+    * is scan → SMJ with zero exchange. */
+  def minhashPairsOnBanded(banded: DataFrame, k: Int = 8,
+      minAgree: Int = 4, bucketCap: Int = 256): DataFrame = {
+    require(k >= 1 && minAgree >= 0 && bucketCap >= 1,
+      s"bad minhashPairsOnBanded params: k=$k minAgree=$minAgree " +
+        s"bucketCap=$bucketCap")
+    val bo = banded
     val small = bo.filter(col("bucket_n") <= bucketCap)
     val ba = small.select(col("bi") +: col("bv") +: col("doc_id").as("da") +:
       (1 to k).map(i => col(s"m$i").as(s"xa$i")): _*)

@@ -210,7 +210,7 @@ object GraphQueries extends QueryPack {
     "graph_triangles" -> ((s, dir) => {
       import s.implicits._
       // Thin adapter over graft.api.Graph.triangles (r8) over the
-      // shared session-cached projection (r14: also LPA's graph).
+      // shared session-cached projection.
       graft.api.Graph.triangles(projEdges(s, dir))
     }),
 
@@ -424,11 +424,12 @@ object GraphQueries extends QueryPack {
     }),
 
     // Synchronous label propagation (r14): community labels over the
-    // session-cached supplier co-supply projection — the cheap
-    // community signal read before per-community sampling/mixing
-    // decisions (domain clusters in a crawl graph). The UNIPARTITE
-    // projection, not the bipartite relation: synchronous LPA
-    // two-colors a bipartite graph (see lpaEdges). Thin adapter over
+    // doubled minhash candidate-pair graph (lpaEdges — near-duplicate
+    // document clusters), NOT the supplier co-supply projection — the
+    // cheap community signal read before per-community sampling/mixing
+    // decisions (domain clusters in a crawl corpus). A UNIPARTITE
+    // graph is required: synchronous LPA two-colors a bipartite graph
+    // (see lpaEdges for the full argument). Thin adapter over
     // graft.api.Graph.labelPropagation: 4 fixed synchronous rounds,
     // each ONE node-sized broadcast + two aggregates both satisfied by
     // the cached edges' dst partitioning (dst prefixes both grouping

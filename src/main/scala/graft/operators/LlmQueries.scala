@@ -205,6 +205,173 @@ object LlmQueries extends QueryPack {
                 $"embedding".as("ce"), $"ss".as("css"))
     }
 
+  /** The IVF inverted lists as a WRITTEN, cell-PARTITIONED table
+    * (r15, verdict item 3 — the graph_jaccard_bucketed discipline
+    * applied to the vector index): one directory per coarse cell, so
+    * a probe join reads ONLY the probed cells' files via dynamic
+    * partition pruning. PARTITIONING (not bucketing) is the right
+    * physical layout for an inverted list: bucketing deletes
+    * exchanges, but an IVF probe's whole point is deleting IO — at
+    * 100 TB the index is the corpus and a 3-of-256-cell probe must
+    * list/scan 3/256 of it, which is exactly what directory pruning
+    * buys (scan_dpp's proven mechanics). Written once per session
+    * (the write is the index build a real pipeline runs offline);
+    * consumers read the metastore table. */
+  private def ivfCellsTable(s: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val tag = graft.Util.dirTag(dir)
+    graft.SessionCache.cached(s, s"ivf.cellstable:$dir",
+        persist = false) {
+      s.sql(s"DROP TABLE IF EXISTS ivf_cells_$tag")
+      ivfCells(s, dir)
+        .write.mode("overwrite")
+        .option("path", s"target/roundtrip/${tag}_ivf_cells")
+        .partitionBy("cell")
+        .saveAsTable(s"ivf_cells_$tag")
+      s.range(1).toDF() // memo token: the artifact is the table
+    }
+    s.table(s"ivf_cells_$tag")
+  }
+
+  /** vec_ivfpq's query body, parameterized by the two index
+    * relations (session-cached DataFrames or written tables — the
+    * layout variants share one implementation): `cand` = (cell, c_id)
+    * inverted lists, `codes` = (c_id, q, clabel) PQ codes. See the
+    * vec_ivfpq key for the full ADC + exact-re-rank semantics. */
+  private def ivfpqQuery(s: org.apache.spark.sql.SparkSession,
+      dir: String, cand: org.apache.spark.sql.DataFrame,
+      codes: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExpressions.register(s)
+    val m = 8; val sub = 8
+    val e = Tables.load(s, dir, "embeddings")
+      .withColumn("ss", expr("fnorm2(embedding)"))
+    val centArr = graft.SessionCache.cached(s, s"ivf.codebook:$dir") {
+      centroidArrays(quantCentroids(e))
+    }
+    // Each query probes its 3 nearest coarse cells (vec_knn_ivf rule).
+    val probe = e.filter($"vec_id" < 10).crossJoin(broadcast(centArr))
+      .withColumn("d", sqdistToCentroid)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"d", $"cl")))
+      .filter($"rn" <= 3)
+      .select($"vec_id".as("q_id"), $"cl".as("cell"))
+    // ADC lookup table: 10 queries × 8 subspaces × 256 codes.
+    val qsub = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("q"),
+            slice($"embedding", j * sub + 1, sub).as("v"))): _*)).as("s"))
+      .select($"q_id", $"s.q".as("q"), $"s.v".as("v"))
+    val adc = qsub.join(broadcast(pq8Codebook(s, dir)), Seq("q"))
+      .withColumn("dq", aggregate(
+        zip_with($"v", $"carr",
+          (x, c) => (x.cast(DoubleType) - c) * (x.cast(DoubleType) - c)),
+        lit(0.0), (a, b) => a + b))
+      .select($"q_id", $"q", $"clabel", $"dq")
+    def dcol(j: Int) = max(when($"q" === j, $"dq")).as(s"d$j")
+    val shortlist = probe.join(cand, "cell").filter($"q_id" =!= $"c_id")
+      .select($"q_id", $"c_id")
+      .join(codes, "c_id")
+      .join(broadcast(adc), Seq("q_id", "q", "clabel"))
+      .groupBy($"q_id", $"c_id")
+      .agg(dcol(0), dcol(1), dcol(2), dcol(3),
+           dcol(4), dcol(5), dcol(6), dcol(7))
+      .withColumn("adist",
+        $"d0" + $"d1" + $"d2" + $"d3" + $"d4" + $"d5" + $"d6" + $"d7")
+      .withColumn("srk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"adist", $"c_id")))
+      .filter($"srk" <= 50)
+      .select($"q_id", $"c_id")
+    // Exact re-rank of the 50-candidate shortlist only.
+    shortlist
+      .join(e.select($"vec_id".as("q_id"), $"embedding".as("qe")), "q_id")
+      .join(e.select($"vec_id".as("c_id"), $"embedding".as("ce")), "c_id")
+      .withColumn("l2", aggregate(
+        zip_with($"qe", $"ce",
+          (x, y) => (x.cast(DoubleType) - y.cast(DoubleType)) *
+                    (x.cast(DoubleType) - y.cast(DoubleType))),
+        lit(0.0), (a, b) => a + b))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"l2", $"c_id"))
+        .cast(LongType))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"rank", $"c_id", round($"l2", 6).as("l2_r"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** vec_knn_ivf's query body, parameterized by the inverted-list
+    * relation (session-cached DataFrame or written partitioned table
+    * — the two layout variants share one implementation, so their
+    * equality law is structural). Codebook: the shared quantized
+    * centroids (same construction vec_centroid emits, enforced by
+    * using one helper). Session-cached: the codebook is a model
+    * artifact built once and probed from TWO branches (candidate
+    * assignment + query probe) — without the cache each branch (and
+    * every re-run) replans and recomputes the full-corpus centroid
+    * aggregate. A few hundred rows, so the cache cost is nil;
+    * SessionCache releases the entry at session end. */
+  private def knnIvfQuery(s: org.apache.spark.sql.SparkSession,
+      dir: String, cand: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExpressions.register(s)
+    val e = Tables.load(s, dir, "embeddings")
+      .withColumn("ss", expr("fnorm2(embedding)"))
+    val centArr = graft.SessionCache.cached(s, s"ivf.codebook:$dir") {
+      centroidArrays(quantCentroids(e))
+    }
+    // Each query probes its 3 nearest cells.
+    val probe = e.filter($"vec_id" < 10).crossJoin(broadcast(centArr))
+      .withColumn("d", sqdistToCentroid)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"d", $"cl")))
+      .filter($"rn" <= 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"),
+              $"ss".as("qss"), $"cl".as("cell"))
+    broadcast(probe).join(cand, "cell").filter($"q_id" =!= $"c_id")
+      .withColumn("cos", expr("fdot(qe, ce)") / sqrt($"qss" * $"css"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cos".desc, $"c_id"))
+        .cast(LongType))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"rank", $"c_id", round($"cos", 6).as("cos_r"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** The PQ code index as a WRITTEN table bucketed+sorted by the id
+    * it is probed on (r15, verdict item 3): vec_ivfpq's shortlist
+    * stage joins the CORPUS-SIZED code relation to the probed
+    * candidate ids on c_id — with the codes bucketed by c_id the SMJ
+    * consumes the bucket layout directly, so the corpus-sized side
+    * never exchanges OR sorts (only the small candidate side
+    * shuffles into the bucket partitioning). repartition(buckets)
+    * before write = one file per bucket, which is what lets Spark
+    * credit the persisted sortBy order. */
+  private def pq8CodesTable(s: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val buckets = s.conf.getOption("spark.graft.pq.buckets")
+      .map(_.toInt).getOrElse(32)
+    val tag = graft.Util.dirTag(dir) +
+      (if (buckets == 32) "" else s"_b$buckets")
+    graft.SessionCache.cached(s, s"pq8.codestable:$dir:$buckets",
+        persist = false) {
+      s.sql(s"DROP TABLE IF EXISTS pq8_codes_$tag")
+      pq8Codes(s, dir)
+        .select($"vec_id".as("c_id"), $"q", $"clabel")
+        .repartition(buckets, $"c_id")
+        .write.mode("overwrite")
+        .option("path", s"target/roundtrip/${tag}_pq8_codes")
+        .bucketBy(buckets, "c_id").sortBy("c_id")
+        .saveAsTable(s"pq8_codes_$tag")
+      s.range(1).toDF() // memo token: the artifact is the table
+    }
+    s.table(s"pq8_codes_$tag")
+  }
+
   /** Resolved semantic dedup relation — the public parameterized
     * api.VectorSearch.semanticDedup (SemDeDup shape: vectors meet
     * only inside their (IVF cell × 8-bit sign bucket) block, exact
@@ -486,42 +653,21 @@ object LlmQueries extends QueryPack {
     // instead of N. Same bounded query side and sequential-fold
     // cosine arithmetic as vec_knn, so the result is exactly
     // reproducible in the DuckDB mirror.
-    "vec_knn_ivf" -> ((s, dir) => {
-      import s.implicits._
-      graft.functions.VectorExpressions.register(s)
-      val e = Tables.load(s, dir, "embeddings")
-        .withColumn("ss", expr("fnorm2(embedding)"))
-      // Codebook: the shared quantized centroids (same construction
-      // vec_centroid emits, enforced by using one helper). Session-
-      // cached: the codebook is a model artifact built once and probed
-      // from TWO branches (candidate assignment + query probe) —
-      // without the cache each branch (and every re-run) replans and
-      // recomputes the full-corpus centroid aggregate. A few hundred
-      // rows, so the cache cost is nil; SessionCache releases the
-      // entry at session end (r6 advice: no orphaned persists).
-      val centArr = graft.SessionCache.cached(s, s"ivf.codebook:$dir") {
-        centroidArrays(quantCentroids(e))
-      }
+    "vec_knn_ivf" -> ((s, dir) =>
       // Candidate assignment: the shared session-cached inverted-list
       // index (one scan, built once — vec_ivfpq probes the same one).
-      val cand = ivfCells(s, dir)
-      // Each query probes its 3 nearest cells.
-      val probe = e.filter($"vec_id" < 10).crossJoin(broadcast(centArr))
-        .withColumn("d", sqdistToCentroid)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"vec_id").orderBy($"d", $"cl")))
-        .filter($"rn" <= 3)
-        .select($"vec_id".as("q_id"), $"embedding".as("qe"),
-                $"ss".as("qss"), $"cl".as("cell"))
-      broadcast(probe).join(cand, "cell").filter($"q_id" =!= $"c_id")
-        .withColumn("cos", expr("fdot(qe, ce)") / sqrt($"qss" * $"css"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy($"q_id").orderBy($"cos".desc, $"c_id"))
-          .cast(LongType))
-        .filter($"rank" <= 5)
-        .select($"q_id", $"rank", $"c_id", round($"cos", 6).as("cos_r"))
-        .orderBy($"q_id", $"rank")
-    }),
+      knnIvfQuery(s, dir, ivfCells(s, dir))),
+
+    // vec_knn_ivf over the WRITTEN, cell-partitioned index table
+    // (r15, verdict item 3): identical semantics and oracle SQL — a
+    // LAYOUT variant. The probe join's scan carries a
+    // dynamicpruningexpression on the partition column (law-pinned in
+    // PlanSnapshot-style R15 tests), so only the probed cells' files
+    // are listed/scanned — the on-disk inverted-list read pattern a
+    // billion-vector IVF deployment actually runs. Cold cost moves to
+    // the one-time table write (the offline index build).
+    "vec_knn_ivf_table" -> ((s, dir) =>
+      knnIvfQuery(s, dir, ivfCellsTable(s, dir))),
 
     // Scalar uint8 quantization of each embedding to its per-vector
     // [min, max] range — the 4× storage/bandwidth reduction an ANN
@@ -592,65 +738,27 @@ object LlmQueries extends QueryPack {
     // raw vectors.
     "vec_ivfpq" -> ((s, dir) => {
       import s.implicits._
-      graft.functions.VectorExpressions.register(s)
-      val m = 8; val sub = 8
-      val e = Tables.load(s, dir, "embeddings")
-        .withColumn("ss", expr("fnorm2(embedding)"))
-      val centArr = graft.SessionCache.cached(s, s"ivf.codebook:$dir") {
-        centroidArrays(quantCentroids(e))
-      }
-      // Each query probes its 3 nearest coarse cells (vec_knn_ivf rule).
-      val probe = e.filter($"vec_id" < 10).crossJoin(broadcast(centArr))
-        .withColumn("d", sqdistToCentroid)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"vec_id").orderBy($"d", $"cl")))
-        .filter($"rn" <= 3)
-        .select($"vec_id".as("q_id"), $"cl".as("cell"))
-      // ADC lookup table: 10 queries × 8 subspaces × 256 codes.
-      val qsub = e.filter($"vec_id" < 10)
-        .select($"vec_id".as("q_id"),
-          explode(array((0 until m).map(j =>
-            struct(lit(j).as("q"),
-              slice($"embedding", j * sub + 1, sub).as("v"))): _*)).as("s"))
-        .select($"q_id", $"s.q".as("q"), $"s.v".as("v"))
-      val adc = qsub.join(broadcast(pq8Codebook(s, dir)), Seq("q"))
-        .withColumn("dq", aggregate(
-          zip_with($"v", $"carr",
-            (x, c) => (x.cast(DoubleType) - c) * (x.cast(DoubleType) - c)),
-          lit(0.0), (a, b) => a + b))
-        .select($"q_id", $"q", $"clabel", $"dq")
-      val cand = ivfCells(s, dir).select($"cell", $"c_id")
-      val codes = pq8Codes(s, dir)
-        .select($"vec_id".as("c_id"), $"q", $"clabel")
-      def dcol(j: Int) = max(when($"q" === j, $"dq")).as(s"d$j")
-      val shortlist = probe.join(cand, "cell").filter($"q_id" =!= $"c_id")
-        .select($"q_id", $"c_id")
-        .join(codes, "c_id")
-        .join(broadcast(adc), Seq("q_id", "q", "clabel"))
-        .groupBy($"q_id", $"c_id")
-        .agg(dcol(0), dcol(1), dcol(2), dcol(3),
-             dcol(4), dcol(5), dcol(6), dcol(7))
-        .withColumn("adist",
-          $"d0" + $"d1" + $"d2" + $"d3" + $"d4" + $"d5" + $"d6" + $"d7")
-        .withColumn("srk", row_number().over(
-          Window.partitionBy($"q_id").orderBy($"adist", $"c_id")))
-        .filter($"srk" <= 50)
-        .select($"q_id", $"c_id")
-      // Exact re-rank of the 50-candidate shortlist only.
-      shortlist
-        .join(e.select($"vec_id".as("q_id"), $"embedding".as("qe")), "q_id")
-        .join(e.select($"vec_id".as("c_id"), $"embedding".as("ce")), "c_id")
-        .withColumn("l2", aggregate(
-          zip_with($"qe", $"ce",
-            (x, y) => (x.cast(DoubleType) - y.cast(DoubleType)) *
-                      (x.cast(DoubleType) - y.cast(DoubleType))),
-          lit(0.0), (a, b) => a + b))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy($"q_id").orderBy($"l2", $"c_id"))
-          .cast(LongType))
-        .filter($"rank" <= 5)
-        .select($"q_id", $"rank", $"c_id", round($"l2", 6).as("l2_r"))
-        .orderBy($"q_id", $"rank")
+      ivfpqQuery(s, dir,
+        ivfCells(s, dir).select($"cell", $"c_id"),
+        pq8Codes(s, dir).select($"vec_id".as("c_id"), $"q", $"clabel"))
+    }),
+
+    // vec_ivfpq over the WRITTEN index tables (r15, verdict item 3):
+    // identical semantics and oracle SQL — a LAYOUT variant. The
+    // inverted lists come from the cell-partitioned table (probe scan
+    // dynamic-partition-prunes to the probed cells) and the PQ codes
+    // from the c_id-bucketed+sorted table, so the corpus-sized code
+    // relation feeds the shortlist SMJ with ZERO exchange and ZERO
+    // sort (law-pinned in R15IndexTableSpec) — at 100 TB the 8-byte
+    // codes ARE the bandwidth budget, and never reshuffling them is
+    // the difference between an index probe and a corpus shuffle per
+    // query batch. Cold cost moves to the one-time table writes (the
+    // offline index build a real ANN deployment runs).
+    "vec_ivfpq_bucketed" -> ((s, dir) => {
+      import s.implicits._
+      ivfpqQuery(s, dir,
+        ivfCellsTable(s, dir).select($"cell", $"c_id"),
+        pq8CodesTable(s, dir).hint("merge"))
     }),
 
     // Per-label centroids from integer-quantized (1e-7) per-dimension
@@ -676,7 +784,18 @@ object LlmQueries extends QueryPack {
         .orderBy($"label", $"pos")
     }))
 
-  def oracle: Seq[(String, String)] = Seq(
+  /** The written-table keys are LAYOUT variants: same semantics,
+    * same oracle SQL as their session-cached twins (the
+    * graph_jaccard_bucketed precedent — DuckDB proves each
+    * independently, the R15 law proves them against each other). */
+  def oracle: Seq[(String, String)] = {
+    val m = oracleBase.toMap
+    oracleBase ++ Seq(
+      "vec_knn_ivf_table" -> m("vec_knn_ivf"),
+      "vec_ivfpq_bucketed" -> m("vec_ivfpq"))
+  }
+
+  private def oracleBase: Seq[(String, String)] = Seq(
     "text_ngrams" ->
       """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ')
         |    AS t FROM documents),

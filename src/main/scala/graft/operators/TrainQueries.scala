@@ -235,6 +235,44 @@ object TrainQueries extends QueryPack {
       minhashPairRel(s, dir).orderBy($"da", $"db")
     }),
 
+    // dedup_minhash_pairs over a WRITTEN (bi, bv)-bucketed banded
+    // index table (r15, verdict item 3 — the graph_jaccard_bucketed
+    // discipline applied to the LSH index): the banded signature
+    // relation is persisted once, bucketed AND per-bucket-sorted on
+    // the band key, so BOTH sides of the pair self-join read
+    // pre-partitioned, pre-sorted bucket files — the join subtree is
+    // scan → SMJ with ZERO exchange and ZERO sort (law-pinned in
+    // R15IndexTableSpec). At 100 TB the LSH index is a written,
+    // reused artifact anyway (signatures are computed once per
+    // corpus snapshot and probed by every dedup run); bucketing it
+    // by the band key at write time deletes the candidate join's
+    // corpus-sized shuffle from every downstream run. A LAYOUT
+    // variant: same output, same oracle SQL as dedup_minhash_pairs
+    // (equality law-asserted). repartition(buckets) before write =
+    // one file per bucket, which is what lets Spark credit the
+    // persisted sortBy order.
+    "dedup_minhash_pairs_bucketed" -> ((s, dir) => {
+      import s.implicits._
+      val buckets = s.conf.getOption("spark.graft.minhash.buckets")
+        .map(_.toInt).getOrElse(32)
+      val tag = graft.Util.dirTag(dir) +
+        (if (buckets == 32) "" else s"_b$buckets")
+      graft.SessionCache.cached(s, s"dedup.minhashbanded:$dir:$buckets",
+          persist = false) {
+        s.sql(s"DROP TABLE IF EXISTS mh_band_$tag")
+        graft.api.TextDedup.minhashBanded(minhashSigs(s, dir))
+          .repartition(buckets, $"bi", $"bv")
+          .write.mode("overwrite")
+          .option("path", s"target/roundtrip/${tag}_mh_band")
+          .bucketBy(buckets, "bi", "bv").sortBy("bi", "bv")
+          .saveAsTable(s"mh_band_$tag")
+        s.range(1).toDF() // memo token: the artifact is the table
+      }
+      graft.api.TextDedup.minhashPairsOnBanded(
+          s.table(s"mh_band_$tag").hint("merge"))
+        .orderBy($"da", $"db")
+    }),
+
     // The LSH pipeline's LAST mile (r11): pairs -> connected
     // components -> per-doc canonical assignment. This is the actual
     // near-dup REMOVAL operation a training pipeline runs, and it is
@@ -938,7 +976,13 @@ object TrainQueries extends QueryPack {
       |       UNION SELECT db, da FROM gated),
       |${DedupCluster.closureSql()}""".stripMargin
 
-  def oracle: Seq[(String, String)] = Seq(
+  /** dedup_minhash_pairs_bucketed is a LAYOUT variant: same oracle
+    * SQL as dedup_minhash_pairs (graph_jaccard_bucketed precedent). */
+  def oracle: Seq[(String, String)] = oracleBase :+
+    ("dedup_minhash_pairs_bucketed" ->
+      oracleBase.toMap.apply("dedup_minhash_pairs"))
+
+  private def oracleBase: Seq[(String, String)] = Seq(
     "dedup_minhash" ->
       """WITH tok AS (SELECT DISTINCT doc_id,
         |    unnest(string_split(lower(text), ' ')) AS term FROM documents),
