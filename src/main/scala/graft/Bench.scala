@@ -146,9 +146,18 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_s":${fmt(total)},"n_keys":${results.length},"n_failed":${failedKeys.size},"runs":$runs,"queries":$slow,"queries_truncated":true,"full":"$out","sf":"$sfDir"}"""
     // Belt-and-braces (r14 verdict item 6): ALSO persist the compact
     // summary as its own tiny file, so the parsed block exists on
-    // disk even if a future harness re-wraps stdout.
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench_summary.json"), summary)
+    // disk even if a future harness re-wraps stdout. Non-fatal and
+    // parent-created (r16 ADVICE): a cwd without target/ must not
+    // crash the bench after every key has already run — the stdout
+    // summary is the contract, the file is redundancy.
+    try {
+      val p = java.nio.file.Paths.get("target/bench_summary.json")
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, summary)
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"bench_summary.json write failed (non-fatal): $e")
+    }
     println(summary)
     SessionCache.clear(spark) // release session-scoped index caches
     spark.stop()

@@ -109,7 +109,20 @@ object Tables {
     // file — guaranteed there via repartition(buckets, key) before the
     // write — so the claim is sound wherever it fires (a multi-file
     // bucket, e.g. sink_bucketed's, is never credited).
-    "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true")
+    "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true",
+    // Let DPP run its pruning subquery standalone when the probe
+    // side's broadcast can't be reused (r16, caught by R16OpsSpec's
+    // runtime partition metric): under the default reuseBroadcastOnly
+    // =true a canonicalization mismatch between the probe subplan and
+    // the join's broadcast silently degrades the partition filter to
+    // dynamicpruningexpression(TRUE) — the plan still SAYS
+    // dynamicpruning, but the scan reads every partition (measured:
+    // vec_knn_ivf_table read 10/10 cells, 448 files). This engine's
+    // partitioned index tables are corpus-sized while probe sides are
+    // query-sized, so re-running a tiny probe subquery to skip most
+    // of the index is always the right trade at 100 TB.
+    "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly"
+      -> "false")
 
   /** The physical encoding of events.ts differs across fixture
     * generations (a fact table regenerated over years does this at

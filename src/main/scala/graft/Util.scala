@@ -56,8 +56,16 @@ object Util {
     * whose basenames sanitize identically ('sf0.01' vs 'sf0_01')
     * cannot collide on the table name — the second staging would
     * silently rewrite the table the first dir's still-cached query
-    * reads. */
-  def dirTag(dir: String): String =
+    * reads. r16 (ADVICE): the hash is the first 12 hex chars of
+    * SHA-256 of the full path, not String.hashCode — a 32-bit hash
+    * collision between two live dirs would silently rewrite the
+    * other dir's table, the exact hazard this helper exists to
+    * prevent; 48 bits of a cryptographic digest makes that
+    * practically impossible. */
+  def dirTag(dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8"))
     new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_") +
-      "_" + f"${dir.hashCode & 0xffffffffL}%08x"
+      "_" + digest.take(6).map(b => f"${b & 0xff}%02x").mkString
+  }
 }

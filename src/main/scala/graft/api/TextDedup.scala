@@ -314,34 +314,88 @@ object TextDedup {
     * effective key: sort each permuted table and probe a PREFIX RANGE
     * (block + next bits) instead of a pure equi-key, keeping bucket
     * occupancy O(1) as N grows. The equi-join form here is the
-    * shuffle-friendly first rung of that ladder. */
+    * shuffle-friendly first rung of that ladder.
+    *
+    * Hash-entropy collapse (r16, the mm_dedup cure — r15 verdict
+    * item 2): when the input's hash space collapses (the 100x staged
+    * text proxy mapped 499,913 docs onto 13,721 distinct ahash
+    * values), every occupancy bound above is void — one block bucket
+    * held 138,625 DOCS → 30.2e9 candidate pairs. Two structural
+    * guards, applied in order:
+    *
+    * 1. DISTINCT-HASH COLLAPSE (exact — zero recall loss): identical
+    *    hashes are distance-0 duplicates by definition, so the block
+    *    join runs over ONE representative per distinct hash value
+    *    (the min id; one groupBy on the hash). Docs sharing a hash
+    *    rejoin their representative's component afterwards, and
+    *    because each representative is the min id of its hash group,
+    *    the component's min representative IS the component's min doc
+    *    id — labels are bit-identical to the uncollapsed form.
+    *    Candidate volume now scales with the DISTINCT-hash count:
+    *    the collapsed 100x proxy is 13.7k representatives, not 500k
+    *    docs.
+    *
+    * 2. HOT-BUCKET CANONICAL STAR over representatives (ported from
+    *    minhashPairsOnBanded's r11 treatment; `bucketCap`): a block
+    *    bucket with more than `bucketCap` DISTINCT hashes skips pair
+    *    enumeration and emits |bucket|−1 star edges to the bucket's
+    *    min-rid member, each still gated by the exact popcount
+    *    distance. Unlike the minhash case a hot hamming bucket is
+    *    NOT exact-dup-grade (members agree on one w-bit block, not
+    *    the whole hash), so the star is a declared recall trade:
+    *    member–member pairs within a capped bucket survive only if
+    *    both ends sit within `maxDist` of the canonical (or share
+    *    another, small, block bucket). The cap only engages past
+    *    bucketCap · 2^w distinct hashes per shard — beyond the
+    *    equi-join rung's design point — and caps the per-bucket edge
+    *    count at linear instead of quadratic. */
   def hammingDedup(sigs: DataFrame, idCol: String = "doc_id",
       hashCol: String = "hash", bits: Int = 64, blocks: Int = 4,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, bucketCap: Int = 256): DataFrame = {
     require(bits >= 1 && bits <= 63, s"bits must be in [1, 63]: $bits")
     require(blocks >= 1 && bits % blocks == 0,
       s"blocks ($blocks) must divide bits ($bits) evenly")
     require(maxDist < blocks,
       s"completeness needs maxDist ($maxDist) < blocks ($blocks): " +
         "pigeonhole no longer guarantees a shared block otherwise")
+    require(bucketCap >= 1, s"bucketCap must be >= 1: $bucketCap")
     val w = bits / blocks
     val s = sigs.select(col(idCol).as("hid"), col(hashCol).as("hh"))
-    val blocked = s.select(col("hid"), col("hh"),
+    // Guard 1: one representative (min id) per distinct hash value.
+    val reps = s.groupBy(col("hh")).agg(min(col("hid")).as("rid"))
+    val blocked = reps.select(col("rid"), col("hh"),
       posexplode(array((0 until blocks).map(k =>
         expr(s"(hh div ${1L << (w * k)}L) % ${1L << w}L")): _*)))
-      .toDF("hid", "hh", "k", "blk")
-    val a = blocked.select(col("k"), col("blk"), col("hid").as("da"),
-                           col("hh").as("ha"))
-    val b = blocked.select(col("k"), col("blk"), col("hid").as("db"),
-                           col("hh").as("hb"))
-    val pairs = a.join(b, Seq("k", "blk")).filter(col("da") < col("db"))
+      .toDF("rid", "hh", "k", "blk")
+    // Bucket occupancy + canonical member from one hash aggregate
+    // whose (k, blk) shuffle the candidate join reuses; rid is unique
+    // per representative, so the struct min is the min-rid member
+    // WITH its hash (no second join).
+    val occ = blocked.groupBy(col("k"), col("blk")).agg(
+      count(lit(1)).as("bucket_n"),
+      min(struct(col("rid"), col("hh"))).as("canon"))
+    val bo = blocked.join(occ, Seq("k", "blk"))
+    val small = bo.filter(col("bucket_n") <= bucketCap)
+    val a = small.select(col("k"), col("blk"), col("rid").as("da"),
+                         col("hh").as("ha"))
+    val b = small.select(col("k"), col("blk"), col("rid").as("db"),
+                         col("hh").as("hb"))
+    val smallPairs = a.join(b, Seq("k", "blk"))
+      .filter(col("da") < col("db"))
       .filter(expr("bit_count(ha ^ hb)") <= maxDist)
-      .select(col("da"), col("db")).distinct()
-    s.select(col("hid"))
-      .join(graft.operators.DedupCluster.components(pairs)
-              .select(col("doc_id").as("hid"), col("comp")),
-            Seq("hid"), "left")
-      .withColumn("comp", coalesce(col("comp"), col("hid")))
+      .select(col("da"), col("db"))
+    // Guard 2: canonical star — canon.rid is the bucket minimum, so
+    // da < db by construction; the exact distance gate still applies.
+    val bigPairs = bo.filter(col("bucket_n") > bucketCap)
+      .filter(col("rid") =!= col("canon.rid"))
+      .filter(expr("bit_count(canon.hh ^ hh)") <= maxDist)
+      .select(col("canon.rid").as("da"), col("rid").as("db"))
+    val pairs = smallPairs.unionByName(bigPairs).distinct()
+    val comps = graft.operators.DedupCluster.components(pairs)
+      .select(col("doc_id").as("rid"), col("comp"))
+    s.join(reps, Seq("hh"))
+      .join(comps, Seq("rid"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("rid")))
       .withColumn("keep", col("hid") === col("comp"))
       .select(col("hid").as(idCol), col("comp"), col("keep"))
   }

@@ -312,6 +312,95 @@ object CurationQueries extends QueryPack {
         .orderBy($"source")
     }),
 
+    // END-TO-END curation pipeline (r16, r15 verdict item 7) — the
+    // SAMPLING/PACKING composition, the twin of pipeline_corpus's
+    // quality path: language filter → near-dup removal (the shared
+    // session-cached minhash components fixpoint, consumed once) →
+    // benchmark decontamination (the shared session-cached 5-gram
+    // hit relation, consumed once) → temperature-mix downsampling
+    // (UniMax-style: per-source acceptance ∝ t2_ppm/share_ppm,
+    // normalized so the most-boosted source keeps 100% — all integer
+    // ppm arithmetic except the one correctly-rounded sqrt, the
+    // curate_mix_temperature adjudication) → deterministic epoch
+    // shards (api.Curation.epochShards, salt "cshard" so the shard
+    // hash is independent of the acceptance hash) → concat-and-chunk
+    // packing audit per shard. Every stage is an operator verified on
+    // its own elsewhere; this key verifies the COMPOSITION against
+    // one closed-form oracle. Output is 16 per-shard audit rows with
+    // the order-sensitive checksum (curate_shard's discipline), so
+    // the hash match proves doc SET, per-shard ORDER, and pack
+    // boundaries end-to-end. Scale: the two index relations are
+    // build-once session caches shared with pipeline_neardup /
+    // text_decontaminate; everything this key adds is two broadcast
+    // joins (20-row weight tables), one map-side hash gate, and one
+    // per-shard window — the same budget as curate_shard.
+    "pipeline_curate" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.load(s, dir, "documents")
+        .filter($"lang" === "en" && $"source" =!= "src0")
+        .select($"doc_id", $"source",
+          size(split($"text", " ")).cast(LongType).as("n_tok"))
+      val s1 = base
+        .join(TrainQueries.minhashComps(s, dir), Seq("doc_id"), "left")
+        .filter(coalesce($"doc_id" === $"comp", lit(true)))
+        .join(PipelineQueries.contamHits(s, dir), Seq("doc_id"), "left")
+        .filter(coalesce($"n_hits" < 3, lit(true)))
+        .select($"doc_id", $"source", $"n_tok")
+      val perSrc = s1.groupBy($"source")
+        .agg(sum($"n_tok").as("src_tokens"))
+      val total = perSrc.agg(sum($"src_tokens").as("total_tokens"))
+      // greatest(_, 1) guards the ppm divisions: a source so small it
+      // rounds to 0 ppm must not divide-by-zero (Spark would NULL,
+      // DuckDB would error — the guard keeps both exact and equal).
+      val sh = perSrc.crossJoin(broadcast(total))
+        .withColumn("share_ppm",
+          expr("greatest(src_tokens * 1000000 div total_tokens, 1)"))
+        .withColumn("raw", expr(
+          "CAST(floor(sqrt(CAST(share_ppm AS DOUBLE) * 1000000.0))" +
+            " AS BIGINT)"))
+      val rawTotal = sh.agg(sum($"raw").as("raw_total"))
+      val w0 = sh.crossJoin(broadcast(rawTotal))
+        .withColumn("t2_ppm", expr("raw * 1000000 div raw_total"))
+        .withColumn("ratio", expr("t2_ppm * 1000000 div share_ppm"))
+      val maxr = w0.agg(max($"ratio").as("max_ratio"))
+      val weights = w0.crossJoin(broadcast(maxr))
+        .select($"source",
+          expr("ratio * 1000000 div greatest(max_ratio, 1)")
+            .as("accept_ppm"))
+      val s2 = s1.join(broadcast(weights), Seq("source"))
+        .withColumn("hppm", expr(
+          "CAST(conv(substr(md5(concat('curate:'," +
+            " CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)" +
+            " % 1000000"))
+        .filter($"hppm" < $"accept_ppm")
+        .select($"doc_id", $"source", $"n_tok")
+      val sharded = graft.api.Curation.epochShards(
+        s2, "doc_id", 16, salt = "cshard")
+      val w = Window.partitionBy($"shard").orderBy($"pos")
+      sharded
+        .withColumn("end_off", sum($"n_tok").over(w))
+        .withColumn("start_off", $"end_off" - $"n_tok")
+        .withColumn("pack_first", expr("start_off div 256"))
+        .withColumn("pack_last",
+          when($"n_tok" === 0L, expr("start_off div 256"))
+            .otherwise(expr("(end_off - 1) div 256")))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"source").as("n_srcs"),
+          sum($"n_tok").as("sum_toks"),
+          sum(expr("CAST(conv(substr(md5(concat(CAST(pos AS STRING)," +
+            " ':', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+            .as("order_sum"),
+          sum(when($"pack_last" > $"pack_first", 1L).otherwise(0L))
+            .as("n_spanning"))
+        .withColumn("n_packs",
+          when($"sum_toks" === 0L, 0L)
+            .otherwise(expr("(sum_toks - 1) div 256 + 1")))
+        .select($"shard", $"n_docs", $"n_srcs", $"sum_toks",
+          $"order_sum", $"n_packs", $"n_spanning")
+        .orderBy($"shard")
+    }),
+
     // Detection → ACTION over the mix weights (the curate_domain_mix
     // twin of dedup_apply): every doc draws a stable ppm-space hash and
     // survives iff it lands under its source's capped weight — the
@@ -470,6 +559,83 @@ object CurationQueries extends QueryPack {
   val dsirBuckets = 4096
 
   def oracle: Seq[(String, String)] = Seq(
+
+    // Mirror of the end-to-end composition: the shared minhash
+    // closure CTEs (TrainQueries) + the decontamination gram CTEs
+    // (namespaced c* to avoid colliding with the closure's tok/h/sig
+    // names), then the integer ppm weight pipeline, the acceptance
+    // gate, the shard assignment, and the per-shard pack audit.
+    "pipeline_curate" ->
+      s"""WITH ${TrainQueries.minhashClosureCtes},
+        |cd AS (SELECT doc_id, source,
+        |    string_split(lower(text), ' ') AS toks FROM documents),
+        |cg AS (SELECT doc_id, source, unnest(
+        |    CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(generate_series(1, len(toks) - 4),
+        |      i -> array_to_string(list_slice(toks, i, i + 4), ' ')) END)
+        |    AS gram FROM cd),
+        |cbench AS (SELECT DISTINCT gram FROM cg WHERE source = 'src0'),
+        |ccorp AS (SELECT DISTINCT doc_id, gram FROM cg
+        |          WHERE source <> 'src0'),
+        |chits AS (SELECT doc_id, count(*) AS n_hits
+        |  FROM ccorp JOIN cbench USING (gram) GROUP BY doc_id),
+        |cbase AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents WHERE lang = 'en' AND source <> 'src0'),
+        |cs1 AS (SELECT b.doc_id, b.source, b.n_tok FROM cbase b
+        |  LEFT JOIN ${DedupCluster.closureFinalCte()} c ON b.doc_id = c.n
+        |  LEFT JOIN chits h ON b.doc_id = h.doc_id
+        |  WHERE COALESCE(c.n = c.l, TRUE)
+        |    AND COALESCE(h.n_hits < 3, TRUE)),
+        |cper AS (SELECT source, CAST(sum(n_tok) AS BIGINT)
+        |    AS src_tokens FROM cs1 GROUP BY source),
+        |ctot AS (SELECT CAST(sum(src_tokens) AS BIGINT)
+        |    AS total_tokens FROM cper),
+        |csh AS (SELECT source, src_tokens,
+        |    greatest(src_tokens * 1000000 // total_tokens, 1)
+        |      AS share_ppm,
+        |    CAST(floor(sqrt(CAST(greatest(
+        |        src_tokens * 1000000 // total_tokens, 1) AS DOUBLE)
+        |      * 1000000.0)) AS BIGINT) AS raw
+        |  FROM cper, ctot),
+        |crt AS (SELECT CAST(sum(raw) AS BIGINT) AS raw_total FROM csh),
+        |cw0 AS (SELECT source, share_ppm,
+        |    (raw * 1000000 // raw_total) * 1000000 // share_ppm AS ratio
+        |  FROM csh, crt),
+        |cmx AS (SELECT max(ratio) AS max_ratio FROM cw0),
+        |cw AS (SELECT source,
+        |    ratio * 1000000 // greatest(max_ratio, 1) AS accept_ppm
+        |  FROM cw0, cmx),
+        |cs2 AS (SELECT s1.doc_id, s1.source, s1.n_tok
+        |  FROM cs1 s1 JOIN cw USING (source)
+        |  WHERE CAST('0x' || substr(md5('curate:' ||
+        |      CAST(s1.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
+        |    < cw.accept_ppm),
+        |csp AS (SELECT doc_id, source, n_tok,
+        |    md5('cshard:' || CAST(doc_id AS VARCHAR)) AS hkey FROM cs2),
+        |csd AS (SELECT *, CAST('0x' || substr(hkey, 1, 4) AS BIGINT)
+        |    % 16 AS shard FROM csp),
+        |cpp AS (SELECT *, row_number() OVER (PARTITION BY shard
+        |      ORDER BY hkey, doc_id) AS pos,
+        |    CAST(sum(n_tok) OVER (PARTITION BY shard
+        |      ORDER BY hkey, doc_id) AS BIGINT) AS end_off FROM csd),
+        |cpk AS (SELECT shard, doc_id, source, n_tok, pos, end_off,
+        |    (end_off - n_tok) // 256 AS pack_first,
+        |    CASE WHEN n_tok = 0 THEN (end_off - n_tok) // 256
+        |         ELSE (end_off - 1) // 256 END AS pack_last
+        |  FROM cpp)
+        |SELECT shard, count(*) AS n_docs,
+        |  count(DISTINCT source) AS n_srcs,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_toks,
+        |  CAST(sum(CAST('0x' || substr(md5(CAST(pos AS VARCHAR) || ':'
+        |      || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS order_sum,
+        |  CAST(CASE WHEN sum(n_tok) = 0 THEN 0
+        |       ELSE (sum(n_tok) - 1) // 256 + 1 END AS BIGINT)
+        |    AS n_packs,
+        |  CAST(sum(CASE WHEN pack_last > pack_first THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_spanning
+        |FROM cpk GROUP BY shard ORDER BY shard""".stripMargin,
 
     "text_diversity" ->
       """WITH tf AS (SELECT doc_id, term, count(*) AS c FROM (

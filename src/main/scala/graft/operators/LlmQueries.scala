@@ -63,10 +63,21 @@ object LlmQueries extends QueryPack {
     * Shared by vec_centroid (output) and vec_knn_ivf (codebook). */
   private def quantCentroids(e: org.apache.spark.sql.DataFrame) = {
     import e.sparkSession.implicits._
+    // The /1e7 rescale matters (r16, caught by R16OpsSpec's runtime
+    // partition metric): without it the centroid magnitudes (~1e6 per
+    // dim) dwarf the embeddings, the query-independent Σc² term
+    // dominates every distance, and ONE centroid is nearest for ALL
+    // vectors — the IVF inverted lists degenerate to a single
+    // populated cell and every "probe" scans the whole corpus. Its
+    // sibling pqCodebook always rescaled; this one must too. The
+    // arithmetic stays exact cross-engine: sum-of-floors is an
+    // integer-valued double, and both divisions are IEEE
+    // correctly-rounded with the same association in the oracle.
     e.select($"label", posexplode($"embedding").as(Seq("pos", "x")))
       .withColumn("xq", floor($"x".cast(DoubleType) * 1e7))
       .groupBy($"label", $"pos")
-      .agg((sum($"xq").cast(DoubleType) / count(lit(1))).as("cq"))
+      .agg(((sum($"xq").cast(DoubleType) / count(lit(1))) / lit(1e7))
+        .as("cq"))
   }
 
   /** (cl, carr): each centroid re-assembled as an array ordered by
@@ -323,15 +334,32 @@ object LlmQueries extends QueryPack {
     val centArr = graft.SessionCache.cached(s, s"ivf.codebook:$dir") {
       centroidArrays(quantCentroids(e))
     }
-    // Each query probes its 3 nearest cells.
-    val probe = e.filter($"vec_id" < 10).crossJoin(broadcast(centArr))
-      .withColumn("d", sqdistToCentroid)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"vec_id").orderBy($"d", $"cl")))
-      .filter($"rn" <= 3)
-      .select($"vec_id".as("q_id"), $"embedding".as("qe"),
-              $"ss".as("qss"), $"cl".as("cell"))
-    broadcast(probe).join(cand, "cell").filter($"q_id" =!= $"c_id")
+    // Each query probes its 3 nearest cells. Session-cached (r16):
+    // the 30-row probe assignment is ALSO the dim side of the
+    // cell-partitioned table's dynamic partition pruning — as a
+    // persisted tiny relation its stats are honest, so the planner's
+    // benefit estimate lets the DPP subquery run standalone and the
+    // index scan skips every unprobed cell (the R16OpsSpec runtime
+    // metric; behind the raw crossJoin+window subplan the estimator
+    // saw an expensive dim side and degraded the partition filter to
+    // TRUE — full scan).
+    val probe = graft.SessionCache.cached(s, s"ivf.probe:$dir") {
+      e.filter($"vec_id" < 10).crossJoin(broadcast(centArr))
+        .withColumn("d", sqdistToCentroid)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"d", $"cl")))
+        .filter($"rn" <= 3)
+        .select($"vec_id".as("q_id"), $"embedding".as("qe"),
+                $"ss".as("qss"), $"cl".as("cell"))
+    }
+    // The query-batch bound, restated ON TOP of the cached relation:
+    // semantically a no-op (the cache already holds only vec_id < 10),
+    // but PartitionPruning only inserts a DPP subquery when the dim
+    // side carries a likely-selective predicate — the cache boundary
+    // would otherwise hide it and the partitioned index scan would
+    // silently read every cell.
+    val probeQ = probe.filter($"q_id" < 10)
+    broadcast(probeQ).join(cand, "cell").filter($"q_id" =!= $"c_id")
       .withColumn("cos", expr("fdot(qe, ce)") / sqrt($"qss" * $"css"))
       .withColumn("rank", row_number().over(
         Window.partitionBy($"q_id").orderBy($"cos".desc, $"c_id"))
@@ -727,8 +755,12 @@ object LlmQueries extends QueryPack {
     // 256-entry orthant codebooks (code cell = sign pattern of the 8
     // subspace dims, centroid = cell mean, encode = OWN orthant in
     // O(N·d) — the k×-costlier 256-way argmin encode only bought
-    // 0.98 vs 0.92) lift ADC@50 + exact re-rank to recall 0.92
-    // (law floor ≥0.8 in PropertyLawsSpec).
+    // 0.98 vs 0.92 under r7's measurement) make ADC@50 + exact
+    // re-rank LOSSLESS on top of the coarse index: relative recall
+    // vs vec_knn_ivf measured 1.0 at sf0.001 and sf0.01 (r16 law,
+    // floor ≥0.9 in PropertyLawsSpec; absolute recall vs brute force
+    // is the coarse index's 3-of-10-cell pruning on a structureless
+    // fixture, lawed separately at ≥0.3).
     // Determinism: subspace distances come back as 8 PIVOTED columns
     // summed in fixed association (no order-nondeterministic double
     // SUM); every fold is the sequential HOF ↔ list_reduce pair.
@@ -914,7 +946,7 @@ object LlmQueries extends QueryPack {
         |  FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)),
         |cent AS (
         |  SELECT label, pos,
-        |    CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*) AS cq
+        |    CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*) / 1e7 AS cq
         |  FROM flat GROUP BY label, pos),
         |centarr AS (
         |  SELECT label AS cl, list(cq ORDER BY pos) AS carr
@@ -1011,7 +1043,7 @@ object LlmQueries extends QueryPack {
         |  FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)),
         |cent AS (
         |  SELECT label, pos,
-        |    CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*) AS cq
+        |    CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*) / 1e7 AS cq
         |  FROM flat GROUP BY label, pos),
         |centarr AS (
         |  SELECT label AS cl, list(cq ORDER BY pos) AS carr
@@ -1201,7 +1233,7 @@ object LlmQueries extends QueryPack {
         |  FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)),
         |cent AS (
         |  SELECT label, pos,
-        |    CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*) AS cq
+        |    CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*) / 1e7 AS cq
         |  FROM flat GROUP BY label, pos),
         |centarr AS (
         |  SELECT label AS cl, list(cq ORDER BY pos) AS carr
@@ -1239,7 +1271,7 @@ object LlmQueries extends QueryPack {
         |  FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)),
         |cent AS (
         |  SELECT label, pos,
-        |    CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*) AS cq
+        |    CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*) / 1e7 AS cq
         |  FROM flat GROUP BY label, pos),
         |centarr AS (
         |  SELECT label AS clabel, list(cq ORDER BY pos) AS carr

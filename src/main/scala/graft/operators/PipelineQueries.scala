@@ -37,7 +37,7 @@ object PipelineQueries extends QueryPack {
     * consume one build. The bench gram set is distinct-reduced then
     * broadcast into a left-semi join (r6 — replaced the corpus-wide
     * gram window). */
-  private def contamHits(s: org.apache.spark.sql.SparkSession,
+  private[operators] def contamHits(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     graft.SessionCache.cached(s, s"contam.hits:$dir") {
       import s.implicits._

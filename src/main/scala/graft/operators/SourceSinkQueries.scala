@@ -360,7 +360,9 @@ object SourceSinkQueries extends QueryPack {
     // (Hive/Iceberg bucket transforms); the oracle is the plain join.
     "sink_bucketed" -> ((s, dir) => {
       import s.implicits._
-      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      // r16 (ADVICE): full dirTag discipline — basename alone leaves
+      // the 'sf0.01' vs 'sf0_01' table-name collision live.
+      val tag = graft.Util.dirTag(dir)
       graft.SessionCache.cached(s, s"bucketed:$dir", persist = false) {
         val wh = tmp(dir, "bucketed")
         s.sql(s"DROP TABLE IF EXISTS li_bk_$tag")
@@ -488,17 +490,23 @@ object SourceSinkQueries extends QueryPack {
     // the connector is engine code, and that is what this key ships:
     // the exact relation `format("kafka")` returns — (key BINARY,
     // value BINARY, topic STRING, partition INT, offset LONG,
-    // timestamp) — is staged from `events`, then the real consumer
-    // pipeline runs over it.
+    // timestamp TIMESTAMP, timestampType INT) — is staged from
+    // `events`, then the real consumer pipeline runs over it.
     //   1. Producer model (staging only): topic = event_type,
     //      partition = pmod(user_id, 8) (key-hash partitioning, so one
     //      user's events stay ordered), offset = per-(topic,partition)
     //      arrival rank over (ts, event_id) — Kafka's per-partition
     //      total order; key = the partition key's bytes, value =
-    //      to_json(payload) bytes.
-    //   2. At-least-once delivery: every 7th message arrives TWICE
-    //      (producer retry / consumer-group rebalance replay) — the
-    //      failure mode offset-dedup exists for.
+    //      to_json(payload) bytes; timestampType = 0 (CreateTime).
+    //   2. At-least-once delivery: every 7th message is READ twice by
+    //      the consumer — a consumer-group rebalance replays records
+    //      from the last committed offset, re-delivering the SAME
+    //      (partition, offset). (A producer retry is the other
+    //      duplicate source, but an idempotent producer dedupes it
+    //      broker-side via sequence numbers, and a non-idempotent
+    //      retry appends under a NEW offset — offset-dedup cannot see
+    //      it; that case needs key-level dedup downstream.) Consumer
+    //      replay is the failure mode offset-dedup exists for.
     //   3. Consumer (the shipped logic): from_json(CAST(value AS
     //      STRING)) with a schema PROJECTION (decodes 2 of the 3
     //      payload fields — JSON decode prunes like a column scan),
@@ -517,41 +525,45 @@ object SourceSinkQueries extends QueryPack {
     // unchanged.
     "source_kafka_shape" -> ((s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"topic", $"part_id")
+      val w = Window.partitionBy($"topic", $"partition")
         .orderBy($"ts", $"event_id")
       val wire0 = Tables.load(s, dir, "events")
         .select($"event_type".as("topic"),
-          pmod($"user_id", lit(8L)).cast(IntegerType).as("part_id"),
+          pmod($"user_id", lit(8L)).cast(IntegerType).as("partition"),
           $"event_id", $"user_id", $"ts", $"value")
-        .withColumn("offs", row_number().over(w).cast(LongType) - 1L)
-      // The wire relation, Kafka's exact source schema: key/value are
-      // BINARY (the consumer owns the decode), offsets are the
-      // (topic, partition)-scoped log positions.
+        .withColumn("offset", row_number().over(w).cast(LongType) - 1L)
+      // The wire relation, Kafka's exact 7-column source schema
+      // (key, value, topic, partition, offset, timestamp,
+      // timestampType): key/value are BINARY (the consumer owns the
+      // decode), offsets are the (topic, partition)-scoped log
+      // positions, timestampType 0 = CreateTime.
       val wire = wire0.union(wire0.filter($"event_id" % 7 === 0))
-        .select($"topic", $"part_id", $"offs",
+        .select(
           $"user_id".cast(StringType).cast(BinaryType).as("key"),
           to_json(struct($"event_id", $"user_id", $"value"))
             .cast(BinaryType).as("value"),
-          $"ts".as("timestamp"))
+          $"topic", $"partition", $"offset",
+          $"ts".as("timestamp"),
+          lit(0).as("timestampType"))
       // Consumer decode: schema projection over the JSON payload.
       val payload = new StructType()
         .add("event_id", LongType).add("value", DoubleType)
       val decoded = wire
         .withColumn("js", from_json($"value".cast(StringType), payload))
-        .select($"topic", $"part_id", $"offs",
+        .select($"topic", $"partition", $"offset",
           $"js.event_id".as("event_id"), $"js.value".as("v"))
       // Exactly-once: one survivor per (topic, partition, offset).
       // Duplicates are byte-identical deliveries, so max() is a
       // deterministic pick (and would surface a corrupt redelivery as
       // a checksum mismatch rather than silently keeping one copy).
       val msgs = decoded
-        .groupBy($"topic", $"part_id", $"offs")
+        .groupBy($"topic", $"partition", $"offset")
         .agg(max($"event_id").as("event_id"), max($"v").as("v"))
       val rawN = decoded.groupBy($"topic").agg(count(lit(1)).as("n_raw"))
       msgs.groupBy($"topic")
         .agg(count(lit(1)).as("n_msgs"),
-          countDistinct($"part_id").as("n_parts"),
-          max($"offs").as("max_offset"),
+          countDistinct($"partition").as("n_parts"),
+          max($"offset").as("max_offset"),
           min($"event_id").as("min_id"), max($"event_id").as("max_id"),
           dsum($"v").as("sum_v"))
         .join(rawN, "topic")

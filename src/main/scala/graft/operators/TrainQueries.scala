@@ -138,7 +138,7 @@ object TrainQueries extends QueryPack {
     * iterative fixpoint build (dedup_components' sharedComponents,
     * pagerank's ranks): the relation is already materialized by its
     * per-round localCheckpoints, the memo just stores it. */
-  private def minhashComps(s: org.apache.spark.sql.SparkSession,
+  private[operators] def minhashComps(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     graft.SessionCache.cached(s, s"dedup.minhashcomp:$dir",
       persist = false) {
@@ -171,8 +171,11 @@ object TrainQueries extends QueryPack {
   /** Session-cached perceptual-hash dedup relation — the public
     * parameterized api.TextDedup.hammingDedup (Manku 4×15-bit blocks
     * over the 60-bit hash; completeness for Hamming ≤3 by pigeonhole,
-    * law-checked against brute force in R11OpsSpec) applied to the
-    * ahash signatures. Memoized like every fixpoint artifact. */
+    * law-checked against brute force in R11OpsSpec; r16: distinct-
+    * hash collapse + hot-bucket canonical star, so hash-entropy
+    * collapse degrades candidates to the distinct-hash count instead
+    * of exploding quadratically in docs) applied to the ahash
+    * signatures. Memoized like every fixpoint artifact. */
   private def ahashDedupRel(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     graft.SessionCache.cached(s, s"mm.ahashdedup:$dir", persist = false) {
@@ -970,7 +973,7 @@ object TrainQueries extends QueryPack {
       |    (CASE WHEN x.m7 = y.m7 THEN 1 ELSE 0 END) +
       |    (CASE WHEN x.m8 = y.m8 THEN 1 ELSE 0 END) >= 4)""".stripMargin
 
-  private val minhashClosureCtes: String =
+  private[operators] val minhashClosureCtes: String =
     s"""$minhashGatedCtes,
       |bi AS MATERIALIZED (SELECT da AS a, db AS b FROM gated
       |       UNION SELECT db, da FROM gated),
@@ -1431,8 +1434,14 @@ object TrainQueries extends QueryPack {
         |  count(*) OVER (PARTITION BY ahash) AS n_mates
         |FROM h ORDER BY doc_id""".stripMargin,
 
-    // Mirror of ahashComps: the mm_ahash signature CTEs, the 4×15-bit
-    // Manku block join, then the shared unrolled min-label closure.
+    // Mirror of ahashDedupRel: the mm_ahash signature CTEs, then the
+    // r16 hammingDedup exactly — distinct-hash collapse (one
+    // representative = min doc_id per ahash; exact, see
+    // api.TextDedup), the 4×15-bit Manku block join over
+    // representatives with the hot-bucket canonical star (cap 256),
+    // the shared unrolled min-label closure over representative
+    // pairs, and the expansion of every doc back through its hash's
+    // representative.
     "mm_dedup" ->
       s"""WITH d AS (SELECT doc_id,
         |    list_transform(string_split(substr(text, 1, 60), ''),
@@ -1447,20 +1456,35 @@ object TrainQueries extends QueryPack {
         |           ELSE CAST(0 AS BIGINT) END),
         |      (a, x) -> a + x) AS ahash
         |  FROM s),
-        |blk AS (SELECT doc_id, ahash, k,
+        |reps AS MATERIALIZED (SELECT ahash, min(doc_id) AS rid
+        |  FROM h GROUP BY 1),
+        |blk AS (SELECT rid, ahash, k,
         |    (ahash // (CAST(1 AS BIGINT) << (15 * k))) % 32768 AS blk
-        |  FROM h CROSS JOIN generate_series(0, 3) AS g(k)),
-        |pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-        |  FROM blk a JOIN blk b
-        |    ON a.k = b.k AND a.blk = b.blk AND a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+        |  FROM reps CROSS JOIN generate_series(0, 3) AS g(k)),
+        |occ AS (SELECT k, blk, count(*) AS bucket_n,
+        |    min(rid) AS canon_rid, arg_min(ahash, rid) AS canon_hash
+        |  FROM blk GROUP BY 1, 2),
+        |bo AS (SELECT b.rid, b.ahash, b.k, b.blk,
+        |    o.bucket_n, o.canon_rid, o.canon_hash
+        |  FROM blk b JOIN occ o ON b.k = o.k AND b.blk = o.blk),
+        |pairs AS (SELECT DISTINCT da, db FROM (
+        |  SELECT a.rid AS da, b.rid AS db
+        |  FROM bo a JOIN bo b
+        |    ON a.k = b.k AND a.blk = b.blk AND a.rid < b.rid
+        |  WHERE a.bucket_n <= 256
+        |    AND bit_count(xor(a.ahash, b.ahash)) <= 3
+        |  UNION ALL
+        |  SELECT canon_rid AS da, rid AS db FROM bo
+        |  WHERE bucket_n > 256 AND rid <> canon_rid
+        |    AND bit_count(xor(canon_hash, ahash)) <= 3)),
         |bi AS MATERIALIZED (SELECT da AS a, db AS b FROM pairs
         |  UNION ALL SELECT db AS a, da AS b FROM pairs),
         |${DedupCluster.closureSql()}
-        |SELECT h.doc_id, COALESCE(c.l, h.doc_id) AS comp,
-        |  COALESCE(c.l, h.doc_id) = h.doc_id AS keep
-        |FROM h LEFT JOIN ${DedupCluster.closureFinalCte()} c
-        |  ON h.doc_id = c.n
+        |SELECT h.doc_id, COALESCE(c.l, r.rid) AS comp,
+        |  COALESCE(c.l, r.rid) = h.doc_id AS keep
+        |FROM h JOIN reps r ON h.ahash = r.ahash
+        |LEFT JOIN ${DedupCluster.closureFinalCte()} c
+        |  ON r.rid = c.n
         |ORDER BY h.doc_id""".stripMargin,
 
     "mm_headers" ->

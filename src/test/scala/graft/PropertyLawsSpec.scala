@@ -242,7 +242,19 @@ class PropertyLawsSpec extends SparkTestBase {
     assert(batch == typed)
   }
 
-  test("IVF kNN: cosines bounded by brute force, recall >= 0.6") {
+  test("IVF kNN: cosines bounded by brute force, recall >= 0.3") {
+    // Honest-IVF floor (reset r16): until r15 the coarse quantizer
+    // was degenerate — unscaled 1e7-quantized centroids put EVERY
+    // vector in one cell, so "IVF" scanned the whole corpus and
+    // recall 0.92 measured the bug, not the index (caught by
+    // R16OpsSpec's runtime partition metric). With the quantizer
+    // fixed, a 3-of-10-cell probe on this LABEL-STRUCTURELESS fixture
+    // (within-label cosine == across-label, ~0) admits ~30% of the
+    // corpus and measures recall 0.48 (sf0.001) / 0.52 (sf0.01) —
+    // the index's true pruning loss on geometry-free data, which a
+    // real corpus with cluster structure would not pay. The floor
+    // guards the PROBE design (3 cells reachable, exact rank within
+    // them); the within-probe exactness is the next law's job.
     val brute = SparkEntry.queries("vec_knn")(spark, sf)
       .select($"q_id", $"c_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -251,25 +263,30 @@ class PropertyLawsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf.size == brute.size)
     val recall = ivf.intersect(brute).size.toDouble / brute.size
-    assert(recall >= 0.6, s"IVF recall $recall vs brute force")
+    assert(recall >= 0.3, s"IVF recall $recall vs brute force")
   }
 
-  test("IVF-PQ ADC + re-rank: recall >= 0.8 vs brute force") {
-    // The ADC shortlist@50 + exact re-rank design recovers most of
-    // what the 8-byte codes lose (measured 0.92 at sf0.01; the
-    // cosine-vs-L2 metric gap is nil on this fixture — top-5 sets
-    // coincide). The floor is deliberately below the measurement:
-    // it guards the DESIGN (shortlist wide enough, re-rank exact),
-    // not the fixture's noise level.
-    val brute = SparkEntry.queries("vec_knn")(spark, sf)
+  test("IVF-PQ ADC + re-rank loses NOTHING beyond the coarse index " +
+       "(recall >= 0.9 relative to vec_knn_ivf)") {
+    // The decomposition law (r16): vec_ivfpq's loss has two possible
+    // sources — the coarse index pruning (shared with vec_knn_ivf)
+    // and the 8-byte PQ compression. The ADC shortlist@50 + exact
+    // re-rank design exists to make the SECOND loss nil, so the law
+    // compares against vec_knn_ivf (same probed cells, exact float
+    // ranking): measured relative recall 1.0 at sf0.001 AND sf0.01 —
+    // every neighbor the probed cells admit survives quantization.
+    // Floor 0.9 guards the design (shortlist wide enough, re-rank
+    // exact), not the fixture's noise. Absolute recall vs brute force
+    // is the previous law's subject.
+    val ivf = SparkEntry.queries("vec_knn_ivf")(spark, sf)
       .select($"q_id", $"c_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivfpq = SparkEntry.queries("vec_ivfpq")(spark, sf)
       .select($"q_id", $"c_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(ivfpq.size == brute.size)
-    val recall = ivfpq.intersect(brute).size.toDouble / brute.size
-    assert(recall >= 0.8, s"IVF-PQ recall $recall vs brute force")
+    assert(ivfpq.size == ivf.size)
+    val rel = ivfpq.intersect(ivf).size.toDouble / ivf.size
+    assert(rel >= 0.9, s"IVF-PQ relative recall $rel vs vec_knn_ivf")
   }
 
   test("batch sessionization agrees with native session_window") {
