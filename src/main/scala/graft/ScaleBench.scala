@@ -145,6 +145,71 @@ object ScaleBench {
     }
   }
 
+  /** Entropy-bearing multimodal staging (r16, verdict item 1). The
+    * disjoint-shard text staging suffixes every token with `~r<i>`,
+    * which preserves TEXT dedup structure but collapses the mm_*
+    * family's byte-grid entropy: at 100x, 499,913 docs carried only
+    * 13,721 distinct 60-bit ahashes (the first-60-chars proxy shares
+    * its prefix across replicas), which is nothing like real image
+    * bytes and drove mm_dedup's block join toward 30e9 candidate
+    * pairs. This staging writes a `documents` table of the same 100x
+    * cardinality whose payload bytes have REAL perceptual-hash
+    * entropy plus genuine near-dup structure:
+    *   - docs come in groups of 10 sharing one base byte-string
+    *     (length 64..540, printable ASCII 32..126, every byte an
+    *     independent xxhash64 draw — ahash bits are ~Bernoulli(0.5),
+    *     so distinct-hash count ≈ group count, not a collapse);
+    *   - member k>0 of a group is a "re-encode" of its base: one
+    *     byte at position k rewritten — the realistic few-bit
+    *     perceptual-hash perturbation (flips bit k and whatever
+    *     borderline bits the 1/60 mean shift crosses), so Hamming≤3
+    *     clusters exist and mm_dedup's output is structurally
+    *     non-trivial, while cluster size stays O(1) (10) and the
+    *     candidate-pair count stays linear in docs.
+    * Other 9 tables are symlinked from the sibling staging — the mm_*
+    * keys and source_binaryfile read only `documents`, but the oracle
+    * harness registers views over all 10. Deterministic (seeded
+    * xxhash64 expressions only), /tmp only, not shipped query code.
+    */
+  def stageMm(spark: SparkSession, base: String, sibling: String,
+              out: String, m: Int): Unit = {
+    import spark.implicits._
+    val outP = Paths.get(out)
+    if (Files.exists(outP)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(outP).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.delete(p))
+    }
+    Files.createDirectories(outP)
+    val n = Tables.load(spark, base, "documents").count() * m
+    spark.range(n).select($"id".as("doc_id"))
+      .withColumn("grp", expr("doc_id DIV 10"))
+      .withColumn("member", pmod($"doc_id", lit(10L)).cast("int"))
+      .withColumn("len",
+        (lit(64L) + pmod(xxhash64(lit("mmlen"), $"grp"), lit(477L)))
+          .cast("int"))
+      .withColumn("text0", expr(
+        "array_join(transform(sequence(1, len), " +
+          "i -> chr(32 + pmod(xxhash64('mmtxt', grp, i), 95))), '')"))
+      .withColumn("text", when($"member" === 0, $"text0").otherwise(expr(
+        "concat(substring(text0, 1, member - 1), " +
+          "chr(32 + pmod(xxhash64('mmperturb', doc_id), 95)), " +
+          "substring(text0, member + 1, len))")))
+      .select($"doc_id", $"text",
+        element_at(
+          array(lit("en"), lit("de"), lit("fr"), lit("es"), lit("zh")),
+          (pmod($"grp", lit(5L)) + 1L).cast("int")).as("lang"),
+        concat(lit("src"), pmod($"grp", lit(20L))).as("source"),
+        length($"text").cast("long").as("n_chars"))
+      .repartition(math.max(32, 32 * m / 10))
+      .write.parquet(s"$out/documents.parquet")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "embeddings").foreach { t =>
+      Files.createSymbolicLink(
+        Paths.get(s"$out/$t.parquet"), Paths.get(s"$sibling/$t.parquet"))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "10").toInt
@@ -194,6 +259,11 @@ object ScaleBench {
       }
     }
     if (!skipStage) stage(spark, base, out, mult)
+    // SPARK_GRAFT_MM_DIR (r16): also stage the entropy-bearing
+    // multimodal documents variant (see stageMm) next to `out`.
+    sys.env.get("SPARK_GRAFT_MM_DIR").foreach { mmDir =>
+      stageMm(spark, base, out, mmDir, mult)
+    }
     val counts = Seq("documents", "embeddings", "lineitem", "events")
       .map(t => t -> Tables.load(spark, out, t).count()).toMap
     val keys = SparkEntry.queries.keys.toSeq.sorted

@@ -146,10 +146,28 @@ object DedupCluster extends QueryPack {
     * `bi(a, b)` — the doubled edge relation): mask-identical pairs ∪
     * Hamming-ball pairs, mirroring `dupEdges`. Shared by the
     * dedup_components and pipeline_corpus oracles. */
-  private[graft] val edgeBiSql: String =
+  // r16: the oracle's edge construction now mirrors dupEdges' STAR
+  // form instead of materializing the within-group cliques, and the
+  // simhash is computed as 16 conditional sums in ONE aggregation
+  // instead of a 16x generate_series row explosion. Connectivity is
+  // identical (the proof sketch above: a–rep(sig(a))–rep(sig(b))–b
+  // replaces any clique pair, mask groups star onto their min), but
+  // the DuckDB intermediates drop from quadratic-in-group-size pairs
+  // + 16x exploded (doc,term) rows to linear — the r15 100x campaign
+  // measured the clique+explosion form needing ~90+ GB of spill at
+  // 500k docs (PLANS.md r15 adjudication), which this retires.
+  private[graft] val edgeBiSql: String = {
+    val sumBits = (0 until 16).map { j =>
+      s"""CASE WHEN sum(CASE WHEN (h // ${1L << j}) % 2 = 1
+         |      THEN tf ELSE -tf END) >= 0
+         |    THEN CAST(${1L << j} AS BIGINT) ELSE 0 END""".stripMargin
+    }.mkString(" +\n    ")
     s"""${TextBlocking.maskCteSql},
-      |maskpairs AS (SELECT a.doc_id AS da, b.doc_id AS db
-      |  FROM m a JOIN m b ON a.mask = b.mask AND a.doc_id < b.doc_id),
+      |m2 AS MATERIALIZED (SELECT doc_id, mask FROM m),
+      |mrep AS (SELECT mask, min(doc_id) AS mmin FROM m2 GROUP BY mask),
+      |maskpairs AS (SELECT r.mmin AS da, a.doc_id AS db
+      |  FROM m2 a JOIN mrep r ON a.mask = r.mask
+      |  WHERE a.doc_id <> r.mmin),
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
       |    FROM documents) t WHERE term <> '' GROUP BY doc_id, term),
@@ -158,23 +176,25 @@ object DedupCluster extends QueryPack {
       |      c -> CAST(ascii(c) AS BIGINT)),
       |      (h, c) -> (h * 131 + c) % 65536) AS h
       |  FROM tf),
-      |bits AS (SELECT doc_id, j,
-      |    sum(CASE WHEN (h // (CAST(1 AS BIGINT) << j)) % 2 = 1
-      |             THEN tf ELSE -tf END) AS sw
-      |  FROM h CROSS JOIN generate_series(0, 15) AS g(j)
-      |  GROUP BY doc_id, j),
-      |sig AS (SELECT doc_id,
-      |    CAST(sum(CASE WHEN sw >= 0 THEN CAST(1 AS BIGINT) << j
-      |                  ELSE 0 END) AS BIGINT) AS simhash
-      |  FROM bits GROUP BY doc_id),
-      |s2 AS (SELECT doc_id, simhash, simhash // 256 AS blk FROM sig),
+      |sig AS MATERIALIZED (SELECT doc_id,
+      |    $sumBits AS simhash
+      |  FROM h GROUP BY doc_id),
+      |srep AS MATERIALIZED (SELECT simhash, min(doc_id) AS rep
+      |  FROM sig GROUP BY simhash),
+      |sigstar AS (SELECT r.rep AS da, s.doc_id AS db
+      |  FROM sig s JOIN srep r ON s.simhash = r.simhash
+      |  WHERE s.doc_id <> r.rep),
+      |s2 AS (SELECT rep AS doc_id, simhash, simhash // 256 AS blk
+      |  FROM srep),
       |hampairs AS (SELECT a.doc_id AS da, b.doc_id AS db
       |  FROM s2 a JOIN s2 b ON a.blk = b.blk AND a.doc_id < b.doc_id
       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
       |edges AS (SELECT da, db FROM maskpairs
+      |          UNION SELECT da, db FROM sigstar
       |          UNION SELECT da, db FROM hampairs),
       |bi AS MATERIALIZED (SELECT da AS a, db AS b FROM edges
       |       UNION SELECT db, da FROM edges)""".stripMargin
+  }
 
   /** Oracle-side components (DuckDB SQL): `rounds` UNROLLED rounds of
     * min-label propagation + pointer jumping over `bi` — O(edges) per
