@@ -1,0 +1,233 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** transformWithState at scale (r15 verdict item 4): replay the two
+  * hardest custom-state ops over the 100x staging on RocksDB and pin
+  * their STATE behavior with measurements, not arguments.
+  *
+  * - st19 (incremental minhash): state is O(1) per doc by design
+  *   (9 longs). Law: the final state read back through the
+  *   `statestore` source is row-count-equal to the distinct-doc count
+  *   and BIT-EQUAL (except-both-ways) to the batch
+  *   `TextDedup.minhashSignatures` relation the DuckDB oracle pins —
+  *   at 500k docs / ~75M streamed tokens, not just the fixture.
+  *   Token files need no ordering (elementwise min is commutative/
+  *   associative/idempotent), so the staging is one partitioned
+  *   write; every doc's tokens still scatter across many files.
+  *
+  * - st23 (watermark-buffered SCD2): the ListState buffer is claimed
+  *   O(rows inside the lateness horizon), NOT O(rows seen). Laws:
+  *   (a) emitted change rows == the batch dim_scd2 build
+  *   (except-both-ways) on a pair-swapped replay whose disorder the
+  *   delay covers; (b) the PER-BATCH state-row series from the
+  *   progress listener peaks well below the input size (an unbounded
+  *   buffer would ramp to ~input rows and never fall) and returns to
+  *   ~#users after the sentinel batch (buffer drained, one Scd2St
+  *   value row per user remains).
+  *
+  * Output: one JSON line, persisted to SPARK_GRAFT_TWS_OUT (default
+  * target/twsbench.json) — elapsed/rows-per-sec per op, the st23
+  * per-batch state series, state-dir bytes, and law verdicts. Laws
+  * `require` loudly, so a nonzero exit IS a failed audit.
+  */
+object TwsBench {
+  private def dirBytes(p: String): Long = {
+    val root = Paths.get(p)
+    if (!Files.exists(root)) return -1L
+    import scala.jdk.CollectionConverters._
+    Files.walk(root).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(Files.size).sum
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val work = sys.env.getOrElse("SPARK_GRAFT_TWS_WORK", "/tmp/twsbench")
+    val chunks = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNKS", "12").toInt
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+    graft.Tables.sessionConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // Per-batch state metrics via the progress listener — the only
+    // window into MID-stream state size without a per-batch
+    // time-travel read (and the same numbers an operator would watch
+    // in production).
+    val series = collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val listener = new org.apache.spark.sql.streaming
+        .StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        val total = p.stateOperators.map(_.numRowsTotal).sum
+        val upd = p.stateOperators.map(_.numRowsUpdated).sum
+        series.synchronized { series += ((p.batchId, total, upd)) }
+      }
+    }
+    spark.streams.addListener(listener)
+
+    def keyField(df: DataFrame): String =
+      df.schema("key").dataType.asInstanceOf[StructType].fieldNames.head
+
+    // ---------------- st19: incremental minhash ----------------
+    val tokens = graft.operators.TextBlocking.tokens(spark, sfDir)
+    val tokDir = s"$work/tok"
+    graft.Util.deleteRecursively(new java.io.File(tokDir))
+    // No ordering contract: one partitioned write; ~chunks*4 files so
+    // mft=4 yields ~`chunks` micro-batches and docs split across them.
+    tokens.repartition(chunks * 4).write.parquet(tokDir)
+    val tokRows = spark.read.parquet(tokDir).count()
+    val chk19 = s"$work/chk19"
+    graft.Util.deleteRecursively(new java.io.File(chk19))
+    series.clear()
+    val t19 = System.nanoTime()
+    EventStreams.runToCompletion(
+      StreamQueries.minhashSignaturesTws(
+        spark.readStream.schema("doc_id BIGINT, term STRING")
+          .option("maxFilesPerTrigger", 4).parquet(tokDir)
+          .as[StreamQueries.TokenRow]).toDF()
+        .writeStream.format("noop").outputMode("update")
+        .option("checkpointLocation", chk19))
+    val sec19 = (System.nanoTime() - t19) / 1e9
+    val batches19 = series.size
+    // Final state == batch signatures, bit-for-bit.
+    val raw19 = spark.read.format("statestore")
+      .option("stateVarName", "minhash").load(chk19)
+    val sig = Seq("m1", "m2", "m3", "m4", "m5", "m6", "m7", "m8")
+    val stateSigs = raw19
+      .select(col(s"key.${keyField(raw19)}").as("doc_id"),
+        col("value.*"))
+      .select(($"doc_id" +: sig.map(col)): _*)
+    val batchSigs = graft.api.TextDedup.minhashSignatures(tokens)
+      .select(($"doc_id" +: sig.map(col)): _*)
+    val nState = stateSigs.count()
+    val nDocs = tokens.select($"doc_id").distinct().count()
+    val d1 = stateSigs.exceptAll(batchSigs).count()
+    val d2 = batchSigs.exceptAll(stateSigs).count()
+    require(nState == nDocs && d1 == 0 && d2 == 0,
+      s"st19 state mismatch: state=$nState docs=$nDocs " +
+        s"state\\batch=$d1 batch\\state=$d2")
+    val bytes19 = dirBytes(s"$chk19/state")
+
+    // ---------------- st23: watermark-buffered SCD2 ----------------
+    val tieredTs = graft.Tables.load(spark, sfDir, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id",
+        when($"value" < 100, "low").when($"value" < 500, "mid")
+          .otherwise("high").as("tier"))
+    val tiered = tieredTs.select($"user_id",
+      expr("unix_micros(ts)").as("ts_us"), $"event_id", $"tier")
+    val evDir = s"$work/tier"
+    graft.Util.deleteRecursively(new java.io.File(evDir))
+    val evRows = tiered.count()
+    val per = math.max(1L, (evRows + chunks - 1) / chunks)
+    val chunked = tiered.orderBy($"ts_us", $"event_id").coalesce(1)
+      .withColumn("chunk",
+        (monotonically_increasing_id() / per).cast("int")).cache()
+    val spans = chunked.groupBy($"chunk")
+      .agg(min($"ts_us").as("lo"), max($"ts_us").as("hi"))
+      .orderBy($"chunk")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val nChunks = spans.length
+    // Pair-swapped replay order (1,0,3,2,…): bounded displacement the
+    // delay covers, and the watermark advances THROUGH the data so
+    // the buffer drains incrementally — the horizon-bound regime.
+    val order = (0 until nChunks).grouped(2).flatMap(_.reverse).toSeq
+    val delayUs = order.grouped(2).collect {
+      case Seq(a, b) => spans(a max b)._2 - spans(a min b)._1
+    }.max + 1000000L
+    order.zipWithIndex.foreach { case (content, pos) =>
+      val tmp = s"${evDir}_tmp"
+      chunked.filter($"chunk" === content)
+        .select($"user_id", $"ts_us", $"event_id", $"tier")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      EventStreams.promoteChunk(tmp, evDir, pos, ".parquet")
+    }
+    val sentinelUs = spans.map(_._2).max + delayUs + 60000000L
+    val tmp = s"${evDir}_tmp"
+    Seq((-1L, sentinelUs, 0L, "low"))
+      .toDF("user_id", "ts_us", "event_id", "tier")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    EventStreams.promoteChunk(tmp, evDir, nChunks, ".parquet")
+    chunked.unpersist()
+
+    val chk23 = s"$work/chk23"
+    val out23 = s"$work/out23"
+    Seq(chk23, out23).foreach(p =>
+      graft.Util.deleteRecursively(new java.io.File(p)))
+    series.clear()
+    val delay = s"${delayUs / 1000000 + 1} seconds"
+    val t23 = System.nanoTime()
+    EventStreams.runToCompletion(
+      StreamQueries.scd2TwsBuffered(
+        spark.readStream
+          .schema("user_id BIGINT, ts_us BIGINT, event_id BIGINT, " +
+            "tier STRING")
+          .option("maxFilesPerTrigger", 1).parquet(evDir)
+          .withColumn("ts", timestamp_micros($"ts_us"))
+          .as[StreamQueries.TierRowW], delay).toDF()
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", out23).option("checkpointLocation", chk23))
+    val sec23 = (System.nanoTime() - t23) / 1e9
+    val series23 = series.toSeq.sortBy(_._1)
+    val peak23 = if (series23.isEmpty) -1L else series23.map(_._2).max
+    val finalRows23 = if (series23.isEmpty) -1L else series23.last._2
+    // Emitted == batch SCD2 history.
+    val got = spark.read.parquet(out23).filter($"user_id" >= 0)
+      .select($"user_id", $"version", $"tier", $"valid_from")
+    val want = graft.api.Warehouse.scd2(tieredTs,
+        "user_id", "ts", "event_id", "tier")
+      .select($"user_id", $"version", $"tier", $"valid_from")
+    val e1 = got.exceptAll(want).count()
+    val e2 = want.exceptAll(got).count()
+    require(e1 == 0 && e2 == 0,
+      s"st23 emitted != batch scd2: got\\want=$e1 want\\got=$e2")
+    val nUsers = tiered.select($"user_id").distinct().count()
+    // Horizon bound: the pair-swap keeps <= ~4 chunk spans buffered;
+    // unbounded buffering would ramp to ~evRows. 0.6 is loose on
+    // purpose — the law is "a fraction of the input", the series in
+    // the JSON is the exact record.
+    require(peak23 > 0 && peak23 < (evRows * 6) / 10,
+      s"st23 peak state $peak23 not << input $evRows — " +
+        "buffer is not horizon-bounded")
+    val bytes23 = dirBytes(s"$chk23/state")
+
+    def fmt(v: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val seriesJson = series23
+      .map(t => s"[${t._1},${t._2},${t._3}]").mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"tws_bench","sf":"$sfDir","chunks":$chunks,""" +
+        s""""st19":{"token_rows":$tokRows,"sec":${fmt(sec19)},""" +
+        s""""rows_per_sec":${fmt(tokRows / sec19)},""" +
+        s""""batches":$batches19,"docs":$nDocs,""" +
+        s""""state_rows":$nState,"state_bytes":$bytes19,""" +
+        s""""bit_equal_batch":true},""" +
+        s""""st23":{"input_rows":$evRows,"users":$nUsers,""" +
+        s""""sec":${fmt(sec23)},"rows_per_sec":${fmt(evRows / sec23)},""" +
+        s""""delay_us":$delayUs,"peak_state_rows":$peak23,""" +
+        s""""final_state_rows":$finalRows23,"state_bytes":$bytes23,""" +
+        s""""emitted_rows":${got.count()},"equals_batch_scd2":true,""" +
+        s""""series_batch_total_updated":$seriesJson}}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_TWS_OUT",
+      "target/twsbench.json")
+    Files.createDirectories(Paths.get(outPath).toAbsolutePath.getParent)
+    Files.writeString(Paths.get(outPath), json)
+    println(json)
+    spark.stop()
+  }
+}
