@@ -216,15 +216,33 @@ object WindowQueries extends QueryPack {
     // Scale: partitioned by (mktsegment, nationkey) — 5×25 cohorts —
     // never by the bare 5-value segment key, so no sort task holds
     // more than one cohort and partition count grows with the dims.
+    // Distribution functions in INTEGER-RATIONAL form (r16; the
+    // repo's cross-engine discipline, as text_bm25): the raw ratios
+    // round(pct, 12) diverged between engines at the 100x staging —
+    // a value landing on the 12th-digit rounding knife-edge (measured
+    // absdiff 1e-12 at row 299661) — while the rational numerators
+    // are exact. percent_rank ≡ (rank−1)/(n−1) and cume_dist ≡
+    // peers_at_or_before/n, so multiplying the built-in's double back
+    // by its denominator and rounding recovers the integer exactly:
+    // the relative error of one IEEE division is ≤ 2⁻⁵², so the
+    // absolute error after the multiply is ≤ n·2⁻⁵² ≪ 0.5 for any
+    // partition below 2⁵¹ rows. The plan still exercises the real
+    // percent_rank/cume_dist window operators; consumers wanting the
+    // double divide num/den.
     "win_distribution" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"c_mktsegment", $"c_nationkey")
         .orderBy($"c_acctbal", $"c_custkey")
+      val wp = Window.partitionBy($"c_mktsegment", $"c_nationkey")
       Tables.load(s, dir, "customer")
         .select($"c_mktsegment", $"c_nationkey", $"c_custkey",
           $"c_acctbal",
-          round(percent_rank().over(w), 12).as("pct_rank"),
-          round(cume_dist().over(w), 12).as("cume"))
+          count(lit(1)).over(wp).as("n_rows"),
+          percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+        .select($"c_mktsegment", $"c_nationkey", $"c_custkey",
+          $"c_acctbal", $"n_rows",
+          round($"pr" * ($"n_rows" - 1L)).cast(LongType).as("pct_num"),
+          round($"cd" * $"n_rows").cast(LongType).as("cume_num"))
         .orderBy($"c_mktsegment", $"c_nationkey", $"c_custkey")
     })
   )
@@ -367,13 +385,19 @@ object WindowQueries extends QueryPack {
         |  min(ts_s) AS start_s, max(ts_s) - min(ts_s) AS dur_s
         |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
 
+    // Same rational recovery (see the query comment): the round-back
+    // is exact in both engines, so the compare is integer-exact.
     "win_distribution" ->
       """SELECT c_mktsegment, c_nationkey, c_custkey, c_acctbal,
-        |  round(percent_rank() OVER w, 12) AS pct_rank,
-        |  round(cume_dist() OVER w, 12) AS cume
+        |  count(*) OVER wp AS n_rows,
+        |  CAST(round(percent_rank() OVER w * (count(*) OVER wp - 1))
+        |       AS BIGINT) AS pct_num,
+        |  CAST(round(cume_dist() OVER w * count(*) OVER wp)
+        |       AS BIGINT) AS cume_num
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment, c_nationkey
-        |             ORDER BY c_acctbal, c_custkey)
+        |             ORDER BY c_acctbal, c_custkey),
+        |  wp AS (PARTITION BY c_mktsegment, c_nationkey)
         |ORDER BY c_mktsegment, c_nationkey, c_custkey""".stripMargin
   )
 }
