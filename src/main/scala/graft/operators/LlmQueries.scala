@@ -49,6 +49,29 @@ object LlmQueries extends QueryPack {
   val mmrShort = 20
   val mmrPicks = 3
 
+  /** vec_lsh knobs — L hash tables × b signed projections per table,
+    * shared by the Spark key and the DuckDB oracle. */
+  val lshTables = 4
+  val lshBits = 6
+  val lshDims = 64
+
+  /** The (t, j) hyperplane's ±1 entry at dimension d: parity of the
+    * first hex digit of md5("t_j_d"). md5 is engine-independent and
+    * properly mixing — a multiplicative-congruential parity is LINEAR
+    * in the flattened plane index, so two planes came out
+    * bit-identical (measured max |plane dot| = 64/64; md5 gives
+    * 28/64, the random-sign regime). The DuckDB oracle evaluates the
+    * same md5 text; this Scala twin feeds the plane in as a literal
+    * array so the Spark side stays one map-side codegen fold. */
+  private[graft] def lshSign(t: Int, j: Int, d: Int): Float = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${t}_${j}_$d".getBytes("UTF-8"))
+    if (((md(0) >> 4) & 1) == 0) 1.0f else -1.0f
+  }
+
+  private[graft] def lshPlane(t: Int, j: Int): Array[Float] =
+    Array.tabulate(lshDims)(d => lshSign(t, j, d))
+
   /** Distinct (doc_id, term) pairs, lowercased whitespace tokens. */
   private def tokens(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
@@ -624,6 +647,64 @@ object LlmQueries extends QueryPack {
           qIdCol = "vec_id", qVecCol = "embedding",
           cIdCol = "vec_id", cVecCol = "embedding")
         .select($"q_id", $"rank", $"c_id", round($"cos", 6).as("cos_r"))
+        .orderBy($"q_id", $"rank")
+    }),
+
+    // Hyperplane LSH ANN (r16; Charikar STOC'02 random-projection
+    // family): the TRAINING-FREE complement to the IVF path — no
+    // centroid/codebook build, so it works on day-0 corpora and
+    // streaming inserts where k-means hasn't run. L=4 tables × b=6
+    // signed projections; the ±1 hyperplanes derive from md5 of the
+    // (table, bit, dim) index — deterministic, engine-independent,
+    // and actually independent across planes (a multiplicative-LCG
+    // parity stays LINEAR in the plane index, which made two planes
+    // bit-identical — measured, hence md5). Scale shape: bucket ids
+    // are a pure MAP-SIDE fold per vector (24 sequential fdot folds,
+    // zero shuffle); the bounded query side broadcasts, so candidate
+    // generation is one broadcast-hash probe of the corpus + a
+    // distinct on the (tiny) collision set; only candidates pay the
+    // exact cosine. At 100 TB the buckets partition the corpus the
+    // way the IVF cells do, but with no model artifact to ship.
+    // n_cand exposes the per-query candidate volume (the knob b/L
+    // trade recall against), oracled exactly.
+    "vec_lsh" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.VectorExpressions.register(s)
+      val e = Tables.load(s, dir, "embeddings")
+        .select($"vec_id", $"embedding",
+          expr("fnorm2(embedding)").as("ss"))
+      val buckets = {
+        val bktCols = (0 until lshTables).map { t =>
+          (0 until lshBits).map { j =>
+            val pl = typedLit(lshPlane(t, j))
+            when(call_function("fdot", $"embedding", pl) >= lit(0.0),
+              lit(1L << j)).otherwise(lit(0L))
+          }.reduce(_ + _)
+        }
+        e.select($"vec_id", posexplode(array(bktCols: _*)).as(Seq("t", "bkt")))
+      }
+      val cand = broadcast(
+          buckets.filter($"vec_id" < 10)
+            .select($"vec_id".as("q_id"), $"t", $"bkt"))
+        .join(buckets.select($"vec_id".as("c_id"), $"t", $"bkt"),
+          Seq("t", "bkt"))
+        .filter($"q_id" =!= $"c_id")
+        .select($"q_id", $"c_id").distinct()
+      val scored = cand
+        .join(broadcast(e.select($"vec_id".as("q_id"),
+          $"embedding".as("qe"), $"ss".as("qss"))), Seq("q_id"))
+        .join(e.select($"vec_id".as("c_id"),
+          $"embedding".as("ce"), $"ss".as("css")), Seq("c_id"))
+        .select($"q_id", $"c_id",
+          (expr("fdot(qe, ce)") / sqrt($"qss" * $"css")).as("cos"))
+      scored
+        .withColumn("n_cand",
+          count(lit(1)).over(Window.partitionBy($"q_id")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"cos".desc, $"c_id")))
+        .filter($"rank" <= 5)
+        .select($"q_id", $"rank".cast(LongType).as("rank"), $"c_id",
+          round($"cos", 6).as("cos_r"), $"n_cand")
         .orderBy($"q_id", $"rank")
     }),
 
@@ -1203,6 +1284,54 @@ object LlmQueries extends QueryPack {
         |SELECT q_id, CAST(pick AS BIGINT) AS pick, c_id,
         |  round(score, 6) AS score_r
         |FROM cum$mmrPicks ORDER BY q_id, pick""".stripMargin
+    },
+
+    // The md5-parity plane, the sequential-fold projection and the
+    // bucket fold all mirror the Spark side term-for-term; candidate
+    // pairs and the exact re-rank replay the same DISTINCT + window.
+    "vec_lsh" -> {
+      s"""WITH pl AS (
+        |  SELECT t, j, list(CASE WHEN strpos('02468ace',
+        |      substr(md5(CAST(t AS VARCHAR) || '_' ||
+        |        CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1))
+        |      > 0 THEN CAST(1.0 AS DOUBLE) ELSE -1.0 END ORDER BY d)
+        |    AS pv
+        |  FROM generate_series(0, ${lshTables - 1}) tt(t),
+        |       generate_series(0, ${lshBits - 1}) jj(j),
+        |       generate_series(0, ${lshDims - 1}) dd(d)
+        |  GROUP BY t, j),
+        |e AS (SELECT vec_id, embedding,
+        |  list_reduce(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |    (a, b) -> a + b) AS ss FROM embeddings),
+        |bits AS (
+        |  SELECT e.vec_id, pl.t, pl.j,
+        |    CASE WHEN list_reduce(list_transform(
+        |        list_zip(e.embedding, pl.pv),
+        |        p -> CAST(p[1] AS DOUBLE) * p[2]),
+        |        (a, b) -> a + b) >= 0.0
+        |      THEN CAST(1 AS BIGINT) << j ELSE 0 END AS bv
+        |  FROM e CROSS JOIN pl),
+        |bkt AS (SELECT vec_id, t, CAST(sum(bv) AS BIGINT) AS bkt
+        |  FROM bits GROUP BY vec_id, t),
+        |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+        |  FROM bkt q JOIN bkt c ON q.t = c.t AND q.bkt = c.bkt
+        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |nc AS (SELECT q_id, count(*) AS n_cand FROM cand GROUP BY q_id),
+        |pairs AS (SELECT cand.q_id, cand.c_id,
+        |    list_reduce(list_transform(
+        |      list_zip(qe.embedding, ce.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+        |      (a, b) -> a + b) / sqrt(qe.ss * ce.ss) AS cos
+        |  FROM cand
+        |  JOIN e qe ON qe.vec_id = cand.q_id
+        |  JOIN e ce ON ce.vec_id = cand.c_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |  ORDER BY cos DESC, c_id) AS rank FROM pairs)
+        |SELECT r.q_id, r.rank, r.c_id, round(r.cos, 6) AS cos_r,
+        |  nc.n_cand
+        |FROM ranked r JOIN nc USING (q_id)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
     },
 
     "vec_knn" ->

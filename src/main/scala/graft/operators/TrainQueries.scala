@@ -61,6 +61,44 @@ object TrainQueries extends QueryPack {
       |                  '|', ma, mb)
       |    ELSE concat(acc, '|', x) END) END""".stripMargin
 
+  /** text_bpe_encode's dictionary: (term, st) — every distinct corpus
+    * term after the SAME bpeRounds greedy merges text_bpe_merges
+    * learns (identical pair counting, argmax tie order and merge
+    * fold; the only difference is that `term` rides along so the
+    * final state maps term → its encoded symbol string). Vocabulary-
+    * sized at every round — corpus-size-independent like training —
+    * and session-cached: one build serves every encode query. */
+  private def bpeDict(s: org.apache.spark.sql.SparkSession,
+                      dir: String): org.apache.spark.sql.DataFrame =
+    graft.SessionCache.cached(s, s"bpe.dict:$dir") {
+      import s.implicits._
+      val w0 = Tables.load(s, dir, "documents")
+        .select(explode(split(lower($"text"), " ")).as("term"))
+        .filter($"term" =!= "" && !$"term".contains("|"))
+        .groupBy($"term").agg(count(lit(1)).as("freq"))
+      var st = w0.select($"term",
+          expr("array_join(transform(sequence(1, length(term)), " +
+            "i -> substr(term, i, 1)), '|')").as("st"),
+          $"freq")
+        .localCheckpoint(true)
+      for (_ <- 1 to bpeRounds) {
+        val pairs = st
+          .select(expr("split(st, '\\\\|')").as("arr"), $"freq")
+          .withColumn("i", explode(expr(
+            "CASE WHEN size(arr) < 2 THEN array() " +
+              "ELSE sequence(1, size(arr) - 1) END")))
+          .select(expr("element_at(arr, i)").as("a"),
+            expr("element_at(arr, i + 1)").as("b"), $"freq")
+          .groupBy($"a", $"b").agg(sum($"freq").as("n"))
+        val m = pairs.orderBy($"n".desc, $"a", $"b").limit(1)
+          .select($"a".as("ma"), $"b".as("mb"))
+        st = st.crossJoin(broadcast(m))
+          .select($"term", expr(bpeMergeExpr).as("st"), $"freq")
+          .localCheckpoint(true)
+      }
+      st.select($"term", $"st")
+    }
+
   /** 16-bit tf-weighted SimHash signature per doc — shared by
     * `dedup_simhash` (exact-signature mates) and `dedup_hamming`
     * (Hamming-ball candidates).
@@ -644,6 +682,36 @@ object TrainQueries extends QueryPack {
           .localCheckpoint(true)
       }
       out.orderBy($"round")
+    }),
+
+    // BPE ENCODE (r16) — the other half of the tokenizer story:
+    // text_bpe_merges LEARNS the merge table; this key APPLIES it to
+    // the corpus and reports per-doc token accounting (the number an
+    // LLM-data pipeline actually bills by). Scale shape: the merge
+    // loop runs over the VOCABULARY (corpus-size-independent, same
+    // rounds as training — here carrying `term` through so the final
+    // state IS the encode dictionary, session-cached); the corpus
+    // pass is one explode + an equi-join on term + a per-doc
+    // aggregate — no per-occurrence merge folds, because identical
+    // words encode identically (encode once per distinct term, join
+    // back). All outputs are integer counts — exact cross-engine.
+    "text_bpe_encode" -> ((s, dir) => {
+      import s.implicits._
+      val dict = bpeDict(s, dir)
+        .select($"term",
+          size(split($"st", "\\|")).cast(LongType).as("n_tok"))
+      val words = Tables.load(s, dir, "documents")
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+        .filter($"term" =!= "" && !$"term".contains("|"))
+      // The dict is vocabulary-sized (and the checkpointed relation
+      // carries no stats, which otherwise tempts the planner into
+      // broadcasting the CORPUS side) — broadcast it explicitly.
+      words.join(broadcast(dict), Seq("term"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(length($"term")).cast(LongType).as("n_chars"),
+          sum($"n_tok").as("n_tokens"))
+        .orderBy($"doc_id")
     }),
 
     "text_tokens" -> ((s, dir) => {
@@ -1370,6 +1438,54 @@ object TrainQueries extends QueryPack {
          |$rounds
          |$sel
          |ORDER BY round""".stripMargin
+    },
+
+    // The same unrolled rounds, carrying `term` through each state so
+    // the final state is the encode dictionary; the corpus join +
+    // per-doc aggregate mirror the Spark side.
+    "text_bpe_encode" -> {
+      val rounds = (1 to bpeRounds).map { r =>
+        s"""p$r AS MATERIALIZED (SELECT arr[i] AS a, arr[i+1] AS b,
+           |    CAST(sum(freq) AS BIGINT) AS n
+           |  FROM (SELECT string_split(st, '|') AS arr, freq
+           |        FROM s${r - 1}) x,
+           |       unnest(range(1, len(arr))) AS rr$r(i)
+           |  GROUP BY a, b),
+           |m$r AS MATERIALIZED (SELECT a, b FROM p$r
+           |  ORDER BY n DESC, a, b LIMIT 1),
+           |s$r AS MATERIALIZED (SELECT term,
+           |    CASE WHEN len(arr) < 2 THEN st
+           |    ELSE list_reduce(arr, (acc, x) -> CASE
+           |      WHEN acc = m.a AND x = m.b THEN acc || x
+           |      WHEN ends_with(acc, '|' || m.a) AND x = m.b
+           |        THEN substr(acc, 1, len(acc) - len(m.a) - 1) ||
+           |             '|' || m.a || m.b
+           |      ELSE acc || '|' || x END) END AS st, freq
+           |  FROM (SELECT term, st, string_split(st, '|') AS arr, freq
+           |        FROM s${r - 1}) x
+           |  CROSS JOIN m$r m)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w0 AS MATERIALIZED (SELECT term, count(*) AS freq FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS term
+         |    FROM documents) t
+         |  WHERE term <> '' AND NOT contains(term, '|')
+         |  GROUP BY term),
+         |s0 AS MATERIALIZED (SELECT term,
+         |    array_to_string(string_split(term, ''), '|') AS st, freq
+         |  FROM w0),
+         |$rounds,
+         |enc AS (SELECT term,
+         |    CAST(len(string_split(st, '|')) AS BIGINT) AS n_tok
+         |  FROM s$bpeRounds),
+         |w AS (SELECT doc_id, term FROM (
+         |    SELECT doc_id, unnest(string_split(lower(text), ' '))
+         |      AS term FROM documents) t
+         |  WHERE term <> '' AND NOT contains(term, '|'))
+         |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(len(w.term)) AS BIGINT) AS n_chars,
+         |  CAST(sum(enc.n_tok) AS BIGINT) AS n_tokens
+         |FROM w JOIN enc ON enc.term = w.term
+         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
     },
 
     "text_tokens" ->

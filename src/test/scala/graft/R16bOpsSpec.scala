@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** r16 second-wave laws for the two new keys.
+  *
+  *  - `vec_lsh`: (1) plane-family independence — the md5-parity signs
+  *    exist because a multiplicative-LCG parity is LINEAR in the
+  *    flattened plane index and produced two bit-identical planes
+  *    (measured |dot| = 64/64); this law pins the fix. (2) Full
+  *    result equality against an independent driver-side mirror of
+  *    the whole pipeline (buckets → candidate union → exact cosine
+  *    top-5) — the DuckDB oracle already proves cross-engine
+  *    agreement, this proves both engines compute the DESIGN, not a
+  *    shared misreading (the r16 quantizer lesson: agreement is not
+  *    sanity).
+  *
+  *  - `text_bpe_encode`: per-doc token accounting must equal a
+  *    driver-side reference encode that applies the ORACLED
+  *    `text_bpe_merges` table word-by-word (the R11dOpsSpec reference
+  *    merger semantics) — tying encode to the learned merges
+  *    end-to-end, not just to its own oracle mirror.
+  */
+class R16bOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def q(key: String) = SparkEntry.queries(key)(spark, sf)
+
+  test("vec_lsh planes are pairwise independent (md5 mixing)") {
+    import operators.LlmQueries.{lshBits, lshDims, lshPlane, lshTables}
+    val planes = (for (t <- 0 until lshTables; j <- 0 until lshBits)
+      yield lshPlane(t, j)).toVector
+    val dots = for {
+      i <- planes.indices; k <- planes.indices if i < k
+    } yield planes(i).zip(planes(k)).map { case (a, b) => a * b }.sum.toInt
+    assert(dots.forall(d => math.abs(d) < lshDims),
+      s"degenerate plane pair: max |dot| = ${dots.map(math.abs).max} " +
+        s"of $lshDims")
+    // And balanced: no plane is near-constant.
+    planes.foreach { p =>
+      assert(math.abs(p.sum) < lshDims / 2,
+        s"unbalanced plane: |sum| = ${p.sum}")
+    }
+  }
+
+  test("vec_lsh equals an independent driver-side mirror end-to-end") {
+    import operators.LlmQueries.{lshBits, lshDims, lshPlane, lshTables}
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def bucket(v: Array[Float], t: Int): Long =
+      (0 until lshBits).map { j =>
+        val pl = lshPlane(t, j)
+        var acc = 0.0
+        var d = 0
+        while (d < lshDims) { acc += v(d).toDouble * pl(d); d += 1 }
+        if (acc >= 0.0) 1L << j else 0L
+      }.sum
+    val buckets: Map[(Long, Int), Long] = (for {
+      (id, v) <- emb.toSeq; t <- 0 until lshTables
+    } yield (id, t) -> bucket(v, t)).toMap
+    val cand = (for {
+      qid <- emb.keys.toSeq if qid < 10
+      cid <- emb.keys.toSeq if cid != qid
+      if (0 until lshTables)
+        .exists(t => buckets((qid, t)) == buckets((cid, t)))
+    } yield (qid, cid)).toSet
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var sa = 0.0; var sb = 0.0
+      var d = 0
+      while (d < lshDims) {
+        dot += a(d).toDouble * b(d).toDouble
+        sa += a(d).toDouble * a(d).toDouble
+        sb += b(d).toDouble * b(d).toDouble
+        d += 1
+      }
+      dot / math.sqrt(sa * sb)
+    }
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nCand = cand.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val want = cand.groupBy(_._1).toSeq.flatMap { case (qid, pairs) =>
+      pairs.toSeq
+        .map { case (_, cid) => (cid, cos(emb(qid), emb(cid))) }
+        .sortBy { case (cid, c) => (-c, cid) }
+        .take(5).zipWithIndex
+        .map { case ((cid, c), i) =>
+          (qid, (i + 1).toLong, cid, r6(c), nCand(qid)) }
+    }.sortBy(r => (r._1, r._2))
+    val got = q("vec_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(got == want,
+      s"vec_lsh differs from the mirror:\n got  ${got.take(6)}\n" +
+        s" want ${want.take(6)}")
+    assert(got.nonEmpty, "vacuous: no LSH candidates at sf0.001")
+  }
+
+  test("text_bpe_encode equals reference encode over the learned merges") {
+    val merges = q("text_bpe_merges").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    def mergeWord(syms: Vector[String], a: String, b: String)
+        : Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val want = Tables.load(spark, sf, "documents")
+      .select($"doc_id", lower($"text")).collect()
+      .map { r =>
+        val words = r.getString(1).split(" ")
+          .filter(w => w.nonEmpty && !w.contains("|"))
+        val nTok = words.map { w =>
+          var syms = w.toVector.map(_.toString)
+          merges.foreach { case (a, b) => syms = mergeWord(syms, a, b) }
+          syms.length.toLong
+        }.sum
+        (r.getLong(0), words.length.toLong,
+          words.map(_.length.toLong).sum, nTok)
+      }
+      .filter(_._2 > 0L) // docs with no encodable words drop (inner join)
+      .toSeq.sortBy(_._1)
+    val got = q("text_bpe_encode").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want,
+      s"encode differs from reference:\n got  ${got.take(5)}\n" +
+        s" want ${want.take(5)}")
+    // Non-vacuous: at least one word actually merged (tokens < chars).
+    assert(got.exists(r => r._4 < r._3),
+      "vacuous: no word's token count shrank below its char count")
+  }
+}
