@@ -694,6 +694,100 @@ object StreamQueries {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** st24 (r16) — CHAINED STATEFUL OPERATORS: at-least-once
+    * ingestion's real shape in ONE query — a watermarked
+    * `dropDuplicatesWithinWatermark` (consumer replays re-deliver
+    * records; st6 runs this operator alone) feeding a watermarked
+    * tumbling aggregation downstream, Spark's multiple-stateful-
+    * operators support the st1–st23 surface never exercises. Both
+    * states stay bounded: dedup state keyed by event_id and
+    * watermark-evicted, agg state by (window, type). The law the
+    * equivalence test rides: a duplicate is either younger than the
+    * watermark — then its original's dedup state is necessarily
+    * still alive (eviction needs wm > ts + delay, which would make
+    * the duplicate itself late) and state drops it — or it is late
+    * and the watermark filter drops it; either way the downstream
+    * agg counts every event_id exactly once. */
+  def dedupThenTumbling(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val deduped =
+      if (events.isStreaming)
+        events.withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+      else events.dropDuplicates("event_id")
+    deduped
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), Det.dsum($"value").as("sum_v"))
+      .select($"window.start".as("ws"), $"event_type", $"n", $"sum_v")
+  }
+
+  case class TypeStat(n: Long, cents: Long)
+  case class UserTypeOut(user_id: Long, event_type: String, n: Long,
+      sum_cents: Long, total_n: Long)
+
+  /** st25 (r16) — MAPSTATE on `transformWithState`: the per-user
+    * FEATURE MAP an online feature store maintains — per (user,
+    * event_type) running (count, exact cents) as a keyed sub-map,
+    * emitted as full-map snapshots in update mode. MapState is the
+    * right primitive (vs a ValueState holding a Map) because a
+    * RocksDB update touches ONLY the changed sub-key — a user with a
+    * thousand tracked features and one new event writes one entry,
+    * not the serialized whole map (the same write-amplification
+    * discipline st23's buffer-rewrite rule guards). total_n counts
+    * every arrival per user, strictly increasing, so the max-total_n
+    * rows per user are the final snapshot in update mode (the
+    * st7/st20/st21 marker). */
+  class UserTypeMapProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventRow, UserTypeOut] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode,
+      TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var types: MapState[String, TypeStat] = _
+    @transient private var tot: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      types = getHandle.getMapState[String, TypeStat]("types",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.product[TypeStat], TTLConfig.NONE)
+      tot = getHandle.getValueState[Long]("total",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timers: TimerValues): Iterator[UserTypeOut] = {
+      var total = if (tot.exists()) tot.get() else 0L
+      rows.foreach { e =>
+        val cur = if (types.containsKey(e.event_type))
+          types.getValue(e.event_type) else TypeStat(0L, 0L)
+        types.updateValue(e.event_type,
+          TypeStat(cur.n + 1, cur.cents + cents(e.value)))
+        total += 1
+      }
+      tot.update(total)
+      val t = total
+      types.iterator().map { case (et, st) =>
+        UserTypeOut(key, et, st.n, st.cents, t)
+      }
+    }
+  }
+
+  /** st25 entry: event stream -> per-user feature-map snapshots. */
+  def userTypeMapTws(events: Dataset[EventRow]): Dataset[UserTypeOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserTypeMapProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Batch analogue of st25's final per-user feature map. */
+  def userTypeBatch(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum((Det.money($"value") * 100).cast(LongType)).as("sum_cents"))
+  }
+
   /** st18 (r8) — the namesake sensor pipeline end-to-end on the
     * STREAM side, the incremental twin of the batch `pipeline_sensor`
     * key: raw CSV sensor lines → `from_csv` parse + validate (the

@@ -865,4 +865,92 @@ class StreamingEquivalenceSpec extends SparkTestBase {
       }
     }
   }
+
+  test("st24: chained stateful ops — dedup-within-watermark feeding " +
+       "a windowed agg == batch") {
+    // At-least-once ingestion in ONE query (two stateful operators):
+    // each time-ordered chunk is followed by a REPLAY file repeating
+    // its tail (ts within 30 min of the chunk max, so when the replay
+    // file becomes its own micro-batch the duplicates are provably
+    // NOT late — the watermark sits 1h behind the chunk max — and
+    // must be dropped by the dedup STATE, or the downstream counts
+    // inflate and the equivalence fails).
+    val dir = scratch("replay_st24")
+    val ev = batchEvents.orderBy($"ts", $"event_id")
+    val chunked = ev.coalesce(1)
+      .withColumn("rn", monotonically_increasing_id()).cache()
+    var staged = 0L
+    try {
+      val rows = chunked.count()
+      val per = math.max(1L, (rows + 3) / 4)
+      var idx = 0
+      (0 until 4).foreach { i =>
+        val chunk = chunked
+          .filter($"rn" >= i * per && $"rn" < (i + 1) * per)
+        val tmp = s"${dir}_tmp"
+        chunk.drop("rn").coalesce(1).write.mode("overwrite").parquet(tmp)
+        EventStreams.promoteChunk(tmp, dir, idx, ".parquet"); idx += 1
+        val mxTs = chunk.agg(max($"ts")).head().getTimestamp(0)
+        val dups = chunk.filter($"ts" >= new java.sql.Timestamp(
+          mxTs.getTime - 30L * 60 * 1000)).drop("rn")
+        staged += dups.count()
+        dups.coalesce(1).write.mode("overwrite").parquet(tmp)
+        EventStreams.promoteChunk(tmp, dir, idx, ".parquet"); idx += 1
+      }
+      // Watermark-flush sentinel so every real window emits in append.
+      val maxTs = batchEvents.agg(max($"ts")).head().getTimestamp(0)
+      val far = new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000)
+      val tmp = s"${dir}_tmp"
+      Seq((Long.MaxValue, far, -1L, "wmflush", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      EventStreams.promoteChunk(tmp, dir, idx, ".parquet")
+    } finally chunked.unpersist()
+    assert(staged > 0, "st24 staging produced no duplicates")
+    val stream = EventStreams.readEventStream(spark, dir)
+    val got = runToMemory(StreamQueries.dedupThenTumbling(stream),
+      "st24_out", "append")
+    // == batch over the ORIGINAL events: every duplicate state-dropped
+    // (or late-dropped), the sentinel's own window never emitted.
+    assertSameRows(got, StreamQueries.dedupThenTumbling(batchEvents),
+      "st24 chained dedup+agg vs batch")
+  }
+
+  test("st25: MapState feature map (RocksDB) converges to batch " +
+       "per-(user, type) aggregate") {
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val stream = EventStreams.readEventStream(
+        spark, replayDir("st25", sentinel = false))
+      val got = runToMemory(
+        StreamQueries.userTypeMapTws(
+          stream.as[StreamQueries.EventRow]).toDF(),
+        "st25_out", "update")
+      // Non-vacuous: some user's map grew across micro-batches.
+      assert(got.select($"user_id", $"total_n").distinct()
+          .groupBy($"user_id").count()
+          .agg(max($"count")).head().getLong(0) >= 2,
+        "st25 staging never updated a user across micro-batches")
+      // total_n strictly increases per user; its max marks the final
+      // full-map snapshot emission.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id")
+      val fin = got.withColumn("mx", max($"total_n").over(w))
+        .filter($"total_n" === $"mx")
+        .select($"user_id", $"event_type", $"n", $"sum_cents")
+      assertSameRows(fin, StreamQueries.userTypeBatch(batchEvents),
+        "st25 MapState snapshot vs batch")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
