@@ -29,6 +29,13 @@ import org.apache.spark.sql.types.StructType
   *   ~#users after the sentinel batch (buffer drained, one Scd2St
   *   value row per user remains).
   *
+  * - st25 (MapState feature map, r16): state is claimed O(users x
+  *   distinct types per user). Laws: (a) the final full-map snapshot
+  *   (max-total_n rows per user) equals the batch (user, type)
+  *   aggregate at 10M events; (b) the listener-reported final state
+  *   rows land at EXACTLY map entries + one counter row per user —
+  *   the arithmetic form of "bounded by key cardinality, not input".
+  *
   * Output: one JSON line, persisted to SPARK_GRAFT_TWS_OUT (default
   * target/twsbench.json) — elapsed/rows-per-sec per op, the st23
   * per-batch state series, state-dir bytes, and law verdicts. Laws
@@ -206,6 +213,59 @@ object TwsBench {
         "buffer is not horizon-bounded")
     val bytes23 = dirBytes(s"$chk23/state")
 
+    // ---------------- st25: MapState feature map ----------------
+    // State is O(users x distinct types per user) BY DESIGN — the law
+    // here is that the listener-reported state rows land at exactly
+    // that product (plus the one total-counter value row per user),
+    // never at O(input rows), and that the final snapshot equals the
+    // batch (user, type) aggregate at 10M events on RocksDB.
+    val events25 = graft.Tables.load(spark, sfDir, "events")
+    val evDir25 = s"$work/ev25"
+    val out25 = s"$work/out25"
+    val chk25 = s"$work/chk25"
+    Seq(evDir25, out25, chk25).foreach(p =>
+      graft.Util.deleteRecursively(new java.io.File(p)))
+    // No ordering contract: counts are commutative and total_n is
+    // monotone per user under any arrival order — one partitioned
+    // write, docs scattered across ~chunks micro-batches at mft=4.
+    events25.repartition(chunks * 4).write.parquet(evDir25)
+    val evRows25 = spark.read.parquet(evDir25).count()
+    series.clear()
+    val t25 = System.nanoTime()
+    EventStreams.runToCompletion(
+      StreamQueries.userTypeMapTws(
+        spark.readStream.schema(graft.Tables.events)
+          .option("maxFilesPerTrigger", 4).parquet(evDir25)
+          .as[StreamQueries.EventRow]).toDF()
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", chk25)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out25)
+        })
+    val sec25 = (System.nanoTime() - t25) / 1e9
+    val series25 = series.toSeq.sortBy(_._1)
+    val finalRows25 = if (series25.isEmpty) -1L else series25.last._2
+    val batches25 = series25.size
+    // Final snapshot (max-total_n rows per user) == batch aggregate.
+    val emitted = spark.read.parquet(out25)
+    val w25 = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id")
+    val fin25 = emitted.withColumn("mx", max($"total_n").over(w25))
+      .filter($"total_n" === $"mx")
+      .select($"user_id", $"event_type", $"n", $"sum_cents")
+    val want25 = StreamQueries.userTypeBatch(events25)
+    val x1 = fin25.exceptAll(want25).count()
+    val x2 = want25.exceptAll(fin25).count()
+    require(x1 == 0 && x2 == 0,
+      s"st25 final snapshot != batch agg: fin\\batch=$x1 batch\\fin=$x2")
+    val userTypes = want25.count()
+    val nUsers25 = events25.select($"user_id").distinct().count()
+    // The state-size law: map entries + one counter row per user.
+    require(finalRows25 == userTypes + nUsers25,
+      s"st25 state rows $finalRows25 != map entries $userTypes + " +
+        s"users $nUsers25 — MapState is not O(users x types)")
+    val bytes25 = dirBytes(s"$chk25/state")
+
     def fmt(v: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val seriesJson = series23
@@ -222,7 +282,13 @@ object TwsBench {
         s""""delay_us":$delayUs,"peak_state_rows":$peak23,""" +
         s""""final_state_rows":$finalRows23,"state_bytes":$bytes23,""" +
         s""""emitted_rows":${got.count()},"equals_batch_scd2":true,""" +
-        s""""series_batch_total_updated":$seriesJson}}"""
+        s""""series_batch_total_updated":$seriesJson},""" +
+        s""""st25":{"input_rows":$evRows25,"users":$nUsers25,""" +
+        s""""user_types":$userTypes,"sec":${fmt(sec25)},""" +
+        s""""rows_per_sec":${fmt(evRows25 / sec25)},""" +
+        s""""batches":$batches25,"final_state_rows":$finalRows25,""" +
+        s""""state_bytes":$bytes25,""" +
+        s""""equals_batch_agg":true,"state_law_users_x_types":true}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_TWS_OUT",
       "target/twsbench.json")
     Files.createDirectories(Paths.get(outPath).toAbsolutePath.getParent)
