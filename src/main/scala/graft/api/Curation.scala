@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{DoubleType, StringType}
 
 /** Reusable corpus-curation building blocks — the public surface
   * behind the oracled privacy / sampling keys (SURVEY.md §2.M). The
@@ -44,6 +44,50 @@ object Curation {
       .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_rows"))
       .select(col("l"), col("n_groups"), col("n_rows"),
         (col("l") < l).as("risky"))
+  }
+
+  /** t-closeness audit (Li et al., ICDE'07) — the third privacy gate:
+    * a group can be k-safe AND l-diverse and still leak if its
+    * sensitive-value DISTRIBUTION diverges from the table's. For an
+    * ORDERED sensitive attribute the distance is the Earth Mover's
+    * Distance = (1/(m−1)) · Σ |cumulative (class share − global
+    * share)|. Shares never materialize as floats: every term rides
+    * the common denominator n_class · n_total as exact BIGINTs, and
+    * the single final division of two exact integers < 2^53 is
+    * IEEE-correctly-rounded identically cross-engine (§7.4). Output
+    * per class: (cls, n_rows, m_bands, emd_num, den, emd_r, risky =
+    * emd > t). Scale: two aggregates over the table plus a dense
+    * (classes × bands) grid that is dimension-sized, never row-sized
+    * — the grid and per-band globals broadcast. */
+  def tCloseness(df: DataFrame, cls: Column, band: Column,
+      t: Double = 0.2): DataFrame = {
+    val base = df.select(cls.as("cls"), band.as("band"))
+    val cnt = base.groupBy(col("cls"), col("band"))
+      .agg(count(lit(1)).as("n"))
+    val classes = base.select(col("cls")).distinct()
+    val bands = base.select(col("band")).distinct()
+    val globals = base.agg(count(lit(1)).as("n_tot"),
+      countDistinct(col("band")).as("m_bands"))
+    val gband = base.groupBy(col("band")).agg(count(lit(1)).as("g"))
+    val wc = Window.partitionBy(col("cls"))
+    val wcum = Window.partitionBy(col("cls")).orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val den = (col("m_bands") - 1L) * col("n_cls") * col("n_tot")
+    val emd = col("emd_num").cast(DoubleType) / den.cast(DoubleType)
+    classes.crossJoin(broadcast(bands))
+      .join(cnt, Seq("cls", "band"), "left")
+      .na.fill(0L, Seq("n"))
+      .join(broadcast(gband), Seq("band"))
+      .crossJoin(broadcast(globals))
+      .withColumn("n_cls", sum(col("n")).over(wc))
+      .withColumn("diff",
+        col("n") * col("n_tot") - col("g") * col("n_cls"))
+      .withColumn("cum", sum(col("diff")).over(wcum))
+      .groupBy(col("cls"), col("n_cls"), col("m_bands"), col("n_tot"))
+      .agg(sum(abs(col("cum"))).as("emd_num"))
+      .select(col("cls"), col("n_cls").as("n_rows"), col("m_bands"),
+        col("emd_num"), den.as("den"),
+        round(emd, 12).as("emd_r"), (emd > t).as("risky"))
   }
 
   /** Class-balanced downsampling: keep at most `cap` rows per class,

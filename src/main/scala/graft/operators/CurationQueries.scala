@@ -206,6 +206,27 @@ object CurationQueries extends QueryPack {
         .orderBy($"l")
     }),
 
+    // t-closeness audit (r16; Li et al., ICDE'07) — completes the
+    // privacy trio: a group can be k-safe (privacy_kanon) and
+    // l-diverse (privacy_ldiversity) and still leak through its
+    // sensitive-value DISTRIBUTION. QI class = market segment;
+    // ordered sensitive attribute = 1e6-cent account-balance band
+    // (the +1e8 offset keeps `div`/`//` in agreement on negative
+    // balances, the privacy_kanon discipline). EMD stays
+    // integer-rational to the last step: one division of exact
+    // BIGINTs < 2^53, IEEE-identical cross-engine. Thin adapter over
+    // the public api.Curation.tCloseness.
+    "privacy_tclose" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.Curation.tCloseness(
+          Tables.load(s, dir, "customer"),
+          cls = $"c_mktsegment",
+          band = expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 " +
+            "AS BIGINT) + 100000000) div 100000000"),
+          t = 0.2)
+        .orderBy($"cls")
+    }),
+
     // Class-balanced downsampling: cap every language at 50 docs so
     // no class swamps the training mix (the label-balance step that
     // runs right after agg_gini's audit flags skew). Selection is by
@@ -761,6 +782,42 @@ object CurationQueries extends QueryPack {
         |  CAST(sum(k) AS BIGINT) AS n_rows,
         |  l < 3 AS risky
         |FROM g GROUP BY l ORDER BY l""".stripMargin,
+
+    // Same dense (class x band) grid, the same integer-rational EMD
+    // on the n_cls*n_tot common denominator, one IEEE division.
+    "privacy_tclose" ->
+      """WITH b AS (SELECT c_mktsegment AS cls,
+        |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |     + 100000000) // 100000000 AS band FROM customer),
+        |cnt AS (SELECT cls, band, count(*) AS n FROM b GROUP BY 1, 2),
+        |cl AS (SELECT DISTINCT cls FROM b),
+        |bd AS (SELECT DISTINCT band FROM b),
+        |dense AS (SELECT cl.cls, bd.band, COALESCE(cnt.n, 0) AS n
+        |  FROM cl CROSS JOIN bd
+        |  LEFT JOIN cnt ON cnt.cls = cl.cls AND cnt.band = bd.band),
+        |g AS (SELECT band, count(*) AS g FROM b GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_tot,
+        |    count(DISTINCT band) AS m_bands FROM b),
+        |d2 AS (SELECT dense.cls, dense.band, dense.n, g.g,
+        |    tot.n_tot, tot.m_bands,
+        |    sum(dense.n) OVER (PARTITION BY dense.cls) AS n_cls
+        |  FROM dense JOIN g USING (band) CROSS JOIN tot),
+        |d4 AS (SELECT cls, n_cls, m_bands, n_tot,
+        |    sum(CAST(n * n_tot - g * n_cls AS BIGINT))
+        |      OVER (PARTITION BY cls ORDER BY band
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum
+        |  FROM d2)
+        |SELECT cls, CAST(n_cls AS BIGINT) AS n_rows,
+        |  CAST(m_bands AS BIGINT) AS m_bands,
+        |  CAST(sum(abs(cum)) AS BIGINT) AS emd_num,
+        |  CAST((m_bands - 1) * n_cls * n_tot AS BIGINT) AS den,
+        |  round(CAST(sum(abs(cum)) AS DOUBLE) /
+        |    CAST((m_bands - 1) * n_cls * n_tot AS DOUBLE), 12) AS emd_r,
+        |  CAST(sum(abs(cum)) AS DOUBLE) /
+        |    CAST((m_bands - 1) * n_cls * n_tot AS DOUBLE) > 0.2 AS risky
+        |FROM d4 GROUP BY cls, n_cls, m_bands, n_tot
+        |ORDER BY cls""".stripMargin,
 
     "privacy_kanon" ->
       """WITH qi AS (SELECT c_mktsegment, c_nationkey,

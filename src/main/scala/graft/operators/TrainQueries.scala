@@ -248,7 +248,7 @@ object TrainQueries extends QueryPack {
           expr("sum_ps div n_bigrams").as("lm_score"))
     }
 
-  def queries: Seq[(String, Q)] = Seq(
+  def queries: Seq[(String, Q)] = Seq[(String, Q)](
     // MinHash signature (k=8, affine hashes over map-side termhash
     // term ids — no dictionary, no vocabulary pass; r9 verdict item 5)
     // + 4 LSH band keys (r=2). Banding docs into buckets by b1..b4 is
@@ -844,6 +844,58 @@ object TrainQueries extends QueryPack {
 
     "mm_headers" -> ((s, dir) => {
       import s.implicits._
+      mmHeaderRel(s, dir).orderBy($"doc_id")
+    }),
+
+    // End-to-end multimodal ingest audit (r16) — the composition the
+    // text side already has twice (pipeline_corpus: quality;
+    // pipeline_curate: sampling/packing), now for the mandate's
+    // multimodal pillar: header decode (the format gate) → perceptual
+    // dedup (near-identical images collapse BEFORE any decode spend —
+    // the order is the point: dedup is cheap hash arithmetic, decode
+    // is the budget) → frame sampling (the decode budget itself),
+    // reduced to the per-(format, keep) audit a pipeline owner reads:
+    // docs, distinct near-dup components, pixel budget, payload
+    // bytes, sampled frames. The header relation is the SAME code
+    // mm_headers oracles (mmHeaderRel — shared, zero drift) and the
+    // dedup relation the SAME session-cached hammingDedup artifact
+    // mm_dedup oracles, consumed once each; docs too short to hash
+    // (< 60 chars) stay kept singletons via the left join.
+    "pipeline_mm" -> ((s, dir) => {
+      import s.implicits._
+      val hdr = mmHeaderRel(s, dir)
+        .select($"doc_id", $"format", $"width", $"height", $"n_bytes")
+      val ded = ahashDedupRel(s, dir)
+        .select($"doc_id", $"comp", $"keep")
+      val fs = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          expr("octet_length(CAST(text AS BINARY)) div 32")
+            .cast(LongType).as("n_frames"),
+          (pmod($"doc_id", lit(3L)) + 2L).as("stride"))
+        .select($"doc_id", when($"n_frames" <= 0L, 0L)
+          .otherwise(expr("(n_frames - 1) div stride + 1"))
+          .as("sampled"))
+      hdr
+        .join(ded, Seq("doc_id"), "left")
+        .withColumn("comp", coalesce($"comp", $"doc_id"))
+        .withColumn("keep", coalesce($"keep", lit(true)))
+        .join(fs, Seq("doc_id"))
+        .groupBy($"format", $"keep")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"comp").as("n_comps"),
+          sum($"width" * $"height").as("pixels"),
+          sum($"n_bytes").as("sum_bytes"),
+          sum($"sampled").as("frames_sampled"))
+        .orderBy($"format", $"keep")
+    })) ++ moreQueries
+
+  /** Shared header-synthesis + decode relation (doc_id, format,
+    * width, height, sof_offset, n_bytes) — mm_headers' body,
+    * extracted r16 so pipeline_mm composes the IDENTICAL decode
+    * (shared code, not a copy that can drift). */
+  private[operators] def mmHeaderRel(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+      import s.implicits._
       val docs = Tables.load(s, dir, "documents")
         .withColumn("w", pmod($"doc_id", lit(640L)) + 1L)
         .withColumn("h", pmod($"doc_id" * 7L, lit(480L)) + 1L)
@@ -901,8 +953,12 @@ object TrainQueries extends QueryPack {
                 16, 10).cast(LongType)).as("height"),
           when($"is_jpeg" && $"sof_ok", $"sof_b").as("sof_offset"),
           octet_length($"payload").cast(LongType).as("n_bytes"))
-        .orderBy($"doc_id")
-    }),
+  }
+
+  /** The queries Seq continues here — split only because mmHeaderRel's
+    * definition (shared by mm_headers and pipeline_mm, above) cannot
+    * sit inside a Seq literal. */
+  private def moreQueries: Seq[(String, Q)] = Seq(
 
     // n-gram LM quality scoring (r7): the CCNet-style "how well does
     // this document match the corpus language model" filter, with the
@@ -1658,6 +1714,124 @@ object TrainQueries extends QueryPack {
         |  CASE WHEN is_jpeg AND sof_ok THEN sof_b END AS sof_offset,
         |  CAST(len(hs) // 2 AS BIGINT) AS n_bytes
         |FROM p2 ORDER BY doc_id""".stripMargin,
+
+    // Composition oracle: the mm_headers decode chain (CTEs renamed
+    // hd/hx/hp/hp2/hdr to coexist with the dedup chain's d/s/h), the
+    // mm_dedup chain verbatim, the frame-sample arithmetic, one
+    // audit aggregate — each stage's semantics identical to its
+    // standalone oracle.
+    "pipeline_mm" ->
+      s"""WITH hd AS (SELECT doc_id,
+        |    doc_id % 640 + 1 AS w, (doc_id * 7) % 480 + 1 AS h,
+        |    doc_id % 8 AS pad, text FROM documents),
+        |hx AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN
+        |    '89504E470D0A1A0A' || '0000000D' || '49484452'
+        |      || lpad(upper(hex(w)), 8, '0') || lpad(upper(hex(h)), 8, '0')
+        |      || '0802000000' || '00000000'
+        |  ELSE
+        |    'FFD8FFE0' || lpad(upper(hex(pad + 16)), 4, '0')
+        |      || '4A46494600' || '0101' || '00' || '0001' || '0001'
+        |      || '0000' || repeat('00', CAST(pad AS INT))
+        |      || 'FFC0' || '0011' || '08'
+        |      || lpad(upper(hex(h)), 4, '0') || lpad(upper(hex(w)), 4, '0')
+        |      || '03' || '012200' || '021101' || '031101'
+        |  END || upper(hex(encode(text))) AS hs FROM hd),
+        |hp AS (SELECT doc_id, hs,
+        |    substring(hs, 1, 16) = '89504E470D0A1A0A' AS is_png,
+        |    substring(hs, 1, 4) = 'FFD8' AS is_jpeg,
+        |    list_reduce(list_transform(string_split(substring(hs, 9, 4), ''),
+        |      c -> CAST(strpos('0123456789ABCDEF', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS app_len
+        |  FROM hx),
+        |hp2 AS (SELECT *, 5 + app_len AS sof_b,
+        |    substring(hs, CAST(2 * (5 + app_len) - 1 AS INT), 4) = 'FFC0'
+        |      AS sof_ok
+        |  FROM hp),
+        |hdr AS (SELECT doc_id,
+        |  CASE WHEN is_png THEN 'png'
+        |       WHEN is_jpeg AND sof_ok THEN 'jpeg'
+        |       ELSE 'unknown' END AS format,
+        |  CASE WHEN is_png THEN
+        |    list_reduce(list_transform(string_split(substring(hs, 33, 8), ''),
+        |      c -> CAST(strpos('0123456789ABCDEF', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b)
+        |  WHEN is_jpeg AND sof_ok THEN
+        |    list_reduce(list_transform(string_split(
+        |        substring(hs, CAST(2 * (sof_b + 7) - 1 AS INT), 4), ''),
+        |      c -> CAST(strpos('0123456789ABCDEF', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b)
+        |  END AS width,
+        |  CASE WHEN is_png THEN
+        |    list_reduce(list_transform(string_split(substring(hs, 41, 8), ''),
+        |      c -> CAST(strpos('0123456789ABCDEF', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b)
+        |  WHEN is_jpeg AND sof_ok THEN
+        |    list_reduce(list_transform(string_split(
+        |        substring(hs, CAST(2 * (sof_b + 5) - 1 AS INT), 4), ''),
+        |      c -> CAST(strpos('0123456789ABCDEF', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b)
+        |  END AS height,
+        |  CAST(len(hs) // 2 AS BIGINT) AS n_bytes
+        |FROM hp2),
+        |d AS (SELECT doc_id,
+        |    list_transform(string_split(substr(text, 1, 60), ''),
+        |      c -> CAST(ascii(c) AS BIGINT)) AS b
+        |  FROM documents WHERE length(text) >= 60),
+        |s AS (SELECT doc_id, b,
+        |    list_reduce(b, (a, x) -> a + x) AS s FROM d),
+        |h AS MATERIALIZED (SELECT doc_id,
+        |    list_reduce(list_transform(range(1, 61),
+        |      i -> CASE WHEN b[i] * 60 > s
+        |           THEN CAST(1 AS BIGINT) << (i - 1)
+        |           ELSE CAST(0 AS BIGINT) END),
+        |      (a, x) -> a + x) AS ahash
+        |  FROM s),
+        |reps AS MATERIALIZED (SELECT ahash, min(doc_id) AS rid
+        |  FROM h GROUP BY 1),
+        |blk AS (SELECT rid, ahash, k,
+        |    (ahash // (CAST(1 AS BIGINT) << (15 * k))) % 32768 AS blk
+        |  FROM reps CROSS JOIN generate_series(0, 3) AS g(k)),
+        |occ AS (SELECT k, blk, count(*) AS bucket_n,
+        |    min(rid) AS canon_rid, arg_min(ahash, rid) AS canon_hash
+        |  FROM blk GROUP BY 1, 2),
+        |bo AS (SELECT b.rid, b.ahash, b.k, b.blk,
+        |    o.bucket_n, o.canon_rid, o.canon_hash
+        |  FROM blk b JOIN occ o ON b.k = o.k AND b.blk = o.blk),
+        |pairs AS (SELECT DISTINCT da, db FROM (
+        |  SELECT a.rid AS da, b.rid AS db
+        |  FROM bo a JOIN bo b
+        |    ON a.k = b.k AND a.blk = b.blk AND a.rid < b.rid
+        |  WHERE a.bucket_n <= 256
+        |    AND bit_count(xor(a.ahash, b.ahash)) <= 3
+        |  UNION ALL
+        |  SELECT canon_rid AS da, rid AS db FROM bo
+        |  WHERE bucket_n > 256 AND rid <> canon_rid
+        |    AND bit_count(xor(canon_hash, ahash)) <= 3)),
+        |bi AS MATERIALIZED (SELECT da AS a, db AS b FROM pairs
+        |  UNION ALL SELECT db AS a, da AS b FROM pairs),
+        |${DedupCluster.closureSql()},
+        |ded AS (SELECT h.doc_id, COALESCE(c.l, r.rid) AS comp,
+        |    COALESCE(c.l, r.rid) = h.doc_id AS keep
+        |  FROM h JOIN reps r ON h.ahash = r.ahash
+        |  LEFT JOIN ${DedupCluster.closureFinalCte()} c
+        |    ON r.rid = c.n),
+        |fs AS (SELECT doc_id,
+        |    CASE WHEN nf <= 0 THEN 0
+        |         ELSE (nf - 1) // stride + 1 END AS sampled
+        |  FROM (SELECT doc_id,
+        |      CAST(octet_length(encode(text)) // 32 AS BIGINT) AS nf,
+        |      doc_id % 3 + 2 AS stride FROM documents))
+        |SELECT hdr.format, COALESCE(ded.keep, TRUE) AS keep,
+        |  count(*) AS n_docs,
+        |  count(DISTINCT COALESCE(ded.comp, hdr.doc_id)) AS n_comps,
+        |  CAST(sum(hdr.width * hdr.height) AS BIGINT) AS pixels,
+        |  CAST(sum(hdr.n_bytes) AS BIGINT) AS sum_bytes,
+        |  CAST(sum(fs.sampled) AS BIGINT) AS frames_sampled
+        |FROM hdr
+        |LEFT JOIN ded ON ded.doc_id = hdr.doc_id
+        |JOIN fs ON fs.doc_id = hdr.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Same bigram stream (parallel unnest = posexplode), same integer
     // surrogate — SUM cast from HUGEINT before the floor division.

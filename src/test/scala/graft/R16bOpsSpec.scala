@@ -135,4 +135,72 @@ class R16bOpsSpec extends SparkTestBase {
     assert(got.exists(r => r._4 < r._3),
       "vacuous: no word's token count shrank below its char count")
   }
+
+  test("pipeline_mm equals the audit recomputed from its standalone " +
+       "stage keys") {
+    // Composition law: the end-to-end audit must be derivable from
+    // the three ORACLED standalone relations (mm_headers, mm_dedup,
+    // mm_framesample) — stage semantics compose, nothing in the
+    // pipeline recomputes differently from its standalone key.
+    val hdr = q("mm_headers")
+      .select($"doc_id", $"format", $"width", $"height", $"n_bytes")
+    val ded = q("mm_dedup").select($"doc_id", $"comp", $"keep")
+    val fsCnt = q("mm_framesample")
+      .groupBy($"doc_id").agg(count(lit(1)).as("sampled"))
+    val want = hdr.join(ded, Seq("doc_id"), "left")
+      .withColumn("comp", coalesce($"comp", $"doc_id"))
+      .withColumn("keep", coalesce($"keep", lit(true)))
+      .join(fsCnt, Seq("doc_id"), "left")
+      .withColumn("sampled", coalesce($"sampled", lit(0L)))
+      .groupBy($"format", $"keep")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"comp").as("n_comps"),
+        sum($"width" * $"height").as("pixels"),
+        sum($"n_bytes").as("sum_bytes"),
+        sum($"sampled").as("frames_sampled"))
+      .orderBy($"format", $"keep")
+    val got = q("pipeline_mm")
+    assertSameRows(got, want, "pipeline_mm vs composed stages")
+    // Non-vacuous: the dedup stage actually dropped something.
+    assert(got.filter(!$"keep").count() > 0,
+      "vacuous: no near-dup images were dropped at this fixture")
+  }
+
+  test("privacy_tclose equals a driver-side exact-rational EMD " +
+       "reference") {
+    val rows = Tables.load(spark, sf, "customer")
+      .selectExpr("c_mktsegment",
+        "(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+          "+ 100000000) div 100000000")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bands = rows.map(_._2).distinct.sorted
+    val m = bands.length.toLong
+    val nTot = rows.length.toLong
+    val gBand = rows.groupBy(_._2).map { case (b, v) => b -> v.length.toLong }
+    val want = rows.groupBy(_._1).toSeq.map { case (cls, v) =>
+      val nCls = v.length.toLong
+      val cBand = v.groupBy(_._2).map { case (b, w) => b -> w.length.toLong }
+      var cum = 0L
+      var emdNum = 0L
+      bands.foreach { b =>
+        cum += cBand.getOrElse(b, 0L) * nTot - gBand(b) * nCls
+        emdNum += math.abs(cum)
+      }
+      val den = (m - 1) * nCls * nTot
+      val emd = emdNum.toDouble / den.toDouble
+      (cls, nCls, m, emdNum, den,
+        BigDecimal(emd).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble,
+        emd > 0.2)
+    }.sortBy(_._1)
+    val got = q("privacy_tclose").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6)))
+      .toSeq
+    assert(got == want,
+      s"tclose differs from reference:\n got  $got\n want $want")
+    // Non-vacuous: some class has nonzero distance from the global
+    // distribution (an all-zero fixture would prove nothing).
+    assert(got.exists(_._4 > 0L), "vacuous: every class EMD is zero")
+  }
 }
