@@ -210,7 +210,20 @@ object DedupCluster extends QueryPack {
     * ground-truthed by a driver-side union-find over the oracle's own
     * pair relation). 12 = measured need + headroom; the cost is
     * linear in rounds. The Spark side's loud non-convergence guard
-    * remains the backstop for a true diameter blowup. */
+    * remains the backstop for a true diameter blowup.
+    *
+    * r16, same defect class one level deeper: the 100x TEXT-PROXY
+    * staging's ahash representative graph (mm_dedup / pipeline_mm)
+    * is chain-heavy — BFS depth 36 from arbitrary roots, and this
+    * unrolled propagate+jump form advances only ~2 levels per round
+    * (the jump shortcuts ONE label indirection per round, unlike the
+    * Spark fixpoint's repeated pointer-halving), so 12 rounds
+    * converged to 996 components where a driver-side union-find over
+    * the oracle's own `bi` relation counts 995 — one stale label,
+    * one doc's keep flag flipped, caught by the pipeline_mm 100x
+    * check. The ahash-graph oracles now pass rounds = 24 (measured:
+    * 20 suffices, 24 = headroom); the minhash/semantic families keep
+    * the default 12 (measured ≤ 10, star/clique-shaped). */
   /** Name of the final CTE emitted by `closureSql(rounds)` — callers
     * must interpolate this instead of hardcoding the name, or a
     * changed round count silently reads an under-converged

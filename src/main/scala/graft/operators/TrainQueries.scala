@@ -1651,11 +1651,11 @@ object TrainQueries extends QueryPack {
         |    AND bit_count(xor(canon_hash, ahash)) <= 3)),
         |bi AS MATERIALIZED (SELECT da AS a, db AS b FROM pairs
         |  UNION ALL SELECT db AS a, da AS b FROM pairs),
-        |${DedupCluster.closureSql()}
+        |${DedupCluster.closureSql(24)}
         |SELECT h.doc_id, COALESCE(c.l, r.rid) AS comp,
         |  COALESCE(c.l, r.rid) = h.doc_id AS keep
         |FROM h JOIN reps r ON h.ahash = r.ahash
-        |LEFT JOIN ${DedupCluster.closureFinalCte()} c
+        |LEFT JOIN ${DedupCluster.closureFinalCte(24)} c
         |  ON r.rid = c.n
         |ORDER BY h.doc_id""".stripMargin,
 
@@ -1810,11 +1810,11 @@ object TrainQueries extends QueryPack {
         |    AND bit_count(xor(canon_hash, ahash)) <= 3)),
         |bi AS MATERIALIZED (SELECT da AS a, db AS b FROM pairs
         |  UNION ALL SELECT db AS a, da AS b FROM pairs),
-        |${DedupCluster.closureSql()},
+        |${DedupCluster.closureSql(24)},
         |ded AS (SELECT h.doc_id, COALESCE(c.l, r.rid) AS comp,
         |    COALESCE(c.l, r.rid) = h.doc_id AS keep
         |  FROM h JOIN reps r ON h.ahash = r.ahash
-        |  LEFT JOIN ${DedupCluster.closureFinalCte()} c
+        |  LEFT JOIN ${DedupCluster.closureFinalCte(24)} c
         |    ON r.rid = c.n),
         |fs AS (SELECT doc_id,
         |    CASE WHEN nf <= 0 THEN 0
