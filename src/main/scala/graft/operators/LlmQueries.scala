@@ -72,6 +72,49 @@ object LlmQueries extends QueryPack {
   private[graft] def lshPlane(t: Int, j: Int): Array[Float] =
     Array.tabulate(lshDims)(d => lshSign(t, j, d))
 
+  /** Table t's bucket id over an `embedding` column: the b-bit fold
+    * of signed projections (codegen `fdot` per plane). Shared by
+    * vec_lsh (inline buckets) and vec_lsh_table (the written index)
+    * so the two layouts cannot drift. */
+  private def lshBucketCol(t: Int): org.apache.spark.sql.Column =
+    (0 until lshBits).map { j =>
+      val pl = typedLit(lshPlane(t, j))
+      when(call_function("fdot", col("embedding"), pl) >= lit(0.0),
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** The LSH bucket index as a WRITTEN table partitioned by
+    * (t, bkt) — the vec_knn_ivf_table discipline applied to the
+    * training-free index: each of the L×2^b buckets is a directory
+    * holding its member vectors (id, embedding, norm), so a probe
+    * join dynamic-partition-prunes to EXACTLY the query batch's
+    * bucket union and reads nothing else. At 100 TB the bucket
+    * index IS the corpus and a 40-of-256-bucket probe must read
+    * 40/256 of it — directory pruning is that IO deletion. Written
+    * once per session (the offline index build); consumers read the
+    * metastore table. */
+  private def lshIndexTable(s: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val tag = graft.Util.dirTag(dir)
+    graft.SessionCache.cached(s, s"lsh.table:$dir", persist = false) {
+      graft.functions.VectorExpressions.register(s)
+      s.sql(s"DROP TABLE IF EXISTS lsh_idx_$tag")
+      val bktCols = (0 until lshTables).map(lshBucketCol)
+      Tables.load(s, dir, "embeddings")
+        .select($"vec_id".as("c_id"), $"embedding",
+          expr("fnorm2(embedding)").as("css"))
+        .select($"c_id", $"embedding".as("ce"), $"css",
+          posexplode(array(bktCols: _*)).as(Seq("t", "bkt")))
+        .write.mode("overwrite")
+        .option("path", s"target/roundtrip/${tag}_lsh_idx")
+        .partitionBy("t", "bkt")
+        .saveAsTable(s"lsh_idx_$tag")
+      s.range(1).toDF() // memo token: the artifact is the table
+    }
+    s.table(s"lsh_idx_$tag")
+  }
+
   /** Distinct (doc_id, term) pairs, lowercased whitespace tokens. */
   private def tokens(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
@@ -674,13 +717,7 @@ object LlmQueries extends QueryPack {
         .select($"vec_id", $"embedding",
           expr("fnorm2(embedding)").as("ss"))
       val buckets = {
-        val bktCols = (0 until lshTables).map { t =>
-          (0 until lshBits).map { j =>
-            val pl = typedLit(lshPlane(t, j))
-            when(call_function("fdot", $"embedding", pl) >= lit(0.0),
-              lit(1L << j)).otherwise(lit(0L))
-          }.reduce(_ + _)
-        }
+        val bktCols = (0 until lshTables).map(lshBucketCol)
         e.select($"vec_id", posexplode(array(bktCols: _*)).as(Seq("t", "bkt")))
       }
       val cand = broadcast(
@@ -697,6 +734,53 @@ object LlmQueries extends QueryPack {
           $"embedding".as("ce"), $"ss".as("css")), Seq("c_id"))
         .select($"q_id", $"c_id",
           (expr("fdot(qe, ce)") / sqrt($"qss" * $"css")).as("cos"))
+      scored
+        .withColumn("n_cand",
+          count(lit(1)).over(Window.partitionBy($"q_id")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"cos".desc, $"c_id")))
+        .filter($"rank" <= 5)
+        .select($"q_id", $"rank".cast(LongType).as("rank"), $"c_id",
+          round($"cos", 6).as("cos_r"), $"n_cand")
+        .orderBy($"q_id", $"rank")
+    }),
+
+    // vec_lsh over the WRITTEN (t, bkt)-partitioned bucket index — a
+    // LAYOUT variant (identical semantics and oracle SQL): each
+    // bucket directory holds its member vectors, the session-cached
+    // query-bucket probe broadcasts with its selective predicate
+    // restated above the cache boundary (the vec_knn_ivf_table r16
+    // discipline), and the index scan dynamic-partition-prunes to
+    // exactly the query batch's bucket union — at 100 TB the bucket
+    // index IS the corpus, and reading 40 of 256 directories instead
+    // of all of them is the IO an LSH service exists to delete. The
+    // per-collision cosine is computed BEFORE the (q, c) table-dedup
+    // (identical value in every colliding table, so max() is the
+    // dedup), which lets the index carry vectors and the probe never
+    // re-join the corpus. Cold cost moves to the one-time table
+    // write (the offline index build).
+    "vec_lsh_table" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.VectorExpressions.register(s)
+      val idx = lshIndexTable(s, dir)
+      val qb = graft.SessionCache.cached(s, s"lsh.probe:$dir") {
+        val bktCols = (0 until lshTables).map(lshBucketCol)
+        Tables.load(s, dir, "embeddings")
+          .filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"embedding",
+            expr("fnorm2(embedding)").as("qss"))
+          .select($"q_id", $"embedding".as("qe"), $"qss",
+            posexplode(array(bktCols: _*)).as(Seq("t", "bkt")))
+      }
+      // Restated bound: a no-op over the cache's content, but
+      // PartitionPruning only plans a DPP subquery when it can SEE a
+      // selective predicate on the dim side (knnIvfQuery's lesson).
+      val qbQ = qb.filter($"q_id" < 10)
+      val scored = broadcast(qbQ).join(idx, Seq("t", "bkt"))
+        .filter($"q_id" =!= $"c_id")
+        .select($"q_id", $"c_id",
+          (expr("fdot(qe, ce)") / sqrt($"qss" * $"css")).as("cos"))
+        .groupBy($"q_id", $"c_id").agg(max($"cos").as("cos"))
       scored
         .withColumn("n_cand",
           count(lit(1)).over(Window.partitionBy($"q_id")))
@@ -905,7 +989,8 @@ object LlmQueries extends QueryPack {
     val m = oracleBase.toMap
     oracleBase ++ Seq(
       "vec_knn_ivf_table" -> m("vec_knn_ivf"),
-      "vec_ivfpq_bucketed" -> m("vec_ivfpq"))
+      "vec_ivfpq_bucketed" -> m("vec_ivfpq"),
+      "vec_lsh_table" -> m("vec_lsh"))
   }
 
   private def oracleBase: Seq[(String, String)] = Seq(

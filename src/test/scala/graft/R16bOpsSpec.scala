@@ -136,6 +136,81 @@ class R16bOpsSpec extends SparkTestBase {
       "vacuous: no word's token count shrank below its char count")
   }
 
+  test("vec_lsh_table equals vec_lsh and its probe scan READS only " +
+       "the query buckets (runtime partition metric)") {
+    import operators.LlmQueries.{lshBits, lshDims, lshPlane, lshTables}
+    // Layout law at sf0.01 (sf0.001's 10-query bucket union could
+    // cover most of the occupied buckets; sf0.01 keeps it a strict
+    // subset) + the R16 runtime-metric discipline: plan-shape
+    // dynamicpruning strings can pass on a no-op filter, only the
+    // scan's partition count proves the IO deletion.
+    val dir = "/root/testdata/sf0.01"
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("vec_lsh_table")(spark, dir)
+      df.collect() // execute: DPP metrics are runtime-populated
+      def subtree(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        (p +: p.children.flatMap(subtree)) ++
+          p.subqueries.flatMap(subtree)
+      val scans = subtree(df.queryExecution.executedPlan).collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains("lsh_idx")) => s
+      }
+      assert(scans.nonEmpty, "no FileSourceScanExec over lsh_idx in " +
+        df.queryExecution.executedPlan.toString)
+      // More than one scan instance can appear (DPP/reuse clones);
+      // the EXECUTED one carries the populated metric.
+      val partsRead = scans
+        .map(_.metrics.get("numPartitions").map(_.value).getOrElse(
+          fail(s"no numPartitions metric; have " +
+            s"${scans.head.metrics.keys}")))
+        .max
+      val tag = Util.dirTag(dir)
+      val occupied = spark.table(s"lsh_idx_$tag")
+        .select($"t", $"bkt").distinct()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      val total = occupied.size.toLong
+      // Independent driver-side mirror of the probe. NOTE the
+      // per-COLUMN pruning semantics (measured): Spark plans one
+      // dynamic filter per partition column — t IN (probed t's) AND
+      // bkt IN (probed bkt VALUES across all tables) — not tuple
+      // membership, so the floor is the occupied cross-filter set,
+      // which is larger than the exact (t, bkt) tuple union but far
+      // below the full index.
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter($"vec_id" < 10)
+        .select($"vec_id", $"embedding").collect()
+        .map(r => r.getSeq[Float](1).toArray)
+      def bucket(v: Array[Float], t: Int): Long =
+        (0 until lshBits).map { j =>
+          val pl = lshPlane(t, j)
+          var acc = 0.0
+          var d = 0
+          while (d < lshDims) { acc += v(d).toDouble * pl(d); d += 1 }
+          if (acc >= 0.0) 1L << j else 0L
+        }.sum
+      val probed = (for (v <- emb.toSeq; t <- 0 until lshTables)
+        yield (t, bucket(v, t))).toSet
+      val probedTs = probed.map(_._1)
+      val probedBkts = probed.map(_._2)
+      val crossFilter = occupied.count { case (t, b) =>
+        probedTs.contains(t) && probedBkts.contains(b) }.toLong
+      assert(crossFilter < total,
+        s"law vacuous here: cross-filter set $crossFilter == total " +
+          s"$total occupied buckets — move to a sparser fixture")
+      assert(partsRead == crossFilter,
+        s"scan read $partsRead partitions; per-column DPP admits " +
+          s"$crossFilter of $total occupied buckets (tuple union " +
+          s"${probed.size}) — DPP is not pruning at runtime")
+      // And the layout twins agree.
+      assertSameRows(df, SparkEntry.queries("vec_lsh")(spark, dir),
+        "vec_lsh_table vs vec_lsh")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("pipeline_mm equals the audit recomputed from its standalone " +
        "stage keys") {
     // Composition law: the end-to-end audit must be derivable from
