@@ -721,6 +721,41 @@ object StreamQueries {
       .select($"window.start".as("ws"), $"event_type", $"n", $"sum_v")
   }
 
+  /** st26 (r16) — stream-stream JOIN chained into a windowed
+    * aggregation, the second multi-stateful combination (st24 chains
+    * dedup → agg): st9's watermarked purchase⋈click interval join
+    * feeding a per-hour attributed-purchase count — the attribution
+    * rollup every ads pipeline runs, in ONE query with two stateful
+    * operators (join state trimmed by watermark + range condition;
+    * agg state by window). Event-time column for the downstream
+    * window: the PURCHASE time (the join preserves it), so a
+    * purchase with several in-window clicks counts once per click
+    * pair in the join but the rollup counts DISTINCT purchases via
+    * count(DISTINCT p_id) being unsupported in streaming — instead
+    * the join emits (p_id, c_id) pairs and the agg counts PAIRS plus
+    * min/max structure the batch twin reproduces exactly. */
+  def joinThenTumbling(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", "1 hour")
+      else events
+    val purchases = withWm.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+    val clicks = (if (events.isStreaming)
+        events.withWatermark("ts", "1 hour") else events)
+      .filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id".as("c_user"),
+              $"ts".as("c_ts"))
+    purchases.join(clicks,
+      $"user_id" === $"c_user" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES") &&
+        $"c_ts" <= $"p_ts" + expr("INTERVAL 30 MINUTES"))
+      .groupBy(window($"p_ts", "1 hour"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min($"p_id").as("min_p"), max($"c_id").as("max_c"))
+      .select($"window.start".as("ws"), $"n_pairs", $"min_p", $"max_c")
+  }
+
   case class TypeStat(n: Long, cents: Long)
   case class UserTypeOut(user_id: Long, event_type: String, n: Long,
       sum_cents: Long, total_n: Long)

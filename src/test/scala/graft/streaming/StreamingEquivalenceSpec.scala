@@ -916,6 +916,24 @@ class StreamingEquivalenceSpec extends SparkTestBase {
       "st24 chained dedup+agg vs batch")
   }
 
+  test("st26: stream-stream join chained into a windowed agg == batch") {
+    // The second multi-stateful combination (st24 = dedup -> agg):
+    // the watermarked purchase x click interval join feeding an
+    // hourly attribution rollup in ONE query. The wmflush sentinel
+    // advances the watermark so the join's last matches AND the
+    // final windows both flush before the query stops; the
+    // sentinel's own window never emits (watermark stops 1h short),
+    // and its event_type matches neither join side, so the batch
+    // twin over the ORIGINAL events is the exact expectation.
+    val stream = EventStreams.readEventStream(
+      spark, replayDir("st26", sentinel = true))
+    val got = runToMemory(StreamQueries.joinThenTumbling(stream),
+      "st26_out", "append")
+    assert(got.count() > 0, "st26 emitted nothing")
+    assertSameRows(got, StreamQueries.joinThenTumbling(batchEvents),
+      "st26 chained join+agg vs batch")
+  }
+
   test("st25: MapState feature map (RocksDB) converges to batch " +
        "per-(user, type) aggregate") {
     val prev = spark.conf.getOption(
