@@ -41,8 +41,18 @@ class StreamingEquivalenceSpec extends SparkTestBase {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    lastStateOps = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.operatorName).toSeq).getOrElse(Nil)
     spark.table(name)
   }
+
+  /** State operators of the LAST micro-batch of the most recent
+    * runToMemory query — lets the chained-stateful tests (st24,
+    * st26) assert BOTH operators genuinely ran as state machines
+    * (a future planner change that fused or dropped one would keep
+    * the equivalence green while silently changing the state
+    * story). */
+  private var lastStateOps: Seq[String] = Nil
 
   /** Stage events as raw CSV LINES for st18 (the text-source twin of
     * stageReplay): every 13th line corrupted (pipeline_sensor's rule),
@@ -914,6 +924,9 @@ class StreamingEquivalenceSpec extends SparkTestBase {
     // (or late-dropped), the sentinel's own window never emitted.
     assertSameRows(got, StreamQueries.dedupThenTumbling(batchEvents),
       "st24 chained dedup+agg vs batch")
+    // Non-vacuous chain: BOTH stateful operators ran in one query.
+    assert(lastStateOps.size == 2,
+      s"st24 expected 2 stateful operators, saw $lastStateOps")
   }
 
   test("st26: stream-stream join chained into a windowed agg == batch") {
@@ -932,6 +945,9 @@ class StreamingEquivalenceSpec extends SparkTestBase {
     assert(got.count() > 0, "st26 emitted nothing")
     assertSameRows(got, StreamQueries.joinThenTumbling(batchEvents),
       "st26 chained join+agg vs batch")
+    // Non-vacuous chain: join AND aggregation both carried state.
+    assert(lastStateOps.size == 2,
+      s"st26 expected 2 stateful operators, saw $lastStateOps")
   }
 
   test("st25: MapState feature map (RocksDB) converges to batch " +
