@@ -7,6 +7,10 @@
 # keys vs the sf0.1 base — its JSON is saved aside so the committed
 # full-surface scalebench100.json is not clobbered by a 2-key run.
 # Usage: dev/r16b_campaign.sh   NOT shipped code — dev loop only.
+# r17 (ADVICE): each step's exit code is now checked and the script
+# bails before moving artifacts — a crashed ScaleBench/Verify used to
+# let the mv/scalecheck steps run against stale output, leaving a
+# half-written target/*.json that looked like evidence.
 set -u
 cd "$(dirname "$0")/.."
 STAGED="${STAGED:-/tmp/graft_sf10}"
@@ -31,7 +35,11 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_MULT=100 \
   -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.ScaleBench 2>"$OUT/scalebench.err"
-echo "   exit=$?"
+RC=$?
+echo "   exit=$RC"
+if [ $RC -ne 0 ]; then
+  echo "ABORT: ScaleBench failed (see $OUT/scalebench.err)"; exit $RC
+fi
 mv -f target/scalebench100.json target/scalebench100_r16nk.json
 cp -f /tmp/scalebench100.committed.json target/scalebench100.json \
   2>/dev/null || true
@@ -43,7 +51,11 @@ SPARK_GRAFT_ONLY="$KEYS" SPARK_GRAFT_CPUS=32 \
   -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.Verify "$STAGED" "$OUT" 2>"$OUT/dump.err"
-echo "   exit=$?"
+RC=$?
+echo "   exit=$RC"
+if [ $RC -ne 0 ]; then
+  echo "ABORT: Verify failed (see $OUT/dump.err)"; exit $RC
+fi
 
 echo "== scalecheck =="
 rm -f /tmp/check100_nk.db /tmp/check100_nk.db.wal

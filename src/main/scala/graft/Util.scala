@@ -61,7 +61,19 @@ object Util {
     * collision between two live dirs would silently rewrite the
     * other dir's table, the exact hazard this helper exists to
     * prevent; 48 bits of a cryptographic digest makes that
-    * practically impossible. */
+    * practically impossible.
+    *
+    * Single-writer assumption (r17 ADVICE): the tag is scoped by DATA
+    * DIR, not by session — every written-index key that builds
+    * `<name>_<dirTag>` (DROP + overwrite under a SessionCache memo)
+    * assumes at most one JVM materializes indexes for a given dir at
+    * a time. Two concurrent sessions pointed at the SAME dir would
+    * clobber each other's index mid-read. That is the right trade for
+    * this library's shape — the index IS the shared offline artifact,
+    * so concurrent readers must see one canonical build, and the
+    * test/verify drivers are single-writer per dir by construction.
+    * A session-scoped tag would instead rebuild (and duplicate) the
+    * index per session, defeating the build-once-read-many design. */
   def dirTag(dir: String): String = {
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(dir.getBytes("UTF-8"))

@@ -73,7 +73,14 @@ object Curation {
     val wcum = Window.partitionBy(col("cls")).orderBy(col("band"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val den = (col("m_bands") - 1L) * col("n_cls") * col("n_tot")
-    val emd = col("emd_num").cast(DoubleType) / den.cast(DoubleType)
+    // r17 (ADVICE): a single sensitive band makes m_bands=1, den=0 and
+    // emd = 0/0 = NaN — and both Spark and DuckDB treat NaN > t as
+    // TRUE, silently flagging every class risky on a degenerate
+    // fixture. One band means every class distribution IS the global
+    // distribution, so the defined answer is emd = 0, risky = false.
+    // The DuckDB oracle template carries the same CASE guard.
+    val emd = when(col("m_bands") <= 1L, lit(0.0))
+      .otherwise(col("emd_num").cast(DoubleType) / den.cast(DoubleType))
     classes.crossJoin(broadcast(bands))
       .join(cnt, Seq("cls", "band"), "left")
       .na.fill(0L, Seq("n"))

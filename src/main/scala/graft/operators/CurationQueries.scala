@@ -812,10 +812,14 @@ object CurationQueries extends QueryPack {
         |  CAST(m_bands AS BIGINT) AS m_bands,
         |  CAST(sum(abs(cum)) AS BIGINT) AS emd_num,
         |  CAST((m_bands - 1) * n_cls * n_tot AS BIGINT) AS den,
-        |  round(CAST(sum(abs(cum)) AS DOUBLE) /
-        |    CAST((m_bands - 1) * n_cls * n_tot AS DOUBLE), 12) AS emd_r,
-        |  CAST(sum(abs(cum)) AS DOUBLE) /
-        |    CAST((m_bands - 1) * n_cls * n_tot AS DOUBLE) > 0.2 AS risky
+        |  round(CASE WHEN m_bands <= 1 THEN 0.0
+        |    ELSE CAST(sum(abs(cum)) AS DOUBLE) /
+        |      CAST((m_bands - 1) * n_cls * n_tot AS DOUBLE) END, 12)
+        |    AS emd_r,
+        |  CASE WHEN m_bands <= 1 THEN 0.0
+        |    ELSE CAST(sum(abs(cum)) AS DOUBLE) /
+        |      CAST((m_bands - 1) * n_cls * n_tot AS DOUBLE) END > 0.2
+        |    AS risky
         |FROM d4 GROUP BY cls, n_cls, m_bands, n_tot
         |ORDER BY cls""".stripMargin,
 

@@ -69,14 +69,27 @@ object LlmQueries extends QueryPack {
     if (((md(0) >> 4) & 1) == 0) 1.0f else -1.0f
   }
 
+  /** The (vec_id, t, bkt) bucket relation over any `(vec_id,
+    * embedding)` frame — the LSH index's member relation, shared by
+    * vec_lsh's inline candidate join and st28's streaming
+    * transformWithState maintenance (StreamQueries.lshBucketsTws) so
+    * the streaming index cannot drift from the oracled batch one.
+    * Caller must have registered VectorExpressions (`fdot`). */
+  private[graft] def lshBuckets(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bktCols = (0 until lshTables).map(lshBucketCol)
+    e.select(col("vec_id"), posexplode(array(bktCols: _*)).as(Seq("t", "bkt")))
+  }
+
   private[graft] def lshPlane(t: Int, j: Int): Array[Float] =
     Array.tabulate(lshDims)(d => lshSign(t, j, d))
 
   /** Table t's bucket id over an `embedding` column: the b-bit fold
     * of signed projections (codegen `fdot` per plane). Shared by
-    * vec_lsh (inline buckets) and vec_lsh_table (the written index)
-    * so the two layouts cannot drift. */
-  private def lshBucketCol(t: Int): org.apache.spark.sql.Column =
+    * vec_lsh (inline buckets), vec_lsh_table (the written index) and
+    * st28's streaming bucket maintenance so the layouts cannot
+    * drift. */
+  private[graft] def lshBucketCol(t: Int): org.apache.spark.sql.Column =
     (0 until lshBits).map { j =>
       val pl = typedLit(lshPlane(t, j))
       when(call_function("fdot", col("embedding"), pl) >= lit(0.0),
@@ -92,7 +105,11 @@ object LlmQueries extends QueryPack {
     * index IS the corpus and a 40-of-256-bucket probe must read
     * 40/256 of it — directory pruning is that IO deletion. Written
     * once per session (the offline index build); consumers read the
-    * metastore table. */
+    * metastore table. Single-writer per data dir (r17 ADVICE): the
+    * DROP + overwrite of `lsh_idx_<dirTag>` and its fixed path
+    * assumes one JVM builds indexes for a given dir at a time — the
+    * shared assumption of ALL written-index keys, documented at
+    * graft.Util.dirTag. */
   private def lshIndexTable(s: org.apache.spark.sql.SparkSession,
                             dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
@@ -716,10 +733,7 @@ object LlmQueries extends QueryPack {
       val e = Tables.load(s, dir, "embeddings")
         .select($"vec_id", $"embedding",
           expr("fnorm2(embedding)").as("ss"))
-      val buckets = {
-        val bktCols = (0 until lshTables).map(lshBucketCol)
-        e.select($"vec_id", posexplode(array(bktCols: _*)).as(Seq("t", "bkt")))
-      }
+      val buckets = lshBuckets(e)
       val cand = broadcast(
           buckets.filter($"vec_id" < 10)
             .select($"vec_id".as("q_id"), $"t", $"bkt"))

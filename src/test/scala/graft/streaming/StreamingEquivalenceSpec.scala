@@ -950,6 +950,218 @@ class StreamingEquivalenceSpec extends SparkTestBase {
       s"st26 expected 2 stateful operators, saw $lastStateOps")
   }
 
+  test("st11b: re-delivered micro-batches leave the upsert target " +
+       "unchanged (foreachBatch idempotence)") {
+    // st11 asserts convergence; THIS is the exactly-once claim a
+    // foreachBatch implementation must earn (r16 verdict item 8): a
+    // sink-side retry re-delivers a batch the merge already consumed
+    // — after a crash between the sink write and the offset-log
+    // commit — and the target must not change. Re-delivering the
+    // LATEST batch (the real retry case) and a STALE batch (an
+    // operator manually re-running an old range) must both be
+    // no-ops: keep-max-event_id-per-user is idempotent AND monotone,
+    // so merged state can only be confirmed, never regressed.
+    val target = scratch("st11b_target")
+    val ev = batchEvents.orderBy($"ts", $"event_id")
+    val b1 = ev.limit(300)
+    val b2 = ev.limit(600).exceptAll(b1)
+    StreamQueries.upsertLatest(b1, target)
+    StreamQueries.upsertLatest(b2, target)
+    def snap(): Seq[String] =
+      spark.read.parquet(target).collect().map(_.toString).sorted.toSeq
+    val committed = snap()
+    StreamQueries.upsertLatest(b2, target) // retry of the last batch
+    assert(snap() == committed,
+      "re-delivering the latest batch changed the target")
+    StreamQueries.upsertLatest(b1, target) // stale re-delivery
+    assert(snap() == committed,
+      "re-delivering a stale batch regressed the target")
+  }
+
+  test("st27: MapState TTL — post-gap resume restarts from zero " +
+       "while the TTL-free control accumulates (same replay)") {
+    // The feature-store eviction law (r16 verdict item 5): two
+    // checkpoints replay the IDENTICAL two-phase file stream — phase
+    // 1, a quiet gap longer than the TTL, phase 2 — one query with a
+    // 4 s state TTL, one with TTLConfig.NONE. The TTL query's
+    // post-gap snapshots must equal the batch aggregate over PHASE 2
+    // ALONE (every phase-1 entry and counter expired in the gap);
+    // the control must equal the cumulative aggregate. Same data,
+    // same arrival order — the TTL is the only difference. Phase 2
+    // replays as ONE micro-batch (only the new file), so the TTL
+    // query cannot expire its own writes regardless of wall-clock
+    // noise (expiry compares against the single batch timestamp).
+    val ttlMs = 4000L
+    withRocksDb {
+      val dir = scratch("replay_st27")
+      val ev = batchEvents.orderBy($"ts", $"event_id")
+      val rows = ev.count()
+      val chunked = ev.coalesce(1)
+        .withColumn("rn", monotonically_increasing_id()).cache()
+      try {
+        val phase2Start = rows / 2
+        def stage(lo: Long, hi: Long, pos: Int): Unit = {
+          val tmp = s"${dir}_tmp"
+          chunked.filter($"rn" >= lo && $"rn" < hi).drop("rn")
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          EventStreams.promoteChunk(tmp, dir, pos, ".parquet")
+        }
+        val chkT = scratch("st27_chk_ttl")
+        val chkC = scratch("st27_chk_ctl")
+        // foreachBatch parquet sink (batchId-named subdirs, the st25
+        // idempotence discipline): the memory sink cannot RESUME from
+        // a checkpoint, and run 2 on the same checkpoint is the whole
+        // point of this test.
+        def run(name: String, chk: String, ttl: Boolean): DataFrame = {
+          val outDir = scratch(s"out_$name")
+          val stream = spark.readStream.schema(Tables.events)
+            .parquet(dir).as[StreamQueries.EventRow]
+          val out =
+            if (ttl) StreamQueries.userTypeMapTtlTws(stream, ttlMs)
+            else StreamQueries.userTypeMapTws(stream)
+          val q = out.toDF().writeStream.outputMode("update")
+            .option("checkpointLocation", chk)
+            .foreachBatch { (b: DataFrame, bid: Long) =>
+              b.write.mode("overwrite").parquet(s"$outDir/batch=$bid")
+            }
+            .trigger(Trigger.AvailableNow()).start()
+          def emitted: DataFrame = spark.read.parquet(outDir)
+            .drop("batch")
+          if (ttl) {
+            // ProcessingTime TimeMode keeps AvailableNow alive forever
+            // (shouldRunAnotherBatch is unconditionally true for
+            // processing-time state, to service timers/TTL), so the
+            // TTL runs poll for the single data batch — each phase is
+            // ONE file, and foreachBatch commits it atomically — then
+            // stop. TTL cleanup runs INSIDE the data batch, so the
+            // committed state is post-sweep.
+            val deadline = System.currentTimeMillis() + 120000
+            def gotData: Boolean =
+              scala.util.Try(emitted.count()).getOrElse(0L) > 0
+            while (System.currentTimeMillis() < deadline && !gotData)
+              Thread.sleep(100)
+            assert(gotData, s"$name: no data batch committed within 120s")
+            q.stop()
+          }
+          q.awaitTermination()
+          emitted
+        }
+        stage(0, phase2Start, 0)
+        run("st27_t1", chkT, ttl = true)
+        run("st27_c1", chkC, ttl = false)
+        Thread.sleep(ttlMs + 2500) // the quiet gap: > TTL by margin
+        stage(phase2Start, rows, 1)
+        val gotT = run("st27_t2", chkT, ttl = true)
+        val gotC = run("st27_c2", chkC, ttl = false)
+        def finalSnap(df: DataFrame): DataFrame = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy($"user_id")
+          df.withColumn("mx", max($"total_n").over(w))
+            .filter($"total_n" === $"mx")
+            .select($"user_id", $"event_type", $"n", $"sum_cents")
+        }
+        val phase2 = chunked.filter($"rn" >= phase2Start).drop("rn")
+        val phase2Users = phase2.select($"user_id").distinct()
+        val wantT = StreamQueries.userTypeBatch(phase2)
+        val wantC = StreamQueries.userTypeBatch(batchEvents)
+          .join(phase2Users, Seq("user_id"))
+        // Non-vacuity: the two expectations genuinely differ (users
+        // carry phase-1 history the TTL must have erased).
+        assert(wantT.exceptAll(wantC).count() > 0,
+          "phase split degenerate: TTL and control expectations equal")
+        assertSameRows(finalSnap(gotT), wantT,
+          "st27 TTL state vs phase-2-only batch aggregate")
+        assertSameRows(finalSnap(gotC), wantC,
+          "st27 control state vs cumulative batch aggregate")
+        // Physical eviction, not read-side filtering: the statestore
+        // reader over the TTL checkpoint holds exactly the phase-2
+        // (user, type) entries — expired rows were swept by the
+        // per-batch TTL cleanup.
+        val raw = spark.read.format("statestore")
+          .option("stateVarName", "types").load(chkT)
+        val flat = raw.selectExpr("key.*", "user_map_key.*")
+        val stateKeys = flat.collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+        val wantKeys = phase2.select($"user_id", $"event_type")
+          .distinct().collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+        assert(stateKeys == wantKeys,
+          s"TTL state not swept to phase-2 entries: " +
+            s"extra=${(stateKeys -- wantKeys).take(5)} " +
+            s"missing=${(wantKeys -- stateKeys).take(5)}")
+      } finally chunked.unpersist()
+    }
+  }
+
+  test("st28: streaming LSH bucket inserts — final ListState " +
+       "set-equal to the oracled batch bucket relation") {
+    // The "training-free index serves streaming inserts" claim
+    // closed end-to-end (r16 verdict item 6): embeddings replayed in
+    // 5 micro-batches, hashed map-side by the SAME shared fold the
+    // oracled vec_lsh/vec_lsh_table keys use, appended to per-bucket
+    // ListState. The final state must be SET-EQUAL to the batch
+    // bucket relation — which vec_lsh's DuckDB oracle transitively
+    // pins — under an arrival order the fold provably cannot see.
+    graft.functions.VectorExpressions.register(spark)
+    withRocksDb {
+      val dir = scratch("replay_st28")
+      val emb = Tables.load(spark, sf, "embeddings")
+        .select($"vec_id", $"embedding")
+      val rows = emb.count()
+      val per = math.max(1L, (rows + 4) / 5)
+      val chunked = emb.orderBy($"vec_id").coalesce(1)
+        .withColumn("chunk",
+          (monotonically_increasing_id() / per).cast("int")).cache()
+      try {
+        (0 to 4).foreach { i =>
+          val tmp = s"${dir}_tmp"
+          chunked.filter($"chunk" === i).select($"vec_id", $"embedding")
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          EventStreams.promoteChunk(tmp, dir, i, ".parquet")
+        }
+      } finally chunked.unpersist()
+      val chk = scratch("st28_chk")
+      val stream = spark.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val inserts = graft.operators.LlmQueries.lshBuckets(stream)
+        .as[StreamQueries.LshIns]
+      val q = StreamQueries.lshBucketsTws(inserts).toDF()
+        .writeStream.format("memory").queryName("st28_out")
+        .outputMode("update").option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table("st28_out")
+      // Non-vacuity: buckets genuinely accumulate across batches.
+      assert(got.select($"t", $"bkt", $"n").distinct()
+          .groupBy($"t", $"bkt").count()
+          .agg(max($"count")).head().getLong(0) >= 2,
+        "st28 staging never grew a bucket across micro-batches")
+      val want = graft.operators.LlmQueries.lshBuckets(
+        Tables.load(spark, sf, "embeddings"))
+      // Final sizes: max-n per bucket == batch occupancy.
+      val finSizes = got.groupBy($"t", $"bkt").agg(max($"n").as("n"))
+      assertSameRows(finSizes,
+        want.groupBy($"t", $"bkt").agg(count(lit(1)).as("n")),
+        "st28 final bucket sizes vs batch")
+      // The index itself: ListState members == batch member relation.
+      val raw = spark.read.format("statestore")
+        .option("stateVarName", "members").load(chk)
+      // Primitive-encoder state values come back wrapped in a
+      // single-field struct — flatten both the tuple key and the
+      // list element.
+      val flat = raw.selectExpr("key.*", "list_element.*")
+      val stateRows = flat.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val wantRows = want.collect()
+        .map(r => (r.getInt(1), r.getLong(2), r.getLong(0))).toSet
+      assert(stateRows == wantRows,
+        s"st28 state != batch buckets: extra=" +
+          s"${(stateRows -- wantRows).take(5)} missing=" +
+          s"${(wantRows -- stateRows).take(5)}")
+    }
+  }
+
   test("st25: MapState feature map (RocksDB) converges to batch " +
        "per-(user, type) aggregate") {
     val prev = spark.conf.getOption(
