@@ -78,6 +78,10 @@ run_x10() {
 run_mm17() {
   if [ ! -d "$MMDIR/documents.parquet" ]; then
     echo "== re-staging $MMDIR (stageMm; main staging reused) =="
+    # The 1-key ScaleBench below overwrites target/scalebench100.json
+    # — shield the committed artifact (the r16b discipline).
+    cp -f target/scalebench100.json /tmp/scalebench100.committed.json \
+      2>/dev/null || true
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_MULT=100 \
       SPARK_GRAFT_SCALE_DIR="$STAGED" SPARK_GRAFT_SCALE_STAGE=skip \
       SPARK_GRAFT_MM_DIR="$MMDIR" SPARK_GRAFT_ONLY=scan_parquet \
@@ -86,6 +90,8 @@ run_mm17() {
       -Dspark.sql.session.timeZone=UTC \
       -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
       graft.ScaleBench 2>/tmp/mm17_stage.err || die "stageMm failed"
+    cp -f /tmp/scalebench100.committed.json target/scalebench100.json \
+      2>/dev/null || true
   fi
   dump "$MMDIR" /tmp/v100_r17mm "mm_audio,pipeline_mm" 64g
   check "$MMDIR" /tmp/v100_r17mm 100_r17mm "mm_audio,pipeline_mm"
