@@ -137,7 +137,16 @@ EOF
     rm -f /tmp/gate_check100x.db /tmp/gate_check100x.db.wal
     echo "  ${R[scale100x]}"
   else
-    R[scale100x]="skipped (no /tmp/graft_sf10 staging; run graft.ScaleBench with SPARK_GRAFT_SCALE_MULT=100 first)"
+    # r17 ADVICE (medium): a silently-skipped 100x section used to
+    # leave ok=1, so `gate.sh 100x` could exit 0 while re-proving
+    # nothing. Asking for 100x mode without the staging is now a
+    # FAIL unless the caller explicitly accepts the skip.
+    if [ "${GATE_100X_ALLOW_SKIP:-0}" = 1 ]; then
+      R[scale100x]="skipped (no /tmp/graft_sf10 staging; GATE_100X_ALLOW_SKIP=1)"
+    else
+      R[scale100x]="FAILED: no /tmp/graft_sf10 staging (run graft.ScaleBench with SPARK_GRAFT_SCALE_MULT=100, or set GATE_100X_ALLOW_SKIP=1)"
+      ok=0
+    fi
   fi
 fi
 

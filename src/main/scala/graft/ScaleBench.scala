@@ -328,8 +328,14 @@ object ScaleBench {
         .mkString("{", ",", "}")
     val totalB = results.map(_._2).filter(_ >= 0).sum
     val total10 = results.map(_._3).filter(_ >= 0).sum
+    // Skip set recorded in the artifact (r17 ADVICE: an excluded key
+    // silently shrank the "full-surface" claim — a 234-key session was
+    // indistinguishable from a true full run except by hand-counting).
+    val skipJson = skip.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"scale_total","value":${fmt(total10)},""" +
       s""""unit":"sec","mult":$mult,"n_keys":${results.length},""" +
+      s""""skip":$skipJson,""" +
       s""""base_parts":$baseParts,"scaled_parts":$scaledParts,""" +
       s""""base_total":${fmt(totalB)},""" +
       s""""docs":${counts("documents")},"vecs":${counts("embeddings")},""" +

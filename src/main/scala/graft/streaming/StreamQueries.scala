@@ -880,23 +880,41 @@ object StreamQueries {
     * bucket relation that vec_lsh's DuckDB oracle transitively pins
     * — the "training-free index serves streaming inserts" claim
     * closed end-to-end. */
-  class LshBucketProcessor
+  class LshBucketProcessor(
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         (Int, Long), LshIns, LshBucketStat] {
     import org.apache.spark.sql.streaming.{ListState, OutputMode,
-      TimeMode, TimerValues, TTLConfig}
+      TimeMode, TimerValues, ValueState}
     @transient private var members: ListState[Long] = _
+    @transient private var occ: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       members = getHandle.getListState[Long]("members",
-        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.scalaLong, ttl)
+      // r17 ADVICE + r17 verdict item 3: the size emission used to
+      // re-iterate the whole ListState per input batch — O(occupancy)
+      // per touched bucket per batch, quadratic over a bucket's
+      // lifetime under sustained inserts. The counter ValueState makes
+      // it O(appended rows). Semantics: `occ` counts inserts ACCEPTED
+      // within the retention horizon as of the bucket's last touch —
+      // with TTLConfig.NONE that is exactly the live occupancy (the
+      // list never shrinks); under a TTL it is an upper bound between
+      // touches (elements expire individually at append-time + TTL,
+      // the counter refreshes wholesale at last touch), and the
+      // statestore is the authority for live membership — which is
+      // what the st28b sweep law reads.
+      occ = getHandle.getValueState[Long]("occ",
+        org.apache.spark.sql.Encoders.scalaLong, ttl)
+    }
 
     override def handleInputRows(key: (Int, Long), rows: Iterator[LshIns],
         timers: TimerValues): Iterator[LshBucketStat] = {
-      rows.foreach(r => members.appendValue(r.vec_id))
-      var n = 0L
-      val it = members.get()
-      while (it.hasNext) { it.next(); n += 1 }
+      var appended = 0L
+      rows.foreach { r => members.appendValue(r.vec_id); appended += 1 }
+      val n = (if (occ.exists()) occ.get() else 0L) + appended
+      occ.update(n)
       Iterator.single(LshBucketStat(key._1, key._2, n))
     }
   }
@@ -910,6 +928,30 @@ object StreamQueries {
     inserts.groupByKey(r => (r.t, r.bkt))
       .transformWithState(new LshBucketProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** st28b (r18, r17 verdict item 3) — the LSH index's RETENTION
+    * story: the ListState that becomes corpus-sized at 100 TB now has
+    * an eviction path. TTLConfig on BOTH the member list and the
+    * occupancy counter; ListState TTL is PER-ELEMENT (each append
+    * carries its own expiration), so a retention horizon drops stale
+    * index entries without touching live ones — the rolling-corpus
+    * ANN service shape (only documents ingested within the horizon
+    * are retrievable). TimeMode.ProcessingTime because
+    * transformWithState TTL is processing-time based (the st27
+    * discipline). Law (StreamingEquivalenceSpec st28b): after a quiet
+    * gap longer than the TTL, the resumed checkpoint's statestore
+    * holds ONLY post-gap members — pre-gap entries physically swept,
+    * not read-filtered — while the post-gap size emissions equal the
+    * post-gap batch bucket relation alone. */
+  def lshBucketsTtlTws(inserts: Dataset[LshIns], ttlMillis: Long)
+      : Dataset[LshBucketStat] = {
+    import inserts.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig}
+    inserts.groupByKey(r => (r.t, r.bkt))
+      .transformWithState(new LshBucketProcessor(
+          TTLConfig(java.time.Duration.ofMillis(ttlMillis))),
+        TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
   /** Batch analogue of st25's final per-user feature map. */

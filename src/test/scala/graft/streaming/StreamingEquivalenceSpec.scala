@@ -991,6 +991,14 @@ class StreamingEquivalenceSpec extends SparkTestBase {
     // replays as ONE micro-batch (only the new file), so the TTL
     // query cannot expire its own writes regardless of wall-clock
     // noise (expiry compares against the single batch timestamp).
+    //
+    // LOAD-BEARING invariant (r17 ADVICE): the one-file-one-batch
+    // shape above is what makes this test immune to co-tenant load
+    // bursts — the only wall-clock-sensitive edge is the gap sleep,
+    // which only needs to be LONGER than the TTL (delay can never
+    // un-expire state). Any future change that splits a phase into
+    // multiple micro-batches, or shortens gap/TTL margins, reopens
+    // the flake window; widen ttlMs with the phase count.
     val ttlMs = 4000L
     withRocksDb {
       val dir = scratch("replay_st27")
@@ -1159,6 +1167,122 @@ class StreamingEquivalenceSpec extends SparkTestBase {
         s"st28 state != batch buckets: extra=" +
           s"${(stateRows -- wantRows).take(5)} missing=" +
           s"${(wantRows -- stateRows).take(5)}")
+      // The O(1)-size-emission counter (r17 ADVICE): under
+      // TTLConfig.NONE the `occ` ValueState must equal the live list
+      // occupancy exactly — max-n per bucket was already asserted
+      // equal to the batch occupancy above, so here we only pin that
+      // the counter state rows exist 1:1 with buckets.
+      val occRows = spark.read.format("statestore")
+        .option("stateVarName", "occ").load(chk).count()
+      assert(occRows == wantRows.map(r => (r._1, r._2)).size,
+        s"st28 occ counter rows $occRows != distinct buckets")
+    }
+  }
+
+  test("st28b: LSH index retention — pre-gap members physically " +
+       "swept by ListState TTL, post-gap counter restarts") {
+    // The r17 verdict's item 3 (the index state that becomes
+    // corpus-sized at 100 TB had no eviction story): same two-phase
+    // replay discipline as st27 — phase 1, a quiet gap > TTL, phase 2
+    // on the RESUMED checkpoint. ListState TTL is per-element, so the
+    // gap expires every phase-1 member; the statestore after phase 2
+    // must hold EXACTLY the phase-2 member relation (physically swept
+    // by the per-batch TTL cleanup, st27's discipline), and the
+    // post-gap size emissions must equal the phase-2-only bucket
+    // occupancy (the occ counter expired with its bucket, restarting
+    // from zero like a new key).
+    //
+    // LOAD-BEARING invariant (shared with st27, r17 ADVICE): each
+    // phase is ONE staged file and replays as ONE micro-batch, so a
+    // phase can never expire its own writes regardless of wall-clock
+    // noise — TTL expiry compares against the single batch timestamp.
+    // Any future multi-batch phase must widen the TTL/gap margins.
+    val ttlMs = 4000L
+    graft.functions.VectorExpressions.register(spark)
+    withRocksDb {
+      val dir = scratch("replay_st28b")
+      val emb = Tables.load(spark, sf, "embeddings")
+        .select($"vec_id", $"embedding")
+      val rows = emb.count()
+      val half = rows / 2
+      val chunked = emb.orderBy($"vec_id").coalesce(1)
+        .withColumn("rn", monotonically_increasing_id()).cache()
+      try {
+        def stage(lo: Long, hi: Long, pos: Int): Unit = {
+          val tmp = s"${dir}_tmp"
+          chunked.filter($"rn" >= lo && $"rn" < hi)
+            .select($"vec_id", $"embedding")
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          EventStreams.promoteChunk(tmp, dir, pos, ".parquet")
+        }
+        val chk = scratch("st28b_chk")
+        def run(name: String): DataFrame = {
+          val outDir = scratch(s"out_$name")
+          val stream = spark.readStream
+            .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+            .parquet(dir)
+          val inserts = graft.operators.LlmQueries.lshBuckets(stream)
+            .as[StreamQueries.LshIns]
+          val q = StreamQueries.lshBucketsTtlTws(inserts, ttlMs).toDF()
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", chk)
+            .foreachBatch { (b: DataFrame, bid: Long) =>
+              b.write.mode("overwrite").parquet(s"$outDir/batch=$bid")
+            }
+            .trigger(Trigger.AvailableNow()).start()
+          // ProcessingTime TimeMode keeps AvailableNow alive forever
+          // (st27's finding) — poll for the single data batch, stop.
+          val deadline = System.currentTimeMillis() + 120000
+          def emitted: DataFrame = spark.read.parquet(outDir).drop("batch")
+          def gotData: Boolean =
+            scala.util.Try(emitted.count()).getOrElse(0L) > 0
+          while (System.currentTimeMillis() < deadline && !gotData)
+            Thread.sleep(100)
+          assert(gotData, s"$name: no data batch committed within 120s")
+          q.stop(); q.awaitTermination()
+          emitted
+        }
+        stage(0, half, 0)
+        run("st28b_1")
+        Thread.sleep(ttlMs + 2500) // quiet gap > TTL by margin
+        stage(half, rows, 1)
+        val got2 = run("st28b_2")
+        def bucketsOf(lo: Long, hi: Long): DataFrame =
+          graft.operators.LlmQueries.lshBuckets(
+            chunked.filter($"rn" >= lo && $"rn" < hi)
+              .select($"vec_id", $"embedding"))
+        val phase1 = bucketsOf(0, half)
+        val phase2 = bucketsOf(half, rows)
+        // Non-vacuity: the sweep is observed on buckets that were
+        // genuinely live in phase 1, including some touched again in
+        // phase 2 (counter-restart case) and some never touched again
+        // (cleanup-without-touch case).
+        val b1 = phase1.select($"t", $"bkt").distinct()
+        val b2 = phase2.select($"t", $"bkt").distinct()
+        assert(b1.join(b2, Seq("t", "bkt")).count() > 0 &&
+               b1.join(b2, Seq("t", "bkt"), "left_anti").count() > 0,
+          "st28b phase split degenerate: need shared AND phase-1-only buckets")
+        // Post-gap emissions == phase-2-only occupancy (counter TTL).
+        assertSameRows(
+          got2.groupBy($"t", $"bkt").agg(max($"n").as("n")),
+          phase2.groupBy($"t", $"bkt").agg(count(lit(1)).as("n")),
+          "st28b post-gap sizes vs phase-2-only batch occupancy")
+        // Physical sweep: statestore holds exactly phase-2 members.
+        val raw = spark.read.format("statestore")
+          .option("stateVarName", "members").load(chk)
+        // TTL'd list elements come back as struct(value, ttlExpirationMs)
+        // where `value` is the usual single-field primitive wrap.
+        val flat = raw.selectExpr("key._1 AS t", "key._2 AS bkt",
+          "list_element.value.*")
+        val stateRows = flat.collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+        val wantRows = phase2.collect()
+          .map(r => (r.getInt(1), r.getLong(2), r.getLong(0))).toSet
+        assert(stateRows == wantRows,
+          s"st28b state not swept to phase-2 members: extra=" +
+            s"${(stateRows -- wantRows).take(5)} missing=" +
+            s"${(wantRows -- stateRows).take(5)}")
+      } finally chunked.unpersist()
     }
   }
 
