@@ -308,7 +308,38 @@ object Graph {
     * Output: (node, deg) — nodes surviving `rounds` peels with their
     * degree INSIDE the surviving subgraph (≥ k at the fixpoint). */
   def kcore(edges: DataFrame, k: Int, rounds: Int,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    kcoreCounted(edges, k, rounds, srcCol, dstCol, counted = false)._1
+
+  /** The measured WORKLOAD denominator for the peel (r18, r17 verdict
+    * item 7): E + Σ_t |edges incident to round t's removed set| — the
+    * decremental loop's own work bound, counted by running the
+    * IDENTICAL loop (kcore is literally this function's first
+    * component, so the denominator can never drift from the shipped
+    * algorithm). ScaleBench divides wall time by this to state
+    * cost-per-peel-edge per decade: the graph WORKLOAD grows
+    * super-linearly with data (deeper cascades touch more edges), the
+    * per-unit engine cost must stay flat — a number, not a narrative.
+    * Instrumentation-only (one extra count action per round); never
+    * in a timed or shipped query path. */
+  def kcoreWorkUnits(edges: DataFrame, k: Int, rounds: Int,
+      srcCol: String = "src", dstCol: String = "dst"): Long =
+    kcoreCounted(edges, k, rounds, srcCol, dstCol, counted = true)._2
+
+  /** graph_jaccard's workload denominator (r18): the candidate-pair
+    * count Σ_p C(deg_p, 2) the bucketed self-join emits — computed by
+    * one aggregate over the capped membership relation, no pair
+    * materialization. */
+  def jaccardCandidateUnits(membership: DataFrame,
+      keyCol: String = "p"): Long = {
+    val r = membership.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) div 2")).as("u")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  private def kcoreCounted(edges: DataFrame, k: Int, rounds: Int,
+      srcCol: String, dstCol: String, counted: Boolean)
+      : (DataFrame, Long) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     // DECREMENTAL peel (r13 rewrite; the r12 verdict's 100x
@@ -336,11 +367,15 @@ object Graph {
     var alive = graft.Fixpoint.truncate(
       e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .select(col("src").as("node"), col("deg")))
+    var work = if (counted) e.count() else 0L
     for (_ <- 1 to rounds) {
       val removed = alive.filter(col("deg") < k)
         .select(col("node").as("__r"))
       val dec = e.join(broadcast(removed), col("dst") === col("__r"))
         .groupBy(col("src")).agg(count(lit(1)).as("__c"))
+      if (counted)
+        work += e.join(broadcast(removed), col("dst") === col("__r"))
+          .count()
       alive = graft.Fixpoint.truncate(
         alive.filter(col("deg") >= k)
           .join(dec, col("node") === col("src"), "left")
@@ -352,7 +387,7 @@ object Graph {
     // appear in no surviving edge), so mirror that here. At the
     // fixpoint every survivor has deg ≥ k anyway — this only differs
     // when `rounds` stops short of the cascade depth.
-    alive.filter(col("deg") > 0)
-      .select(col("node"), col("deg"))
+    (alive.filter(col("deg") > 0)
+      .select(col("node"), col("deg")), work)
   }
 }

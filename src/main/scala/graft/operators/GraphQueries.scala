@@ -249,11 +249,7 @@ object GraphQueries extends QueryPack {
       // happen once here (session-scoped), the pair/rank algebra is
       // the public function, so the DuckDB oracle proves the API.
       val ce = graft.SessionCache.cached(s, s"jacc.edges:$dir") {
-        val e = Tables.load(s, dir, "lineitem")
-          .select($"l_partkey".as("p"), $"l_suppkey".as("sup")).distinct()
-        val nonHub = e.groupBy($"p").agg(count(lit(1)).as("pd"))
-          .filter($"pd" <= jaccHubCap).select($"p")
-        e.join(nonHub, "p")
+        jaccMembership(s, dir)
       }
       graft.api.Graph.jaccardTopKOnCapped(ce, 5)
         .select($"node".as("s1"), $"rk", $"other".as("s2"),
@@ -300,11 +296,7 @@ object GraphQueries extends QueryPack {
       graft.SessionCache.cached(s, s"jacc.bucketed:$dir:$buckets",
           persist = false) {
         s.sql(s"DROP TABLE IF EXISTS jacc_mem_$tag")
-        val e = Tables.load(s, dir, "lineitem")
-          .select($"l_partkey".as("p"), $"l_suppkey".as("sup")).distinct()
-        val nonHub = e.groupBy($"p").agg(count(lit(1)).as("pd"))
-          .filter($"pd" <= jaccHubCap).select($"p")
-        e.join(nonHub, "p")
+        jaccMembership(s, dir)
           .repartition(buckets, $"p")
           .write.mode("overwrite")
           .option("path", s"target/roundtrip/${tag}_jacc_mem")
@@ -500,14 +492,7 @@ object GraphQueries extends QueryPack {
     "graph_kcore" -> ((s, dir) => {
       import s.implicits._
       val ed = graft.SessionCache.cached(s, s"kcore.edges:$dir") {
-        val b = Tables.load(s, dir, "lineitem")
-          .join(Tables.load(s, dir, "orders"),
-            $"l_orderkey" === $"o_orderkey")
-          .select($"o_custkey".as("c"),
-            ($"l_partkey" + 2000000000L).as("p"))
-          .distinct()
-        b.select($"c".as("src"), $"p".as("dst"))
-          .unionByName(b.select($"p".as("src"), $"c".as("dst")))
+        kcoreEdges(s, dir)
       }
       graft.api.Graph.kcore(ed, kcoreK, kcoreRounds)
         .select($"node",
@@ -516,6 +501,37 @@ object GraphQueries extends QueryPack {
           $"deg")
         .orderBy($"node")
     }))
+
+  /** The capped part↔supplier co-membership relation — graph_jaccard's
+    * input, extracted (r18) so BOTH layout variants AND the
+    * ScaleBench per-unit denominator (api.Graph.jaccardCandidateUnits
+    * over this exact relation) share one definition. */
+  private[graft] def jaccMembership(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "lineitem")
+      .select($"l_partkey".as("p"), $"l_suppkey".as("sup")).distinct()
+    val nonHub = e.groupBy($"p").agg(count(lit(1)).as("pd"))
+      .filter($"pd" <= jaccHubCap).select($"p")
+    e.join(nonHub, "p")
+  }
+
+  /** graph_kcore's doubled customer↔part edge relation, extracted
+    * (r18) for the same reason: the ScaleBench per-unit denominator
+    * (api.Graph.kcoreWorkUnits) must count work over EXACTLY the
+    * relation the timed key peels. */
+  private[graft] def kcoreEdges(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val b = Tables.load(s, dir, "lineitem")
+      .join(Tables.load(s, dir, "orders"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("c"),
+        ($"l_partkey" + 2000000000L).as("p"))
+      .distinct()
+    b.select($"c".as("src"), $"p".as("dst"))
+      .unionByName(b.select($"p".as("src"), $"c".as("dst")))
+  }
 
   /** The ten unrolled iterations, generated from the same constants as
     * the Spark loop so the two engines cannot drift. MATERIALIZED

@@ -856,6 +856,14 @@ object TrainQueries extends QueryPack {
       mmAudioRel(s, dir).orderBy($"doc_id")
     }),
 
+    // Third real modality (r18, r17 verdict item 4): animated GIF89a
+    // frame-table walk — full design note at mmGifRel (shared with
+    // pipeline_mm's video branch, zero drift).
+    "mm_gif" -> ((s, dir) => {
+      import s.implicits._
+      mmGifRel(s, dir).orderBy($"doc_id")
+    }),
+
     // End-to-end multimodal ingest audit (r16) — the composition the
     // text side already has twice (pipeline_corpus: quality;
     // pipeline_curate: sampling/packing), now for the mandate's
@@ -886,10 +894,22 @@ object TrainQueries extends QueryPack {
     // mm_dedup oracles — shared, not recomputed per modality), so an
     // image row's comp/keep may reference an audio-doc canonical:
     // deterministic, and the price of zero-drift stage sharing.
+    // r18 (verdict item 4): the corpus is now THREE-modality — docs
+    // with doc_id mod 3 = 2 are ANIMATED GIFs (mmGifRel, shared with
+    // the oracled mm_gif key): the frame-table walk decodes the REAL
+    // per-frame dimensions and the budget column is the decoded
+    // pixel total across frames (Σ fw·fh — the per-frame decode cost
+    // a scheduler sums), while `frames_sampled` stride-samples the
+    // DECODED frame count (real container frames, not the 32-byte
+    // proxy grid) at the family stride rule (doc_id mod 3 + 2 = 4
+    // for every video doc). Byte-exact dedup by md5(text), the audio
+    // branch's rule: the sub-block payload bytes derive from text
+    // alone, and comp = min doc_id per digest group.
     "pipeline_mm" -> ((s, dir) => {
       import s.implicits._
       val isAudio = pmod($"doc_id", lit(3L)) === 1L
-      val hdr = mmHeaderRel(s, dir).filter(!isAudio)
+      val isVideo = pmod($"doc_id", lit(3L)) === 2L
+      val hdr = mmHeaderRel(s, dir).filter(!isAudio && !isVideo)
         .select($"doc_id", $"format", $"width", $"height", $"n_bytes")
       val ded = ahashDedupRel(s, dir)
         .select($"doc_id", $"comp", $"keep")
@@ -920,7 +940,17 @@ object TrainQueries extends QueryPack {
         .select($"format", $"keep", $"comp",
           ($"channels" * $"n_frames").as("budget"), $"n_bytes",
           expr("(n_frames - 1) div stride + 1").as("sampled"))
-      img.unionAll(audio)
+      val wvk = Window.partitionBy($"vk")
+      val video = mmGifRel(s, dir).filter(isVideo)
+        .select($"doc_id", $"format", $"sum_px", $"n_frames", $"n_bytes")
+        .join(Tables.load(s, dir, "documents").filter(isVideo)
+          .select($"doc_id", md5($"text").as("vk")), Seq("doc_id"))
+        .withColumn("comp", min($"doc_id").over(wvk))
+        .withColumn("keep", $"doc_id" === $"comp")
+        // family stride rule (doc_id mod 3 + 2) is constant 4 here
+        .select($"format", $"keep", $"comp", $"sum_px".as("budget"),
+          $"n_bytes", expr("(n_frames - 1) div 4 + 1").as("sampled"))
+      img.unionAll(audio).unionAll(video)
         .groupBy($"format", $"keep")
         .agg(count(lit(1)).as("n_docs"),
           countDistinct($"comp").as("n_comps"),
@@ -1112,6 +1142,171 @@ object TrainQueries extends QueryPack {
         expr("array_max(transform(dsam, x -> abs(x)))").as("peak"),
         expr("aggregate(dsam, 0L, (a, x) -> a + x * x)").as("ssq"),
         expr("aggregate(dsam, 0L, (a, x) -> a + x)").as("sum_v"),
+        octet_length($"payload").cast(LongType).as("n_bytes"))
+  }
+
+  /** Shared GIF89a synthesis + frame-walk relation (r18, r17 verdict
+    * item 4) — mm_gif's body, shared with pipeline_mm's video branch
+    * exactly like mmHeaderRel/mmAudioRel are shared with its image/
+    * audio branches. Completes the modality pillar with the one
+    * container discipline the first two formats never exercised:
+    * PNG/JPEG decode at FIXED offsets (plus one length field), WAV at
+    * fixed offsets after a magic check — GIF has a real FRAME TABLE
+    * whose offsets are DATA-DEPENDENT: each frame's image data is an
+    * LZW sub-block CHAIN (size-prefixed blocks until a 0 terminator),
+    * so the walk must fold over the payload, advancing by decoded
+    * size bytes, to find the next frame or the trailer. That fold is
+    * exactly what a real GIF indexer runs.
+    *
+    * Synthesis (byte-exact, public GIF89a layout, every multi-byte
+    * integer LITTLE-endian): "GIF89a", logical screen descriptor
+    * (width = doc_id mod 320 + 16, height = doc_id·11 mod 240 + 16,
+    * no global color table), then nf = 1 + doc_id mod 7 frames, each
+    * a Graphic Control Extension (0x21 0xF9 0x04, delay_cs =
+    * (doc_id + 37k) mod 500 + 2 centiseconds) + Image Descriptor
+    * (0x2C, left/top = small offsets, frame w = (doc_id + 5k) mod 32
+    * + 1, frame h = (doc_id·7 + 3k) mod 24 + 1, no local table) +
+    * LZW-min-code byte + 1..3 data sub-blocks (size 1..32, bytes from
+    * the doc's TEXT — byte i of sub-block (k,j) is
+    * ascii(text[(31k + 17j + i) mod len]), so byte-identical docs
+    * produce byte-identical GIFs and exact dedup is non-vacuous) +
+    * the 0x00 chain terminator; then the 0x3B trailer.
+    *
+    * Decode — from the BINARY column ALONE (the family discipline;
+    * the walk never sees the generator's parameter columns): validate
+    * the signature, read the LE screen dimensions, then FOLD over the
+    * frame table: at each position either the 0x3B trailer (stop) or
+    * a GCE+ID pair (validate 0x21 F9 04 / 0x2C magics, read delay
+    * and per-frame w·h, then an inner fold walks the sub-block chain
+    * by its size prefixes to the next frame). Outputs the integer
+    * audit a video corpus stores: n_frames (DECODED, from the walk —
+    * not a generator param), total_delay_cs, sum_px = Σ fw·fh (the
+    * decode budget), n_blocks, n_bytes; format = 'gif' only if every
+    * magic validated AND the walk terminated exactly at the final
+    * byte. Bounds: the fold caps at 8 frames x 4 sub-blocks — a
+    * decoder CONFIG (max scanned), not a generator secret; per-row
+    * work is O(payload), map-side expression arithmetic only, no
+    * shuffle beyond the consumer's contract sort — each payload
+    * decodes where it lies at 100 TB. The DuckDB oracle computes the
+    * expected audit straight from the generation rule (never touching
+    * bytes), so any offset, byte-order, or chain-walk error on the
+    * decode side hash-mismatches; R18OpsSpec additionally pins the
+    * payload BYTES against an independent java.io little-endian GIF
+    * writer (the mm_audio discipline — a self-consistent layout bug
+    * survives decode∘synthesize, only independent bytes catch it). */
+  private[graft] def mmGifPayloads(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    // Little-endian hex of a 2-byte value (column side).
+    def leHex2(c: org.apache.spark.sql.Column) = {
+      val h = lpad(hex(c), 4, "0")
+      concat(substring(h, 3, 2), substring(h, 1, 2))
+    }
+    // Same, inside a SQL lambda (synthesis needs the frame index k).
+    def le2(e: String) =
+      s"concat(substring(lpad(hex($e), 4, '0'), 3, 2), " +
+        s"substring(lpad(hex($e), 4, '0'), 1, 2))"
+    val gen = Tables.load(s, dir, "documents")
+      .withColumn("nc", length($"text").cast(LongType))
+      .withColumn("w", pmod($"doc_id", lit(320L)) + 16L)
+      .withColumn("h", pmod($"doc_id" * 11L, lit(240L)) + 16L)
+      .withColumn("nf", lit(1L) + pmod($"doc_id", lit(7L)))
+    val framesHex = expr(
+      "array_join(transform(sequence(0, nf - 1), k -> concat(" +
+        // GCE: 21 F9 04 packed=00 delay(le16) transparent=00 term=00
+        "'21F90400', " + le2("(doc_id + k * 37) % 500 + 2") + ", '0000', " +
+        // Image Descriptor: 2C left top fw fh packed=00
+        "'2C', " + le2("(doc_id + k) % 8") + ", " +
+        le2("(doc_id * 3 + k) % 8") + ", " +
+        le2("(doc_id + k * 5) % 32 + 1") + ", " +
+        le2("(doc_id * 7 + k * 3) % 24 + 1") + ", '00', " +
+        // LZW minimum code size, then the sub-block chain + terminator
+        "'07', " +
+        "array_join(transform(sequence(0, (doc_id + k) % 3), j -> concat(" +
+        "lpad(hex(1 + (doc_id + k * 7 + j * 13) % 32), 2, '0'), " +
+        "array_join(transform(" +
+        "sequence(0, (doc_id + k * 7 + j * 13) % 32), i -> " +
+        "lpad(hex(ascii(substring(text, " +
+        "CAST((k * 31 + j * 17 + i) % nc AS INT) + 1, 1))), 2, '0')" +
+        "), ''))), ''), " +
+        "'00')), '')")
+    gen.select($"doc_id", unhex(concat(
+      lit("474946383961"),                 // "GIF89a"
+      leHex2($"w"), leHex2($"h"),          // logical screen w, h (LE)
+      lit("000000"),                       // no GCT, bg 0, aspect 0
+      framesHex,
+      lit("3B"))).as("payload"))           // trailer
+  }
+
+  private[graft] def mmGifRel(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    mmGifWalk(mmGifPayloads(s, dir))
+
+  /** The walk stage alone, over any (doc_id, payload BINARY) relation
+    * — split from mmGifRel so R18OpsSpec can feed it ADVERSARIAL
+    * byte streams the synthetic corpus never produces (truncated
+    * tables, missing trailers, bad magics) and pin the 'unknown'
+    * rejection path, which would otherwise be dead code. */
+  private[graft] def mmGifWalk(payloads: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import payloads.sparkSession.implicits._
+    // Unsigned byte at a dynamic 1-based offset expression.
+    def b(o: String) =
+      s"CAST(conv(hex(substring(payload, CAST($o AS INT), 1)), 16, 10) " +
+        "AS BIGINT)"
+    // Little-endian unsigned read at a FIXED offset (screen dims).
+    def leU(off: Int, n: Int) =
+      (0 until n).map { i =>
+        conv(hex(expr(s"substring(payload, ${off + i}, 1)")), 16, 10)
+          .cast(LongType) * lit(1L << (8 * i))
+      }.reduce(_ + _)
+    payloads
+      .withColumn("sig_ok",
+        hex(expr("substring(payload, 1, 6)")) === "474946383961")
+      // The frame-table walk: outer fold over frame slots (trailer
+      // stops it), inner fold over each frame's sub-block chain.
+      .withColumn("walk", expr(
+        "aggregate(sequence(1, 8), " +
+          "named_struct('off', 14L, 'frames', 0L, 'delay', 0L, " +
+          "'px', 0L, 'blocks', 0L, 'done', false, 'ok', true), " +
+          "(acc, u) -> CASE " +
+          "WHEN acc.done THEN acc " +
+          s"WHEN ${b("acc.off")} = 59 THEN " + // 0x3B trailer
+          "named_struct('off', acc.off, 'frames', acc.frames, " +
+          "'delay', acc.delay, 'px', acc.px, 'blocks', acc.blocks, " +
+          "'done', true, 'ok', acc.ok) " +
+          "ELSE aggregate(sequence(1, 4), " +
+          "named_struct('o', acc.off + 19L, 'b', 0L, 'd2', false), " +
+          "(a, v) -> CASE " +
+          "WHEN a.d2 THEN a " +
+          s"WHEN ${b("a.o")} = 0 THEN " + // chain terminator
+          "named_struct('o', a.o + 1L, 'b', a.b, 'd2', true) " +
+          s"ELSE named_struct('o', a.o + 1L + ${b("a.o")}, " +
+          "'b', a.b + 1L, 'd2', false) END, " +
+          "a -> named_struct(" +
+          "'off', a.o, " +
+          "'frames', acc.frames + 1L, " +
+          s"'delay', acc.delay + ${b("acc.off + 4")} + " +
+          s"256L * ${b("acc.off + 5")}, " +
+          s"'px', acc.px + (${b("acc.off + 13")} + " +
+          s"256L * ${b("acc.off + 14")}) * (${b("acc.off + 15")} + " +
+          s"256L * ${b("acc.off + 16")}), " +
+          "'blocks', acc.blocks + a.b, " +
+          "'done', false, " +
+          "'ok', acc.ok AND a.d2 " +
+          s"AND ${b("acc.off")} = 33 AND ${b("acc.off + 1")} = 249 " +
+          s"AND ${b("acc.off + 2")} = 4 AND ${b("acc.off + 8")} = 44)) " +
+          "END)"))
+      .select($"doc_id",
+        when($"sig_ok" && $"walk.done" && $"walk.ok" &&
+            $"walk.off" === octet_length($"payload").cast(LongType),
+          lit("gif")).otherwise(lit("unknown")).as("format"),
+        leU(7, 2).as("width"), leU(9, 2).as("height"),
+        $"walk.frames".as("n_frames"),
+        $"walk.delay".as("total_delay_cs"),
+        $"walk.px".as("sum_px"),
+        $"walk.blocks".as("n_blocks"),
         octet_length($"payload").cast(LongType).as("n_bytes"))
   }
 
@@ -1908,19 +2103,55 @@ object TrainQueries extends QueryPack {
         |  CAST(44 + 2 * nv AS BIGINT) AS n_bytes
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // mm_gif oracle: like mm_audio, the expected audit is computed
+    // straight from the GENERATION rule (doc_id mod classes; never
+    // touching bytes), so any offset, byte-order or sub-block-walk
+    // error in the Spark side's frame-table fold hash-mismatches.
+    // n_bytes is pure arithmetic: 13-byte header+LSD, 20 fixed bytes
+    // per frame (GCE 8 + ID 10 + LZW byte + chain terminator), 1 size
+    // byte + sz data bytes per sub-block, 1 trailer byte.
+    "mm_gif" ->
+      """WITH p AS (SELECT doc_id,
+        |    doc_id % 320 + 16 AS w, (doc_id * 11) % 240 + 16 AS h,
+        |    1 + doc_id % 7 AS nf
+        |  FROM documents),
+        |f AS (SELECT doc_id, w, h, nf,
+        |    list_sum(list_transform(range(0, CAST(nf AS INT)),
+        |      k -> (doc_id + k * 37) % 500 + 2)) AS total_delay,
+        |    list_sum(list_transform(range(0, CAST(nf AS INT)),
+        |      k -> ((doc_id + k * 5) % 32 + 1)
+        |           * ((doc_id * 7 + k * 3) % 24 + 1))) AS sum_px,
+        |    list_sum(list_transform(range(0, CAST(nf AS INT)),
+        |      k -> 1 + (doc_id + k) % 3)) AS n_blocks,
+        |    list_sum(list_transform(range(0, CAST(nf AS INT)),
+        |      k -> list_sum(list_transform(
+        |        range(0, CAST(1 + (doc_id + k) % 3 AS INT)),
+        |        j -> 2 + (doc_id + k * 7 + j * 13) % 32)))) AS sb_bytes
+        |  FROM p)
+        |SELECT doc_id, 'gif' AS format,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(total_delay AS BIGINT) AS total_delay_cs,
+        |  CAST(sum_px AS BIGINT) AS sum_px,
+        |  CAST(n_blocks AS BIGINT) AS n_blocks,
+        |  CAST(14 + 20 * nf + sb_bytes AS BIGINT) AS n_bytes
+        |FROM f ORDER BY doc_id""".stripMargin,
+
     // Composition oracle: the mm_headers decode chain (CTEs renamed
     // hd/hx/hp/hp2/hdr to coexist with the dedup chain's d/s/h)
-    // restricted to the image docs (doc_id % 3 <> 1), the mm_dedup
+    // restricted to the image docs (doc_id % 3 = 0), the mm_dedup
     // chain verbatim (corpus-scoped, as the Spark side), the
     // frame-sample arithmetic, PLUS the r17 audio branch — the
     // mm_audio generation rule reduced to (comp, keep, budget,
-    // n_bytes, sampled) with exact md5(text) byte-dedup — and one
-    // unified audit aggregate over the union.
+    // n_bytes, sampled) with exact md5(text) byte-dedup — PLUS the
+    // r18 video branch (vg/vid): the mm_gif generation rule reduced
+    // the same way (budget = Σ frame pixels, sampled = stride-4 over
+    // real frames), and one unified audit aggregate over the union.
     "pipeline_mm" ->
       s"""WITH hd AS (SELECT doc_id,
         |    doc_id % 640 + 1 AS w, (doc_id * 7) % 480 + 1 AS h,
         |    doc_id % 8 AS pad, text FROM documents
-        |  WHERE doc_id % 3 <> 1),
+        |  WHERE doc_id % 3 = 0),
         |hx AS (SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN
         |    '89504E470D0A1A0A' || '0000000D' || '49484452'
@@ -2035,7 +2266,25 @@ object TrainQueries extends QueryPack {
         |    nv AS budget, CAST(44 + 2 * nv AS BIGINT) AS n_bytes,
         |    (nf - 1) // 3 + 1 AS sampled
         |  FROM au),
-        |un AS (SELECT * FROM img UNION ALL SELECT * FROM aud)
+        |vg AS (SELECT doc_id, md5(text) AS vk, 1 + doc_id % 7 AS nf,
+        |    list_sum(list_transform(range(0, CAST(1 + doc_id % 7 AS INT)),
+        |      k -> ((doc_id + k * 5) % 32 + 1)
+        |           * ((doc_id * 7 + k * 3) % 24 + 1))) AS sum_px,
+        |    14 + 20 * (1 + doc_id % 7) +
+        |    list_sum(list_transform(range(0, CAST(1 + doc_id % 7 AS INT)),
+        |      k -> list_sum(list_transform(
+        |        range(0, CAST(1 + (doc_id + k) % 3 AS INT)),
+        |        j -> 2 + (doc_id + k * 7 + j * 13) % 32)))) AS gbytes
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |vid AS (SELECT 'gif' AS format,
+        |    doc_id = min(doc_id) OVER (PARTITION BY vk) AS keep,
+        |    min(doc_id) OVER (PARTITION BY vk) AS comp,
+        |    CAST(sum_px AS BIGINT) AS budget,
+        |    CAST(gbytes AS BIGINT) AS n_bytes,
+        |    (nf - 1) // 4 + 1 AS sampled
+        |  FROM vg),
+        |un AS (SELECT * FROM img UNION ALL SELECT * FROM aud
+        |  UNION ALL SELECT * FROM vid)
         |SELECT format, keep, count(*) AS n_docs,
         |  count(DISTINCT comp) AS n_comps,
         |  CAST(sum(budget) AS BIGINT) AS budget,

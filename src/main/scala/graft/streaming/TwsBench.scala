@@ -36,6 +36,19 @@ import org.apache.spark.sql.types.StructType
   *   rows land at EXACTLY map entries + one counter row per user —
   *   the arithmetic form of "bounded by key cardinality, not input".
   *
+  * - st27 (r18): st25's exact workload through the TTL'd processor
+  *   (horizon >> run, so eviction bookkeeping is paid but nothing
+  *   expires). Laws: final snapshot == batch aggregate AND the
+  *   statestore-source counts land at exactly (user x type) `types`
+  *   rows + one `total` row per user — retention must not change the
+  *   cardinality story. The row prices TTL next to st25's number.
+  *
+  * - st28 (r18): the streaming LSH index insert path with eviction
+  *   ON — per-element TTL'd ListState + O(1) occupancy counter.
+  *   Laws: statestore holds exactly 4 member rows per vector and one
+  *   counter row per occupied bucket (== the batch bucket relation's
+  *   distinct (t, bkt) count).
+  *
   * Output: one JSON line, persisted to SPARK_GRAFT_TWS_OUT (default
   * target/twsbench.json) — elapsed/rows-per-sec per op, the st23
   * per-batch state series, state-dir bytes, and law verdicts. Laws
@@ -73,6 +86,11 @@ object TwsBench {
     // time-travel read (and the same numbers an operator would watch
     // in production).
     val series = collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    // Cumulative source rows across batches (r18): the TTL'd ops run
+    // under TimeMode.ProcessingTime, where AvailableNow never
+    // self-terminates (st27 spec finding) — completion is detected by
+    // polling this counter against the staged row count, then stop().
+    val inputSum = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new org.apache.spark.sql.streaming
         .StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
@@ -83,9 +101,26 @@ object TwsBench {
         val total = p.stateOperators.map(_.numRowsTotal).sum
         val upd = p.stateOperators.map(_.numRowsUpdated).sum
         series.synchronized { series += ((p.batchId, total, upd)) }
+        inputSum.addAndGet(p.numInputRows)
       }
     }
     spark.streams.addListener(listener)
+
+    /** Run a ProcessingTime-TimeMode AvailableNow query to input
+      * exhaustion: poll the listener's cumulative source-row counter
+      * up to `expect`, then stop (the query would otherwise spin
+      * empty micro-batches forever servicing TTL timers). */
+    def runTtlToCompletion(
+        q: org.apache.spark.sql.streaming.StreamingQuery,
+        expect: Long, label: String): Unit = {
+      val deadline = System.currentTimeMillis() + 45 * 60 * 1000L
+      while (System.currentTimeMillis() < deadline &&
+             inputSum.get() < expect) Thread.sleep(200)
+      require(inputSum.get() == expect,
+        s"$label: consumed ${inputSum.get()} of $expect staged rows " +
+          "within the deadline")
+      q.stop(); q.awaitTermination()
+    }
 
     def keyField(df: DataFrame): String =
       df.schema("key").dataType.asInstanceOf[StructType].fieldNames.head
@@ -273,6 +308,108 @@ object TwsBench {
         s"users $nUsers25 — MapState is not O(users x types)")
     val bytes25 = dirBytes(s"$chk25/state")
 
+    // ---------------- st27: feature map WITH state TTL ----------------
+    // st25's exact workload replayed through the TTL'd processor with
+    // a retention horizon far beyond the run: the per-entry expiration
+    // bookkeeping and the per-batch TTL sweep are PAID on every batch,
+    // but nothing expires — so the st25 cardinality law must hold
+    // IDENTICALLY (read through the statestore source, the
+    // provider-independent count: one `types` row per (user, type),
+    // one `total` counter row per user) and the row measures the
+    // PRICE of retention next to st25's TTL-free number. Eviction
+    // CORRECTNESS (expired rows physically swept) is
+    // StreamingEquivalenceSpec st27's law at fixture scale — here the
+    // horizon must exceed the run or the law itself becomes timing-
+    // dependent, the flake class the spec's design note bans.
+    val chk27 = s"$work/chk27"
+    val out27 = s"$work/out27"
+    Seq(chk27, out27).foreach(p =>
+      graft.Util.deleteRecursively(new java.io.File(p)))
+    series.clear(); inputSum.set(0L)
+    val ttlMs = 3600L * 1000L
+    val t27 = System.nanoTime()
+    runTtlToCompletion(
+      StreamQueries.userTypeMapTtlTws(
+        spark.readStream.schema(graft.Tables.events)
+          .option("maxFilesPerTrigger", 4).parquet(evDir25)
+          .as[StreamQueries.EventRow], ttlMs).toDF()
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", chk27)
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          b.write.mode("overwrite").parquet(s"$out27/batch=$bid")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(),
+      evRows25, "st27")
+    val sec27 = (System.nanoTime() - t27) / 1e9
+    val emitted27 = spark.read.parquet(out27)
+    val fin27 = emitted27.withColumn("mx", max($"total_n").over(w25))
+      .filter($"total_n" === $"mx")
+      .select($"user_id", $"event_type", $"n", $"sum_cents")
+    val y1 = fin27.exceptAll(want25).count()
+    val y2 = want25.exceptAll(fin27).count()
+    require(y1 == 0 && y2 == 0,
+      s"st27 final snapshot != batch agg: fin\\batch=$y1 batch\\fin=$y2")
+    val typesRows27 = spark.read.format("statestore")
+      .option("stateVarName", "types").load(chk27).count()
+    val totalRows27 = spark.read.format("statestore")
+      .option("stateVarName", "total").load(chk27).count()
+    require(typesRows27 == userTypes && totalRows27 == nUsers25,
+      s"st27 state rows (types=$typesRows27, total=$totalRows27) != " +
+        s"(userTypes=$userTypes, users=$nUsers25) under TTL bookkeeping")
+    val bytes27 = dirBytes(s"$chk27/state")
+
+    // ---------------- st28: LSH index inserts, eviction ON ----------
+    // The streaming ANN index insert path (st28) at scale with the
+    // retention machinery enabled: every arriving embedding hashes
+    // map-side into its 4 bucket ids through the SAME shared fold the
+    // oracled batch keys use, appends to the TTL'd ListState, and
+    // bumps the O(1) occupancy counter. Laws: the statestore holds
+    // EXACTLY 4 member rows per vector (nothing lost, nothing
+    // duplicated across micro-batch boundaries) and one counter row
+    // per OCCUPIED bucket (== the batch bucket relation's distinct
+    // (t, bkt) count). Throughput is the vectors-per-second a single
+    // node sustains while paying per-element expiration bookkeeping.
+    graft.functions.VectorExpressions.register(spark)
+    val emb28 = graft.Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val embDir = s"$work/emb28"
+    val chk28 = s"$work/chk28"
+    val out28 = s"$work/out28"
+    Seq(embDir, chk28, out28).foreach(p =>
+      graft.Util.deleteRecursively(new java.io.File(p)))
+    // No ordering contract (bucket ids are per-row deterministic):
+    // one partitioned write, vectors scattered across micro-batches.
+    emb28.repartition(chunks * 4).write.parquet(embDir)
+    val nVecs = spark.read.parquet(embDir).count()
+    series.clear(); inputSum.set(0L)
+    val t28 = System.nanoTime()
+    runTtlToCompletion(
+      StreamQueries.lshBucketsTtlTws(
+        graft.operators.LlmQueries.lshBuckets(
+          spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", 4).parquet(embDir))
+          .as[StreamQueries.LshIns], ttlMs).toDF()
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", chk28)
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          b.write.mode("overwrite").parquet(s"$out28/batch=$bid")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(),
+      nVecs, "st28")
+    val sec28 = (System.nanoTime() - t28) / 1e9
+    val memRows28 = spark.read.format("statestore")
+      .option("stateVarName", "members").load(chk28).count()
+    val occRows28 = spark.read.format("statestore")
+      .option("stateVarName", "occ").load(chk28).count()
+    val nBuckets = graft.operators.LlmQueries.lshBuckets(emb28)
+      .select($"t", $"bkt").distinct().count()
+    require(memRows28 == 4 * nVecs && occRows28 == nBuckets,
+      s"st28 state rows (members=$memRows28, occ=$occRows28) != " +
+        s"(4 x vecs=${4 * nVecs}, buckets=$nBuckets)")
+    val bytes28 = dirBytes(s"$chk28/state")
+
     def fmt(v: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val seriesJson = series23
@@ -295,7 +432,20 @@ object TwsBench {
         s""""rows_per_sec":${fmt(evRows25 / sec25)},""" +
         s""""batches":$batches25,"final_state_rows":$finalRows25,""" +
         s""""state_bytes":$bytes25,""" +
-        s""""equals_batch_agg":true,"state_law_users_x_types":true}}"""
+        s""""equals_batch_agg":true,"state_law_users_x_types":true},""" +
+        s""""st27":{"input_rows":$evRows25,"ttl_ms":$ttlMs,""" +
+        s""""sec":${fmt(sec27)},""" +
+        s""""rows_per_sec":${fmt(evRows25 / sec27)},""" +
+        s""""types_rows":$typesRows27,"total_rows":$totalRows27,""" +
+        s""""state_bytes":$bytes27,"equals_batch_agg":true,""" +
+        s""""state_law_users_x_types":true},""" +
+        s""""st28":{"vecs":$nVecs,"inserts":${4 * nVecs},""" +
+        s""""ttl_ms":$ttlMs,"sec":${fmt(sec28)},""" +
+        s""""vecs_per_sec":${fmt(nVecs / sec28)},""" +
+        s""""inserts_per_sec":${fmt(4 * nVecs / sec28)},""" +
+        s""""member_rows":$memRows28,"occ_rows":$occRows28,""" +
+        s""""buckets":$nBuckets,"state_bytes":$bytes28,""" +
+        s""""state_law_4x_vecs_and_buckets":true}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_TWS_OUT",
       "target/twsbench.json")
     Files.createDirectories(Paths.get(outPath).toAbsolutePath.getParent)

@@ -213,17 +213,20 @@ class R16bOpsSpec extends SparkTestBase {
 
   test("pipeline_mm equals the audit recomputed from its standalone " +
        "stage keys") {
-    // Composition law (r17: mixed-modality): the end-to-end audit
-    // must be derivable from the ORACLED standalone relations —
-    // images (doc_id mod 3 <> 1) from mm_headers + mm_dedup +
-    // mm_framesample exactly as in r16, audio (doc_id mod 3 = 1)
-    // from the oracled mm_audio decode with the exact md5(text)
-    // byte-dedup re-derived HERE (an independent mirror — the audio
-    // dedup has no standalone key because exact-dup-by-digest is the
-    // whole operator). Stage semantics compose; nothing in the
-    // pipeline recomputes differently from its standalone key.
+    // Composition law (r17: mixed-modality; r18: three modalities):
+    // the end-to-end audit must be derivable from the ORACLED
+    // standalone relations — images (doc_id mod 3 = 0) from
+    // mm_headers + mm_dedup + mm_framesample exactly as in r16,
+    // audio (mod 3 = 1) from the oracled mm_audio decode, video
+    // (mod 3 = 2) from the oracled mm_gif frame walk — with the
+    // exact md5(text) byte-dedup re-derived HERE for both (an
+    // independent mirror — exact-dup-by-digest has no standalone key
+    // because the digest IS the operator). Stage semantics compose;
+    // nothing in the pipeline recomputes differently from its
+    // standalone key.
     val isAudio = pmod($"doc_id", lit(3L)) === 1L
-    val hdr = q("mm_headers").filter(!isAudio)
+    val isVideo = pmod($"doc_id", lit(3L)) === 2L
+    val hdr = q("mm_headers").filter(!isAudio && !isVideo)
       .select($"doc_id", $"format", $"width", $"height", $"n_bytes")
     val ded = q("mm_dedup").select($"doc_id", $"comp", $"keep")
     val fsCnt = q("mm_framesample")
@@ -245,7 +248,16 @@ class R16bOpsSpec extends SparkTestBase {
       .select($"format", $"keep", $"comp",
         ($"channels" * $"n_frames").as("budget"), $"n_bytes",
         expr("(n_frames - 1) div 3 + 1").as("sampled"))
-    val want = img.unionByName(au)
+    val wvk = org.apache.spark.sql.expressions.Window.partitionBy($"vk")
+    val vid = q("mm_gif").filter(isVideo)
+      .select($"doc_id", $"format", $"sum_px", $"n_frames", $"n_bytes")
+      .join(Tables.load(spark, sf, "documents").filter(isVideo)
+        .select($"doc_id", md5($"text").as("vk")), Seq("doc_id"))
+      .withColumn("comp", min($"doc_id").over(wvk))
+      .withColumn("keep", $"doc_id" === $"comp")
+      .select($"format", $"keep", $"comp", $"sum_px".as("budget"),
+        $"n_bytes", expr("(n_frames - 1) div 4 + 1").as("sampled"))
+    val want = img.unionByName(au).unionByName(vid)
       .groupBy($"format", $"keep")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct($"comp").as("n_comps"),
@@ -261,6 +273,8 @@ class R16bOpsSpec extends SparkTestBase {
       "vacuous: no near-dup images were dropped at this fixture")
     assert(got.filter($"format" === "wav").count() > 0,
       "vacuous: no audio rows in the mixed-modality audit")
+    assert(got.filter($"format" === "gif").count() > 0,
+      "vacuous: no video rows in the three-modality audit")
   }
 
   test("privacy_tclose equals a driver-side exact-rational EMD " +
