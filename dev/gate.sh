@@ -91,6 +91,13 @@ if [ "$mode" = 100x ]; then
     # session would hold every SessionCache index at once; the split
     # is the r16 campaign's proven memory discipline in one command.
     SKIP100="${GATE_100X_SKIP:-dedup_hamming}"
+    # Digest set = every key whose full output is too large to
+    # hash-compare row-wise at 100x (the r13 reduction; list pinned
+    # at its use below). It must reach BOTH sides: the Spark dump
+    # (SPARK_GRAFT_DIGEST) and the DuckDB check (CHECK_DIGEST) — the
+    # first end-to-end run of this mode failed on exactly this:
+    # dump-side full-form vs check-side digest = 18 'columns differ'.
+    DIG100="project_compute,filter_conditional,fn_json,set_union_all,sort_multi,scan_pruned,ts_anomaly,ts_ewma,ts_gaps,ts_interpolate,ts_locf,ts_rolling_median,win_first_last_value,win_frame_range,win_ignore_nulls,win_ranking,win_time_range,join_spatial_grid"
     mapfile -t THIRDS < <(python3 - "$SKIP100" <<'EOF'
 import json, subprocess, sys
 keys = sorted(json.load(open("/tmp/gate_vsf001/oracle_sql.json")))
@@ -103,7 +110,8 @@ EOF
 )
     for third in "${THIRDS[@]}"; do
       echo "  dump [${third%%,*}..] ($(echo "$third" | tr ',' '\n' | wc -l) keys)"
-      SPARK_GRAFT_ONLY="$third" SPARK_GRAFT_CPUS=32 \
+      SPARK_GRAFT_ONLY="$third" SPARK_GRAFT_DIGEST="$DIG100" \
+        SPARK_GRAFT_CPUS=32 \
         SPARK_GRAFT_SHUFFLE_PARTS=320 \
         java -Xmx64g $OPENS -Dspark.ui.enabled=false \
         -Dspark.sql.session.timeZone=UTC \
@@ -111,11 +119,6 @@ EOF
         graft.Verify /tmp/graft_sf10 "$OUT100" \
         2>>target/gate_dump100x.log || s100_ok=0
     done
-    # Digest set = every key whose sf0.01 output has >= 8000 rows
-    # (8M+ at 100x) and only non-negative integer + float columns
-    # beyond the count — the r13 reduction, list pinned below —
-    # plus join_spatial_grid (r15: ~half-billion-pair output).
-    DIG100="project_compute,filter_conditional,fn_json,set_union_all,sort_multi,scan_pruned,ts_anomaly,ts_ewma,ts_gaps,ts_interpolate,ts_locf,ts_rolling_median,win_first_last_value,win_frame_range,win_ignore_nulls,win_ranking,win_time_range,join_spatial_grid"
     ALLKEYS=$(printf '%s,' "${THIRDS[@]}"); ALLKEYS=${ALLKEYS%,}
     STAGE100=$(python3 - "$OUT100" "$ALLKEYS" <<'EOF'
 import json, sys
